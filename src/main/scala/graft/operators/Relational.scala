@@ -1,0 +1,496 @@
+package graft.operators
+
+import graft.{QueryDef, Qh}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface Q1–Q26 (SURVEY.md §2.2).
+  *
+  * Each query is declared with the DataFrame API so Catalyst gets the full
+  * logical plan (predicate pushdown, column pruning, join selection, AQE).
+  * Every query ends with an ORDER BY over a unique key set; doubles derive
+  * from exact integer arithmetic (see [[graft.Qh]]) so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  *
+  * Reference justifications cite /root/reference (see SURVEY.md §2.2).
+  */
+object Relational {
+  import Qh._
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q1 — scan + project + rename (reference T8/T9 projections,
+    // internal/producer/fetch.go:184-198).
+    "q01_scan_project" -> QueryDef(
+      (s, d) => tbl(s, d, "region")
+        .select(col("r_regionkey"), col("r_name").as("region_name"))
+        .orderBy("r_regionkey"),
+      Some("SELECT r_regionkey, r_name AS region_name FROM region ORDER BY r_regionkey")),
+
+    // Q2 — conjunctive filter, pushed to the parquet scan
+    // (reference T6/T10 predicates, internal/producer/fetch.go:157).
+    "q02_filter" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_day
+             |FROM lineitem WHERE l_quantity > 30 AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Q3 — length-threshold routing counts; strict > 1024 mirrors the
+    // reference router (internal/consumers/raw_content_consumer.go:14,55).
+    "q03_length_route" -> QueryDef(
+      (s, d) => tbl(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          sum(when(length(col("text")) > 1024, 1L).otherwise(0L)).as("long_docs"),
+          sum(when(length(col("text")) <= 1024, 1L).otherwise(0L)).as("short_docs"),
+          count(lit(1)).as("n"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  CAST(SUM(CASE WHEN length(text) > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs,
+             |  CAST(SUM(CASE WHEN length(text) <= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Q4 — hash inner join on key (reference T16 score join,
+    // internal/consumers/sentiment_analysis_consumer.go:64-79).
+    "q04_join_inner" -> QueryDef(
+      (s, d) => tbl(s, d, "orders")
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, o_totalprice FROM orders
+             |JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin)),
+
+    // Q5 — broadcast dimension join (reference T3 category→subreddits dim,
+    // internal/producer/fetch.go:19-46). The tiny dim side is explicitly
+    // broadcast: no shuffle of the fact side at any scale.
+    "q05_join_broadcast_dim" -> QueryDef(
+      (s, d) => tbl(s, d, "nation")
+        .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations FROM nation
+             |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Q6 — left outer join, missing key keeps row with NULLs (reference
+    // T16 zero-value row, sentiment_analysis_consumer.go:66-79). Customers
+    // with non-positive balance are filtered from the right side so real
+    // NULLs appear.
+    "q06_join_left_outer" -> QueryDef(
+      (s, d) => tbl(s, d, "orders")
+        .join(tbl(s, d, "customer").filter(col("c_acctbal") > 0),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, o_totalprice FROM orders
+             |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q7 — left anti join (reference T20 filterAgainstStored,
+    // internal/topic_generation/topic_generation.go:219-236).
+    "q07_join_anti" -> QueryDef(
+      (s, d) => tbl(s, d, "part")
+        .join(tbl(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Q8 — left semi join (dual of T20).
+    "q08_join_semi" -> QueryDef(
+      (s, d) => tbl(s, d, "customer")
+        .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Q9 — multi-way join, revenue per nation; join order left to Catalyst
+    // (nation/region are broadcast by AQE automatically).
+    "q09_join_multiway" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          (sum(revenueBp(col("l_extendedprice"), col("l_discount"))).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT) * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Q10 — TPC-H Q1-shaped hash aggregate. All measures derive from exact
+    // integer sums (order-independent), then one identical double division.
+    "q10_agg_hash" -> QueryDef(
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        val qty = sum(col("l_quantity").cast("long"))
+        val base = sum(cents(col("l_extendedprice")))
+        val disc = sum(revenueBp(col("l_extendedprice"), col("l_discount")))
+        val n = count(lit(1))
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            qty.as("sum_qty"),
+            (base.cast("double") / 100.0).as("sum_base_price"),
+            (disc.cast("double") / 10000.0).as("sum_disc_price"),
+            (qty.cast("double") / n).as("avg_qty"),
+            (base.cast("double") / 100.0 / n).as("avg_price"),
+            (sum(cents(col("l_discount"))).cast("double") / 100.0 / n).as("avg_disc"),
+            n.as("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+             |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT) * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+             |  CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q11 — exact distinct count per order-year (reference T19 dedup-by-URL).
+    "q11_distinct_count" -> QueryDef(
+      (s, d) => tbl(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("order_year"),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             |  CAST(COUNT(*) AS BIGINT) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin)),
+
+    // Q12 — approximate distinct (HLL++), the 100 TB-scale cardinality
+    // path. No DuckDB oracle (different sketch); driver records rows>0.
+    "q12_approx_distinct" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None,
+      doc = "approx_count_distinct tolerance vs exact is validated in ScalaTest, not DuckDB"),
+
+    // Q13 — rollup over (nation, order-year) revenue; NULL rollup keys are
+    // coalesced to sentinels so sort/NULL semantics can't drift.
+    "q13_rollup" -> QueryDef(
+      (s, d) => tbl(s, d, "orders")
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("order_year"),
+          cents(col("o_totalprice")).as("price_c"))
+        .rollup("n_name", "order_year")
+        .agg((sum(col("price_c")).cast("double") / 100.0).as("revenue"), count(lit(1)).as("n"))
+        .select(coalesce(col("n_name"), lit("(all)")).as("nation_g"),
+          coalesce(col("order_year"), lit(-1)).as("year_g"),
+          col("revenue"), col("n"))
+        .orderBy("nation_g", "year_g"),
+      Some("""SELECT COALESCE(n_name, '(all)') AS nation_g,
+             |  CAST(COALESCE(order_year, -1) AS INTEGER) AS year_g,
+             |  CAST(SUM(price_c) AS DOUBLE) / 100.0 AS revenue,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             |        CAST(round(o_totalprice*100, 0) AS BIGINT) AS price_c
+             |      FROM orders JOIN customer ON o_custkey = c_custkey
+             |      JOIN nation ON c_nationkey = n_nationkey)
+             |GROUP BY ROLLUP (n_name, order_year)
+             |ORDER BY nation_g, year_g""".stripMargin)),
+
+    // Q14 — cube over (event_type, month) on the events stream table
+    // (dashboard slicing; reference serving layer).
+    "q14_cube" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .select(col("event_type"), month(col("ts")).as("mo"), cents(col("value")).as("v_c"))
+        .cube("event_type", "mo")
+        .agg(count(lit(1)).as("n"), (sum(col("v_c")).cast("double") / 100.0).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type_g"),
+          coalesce(col("mo"), lit(-1)).as("month_g"), col("n"), col("sum_value"))
+        .orderBy("event_type_g", "month_g"),
+      Some("""SELECT COALESCE(event_type, '(all)') AS event_type_g,
+             |  CAST(COALESCE(mo, -1) AS INTEGER) AS month_g,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(v_c) AS DOUBLE) / 100.0 AS sum_value
+             |FROM (SELECT event_type, CAST(month(ts) AS INTEGER) AS mo,
+             |        CAST(round(value*100, 0) AS BIGINT) AS v_c FROM events)
+             |GROUP BY CUBE (event_type, mo)
+             |ORDER BY event_type_g, month_g""".stripMargin)),
+
+    // Q15 — dedup-keep-first: earliest event per (user_id, event_type),
+    // tie-broken by event_id (reference T7 Valkey dedup,
+    // internal/clients/valkey_client.go:126-159).
+    "q15_dedup_first" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+        tbl(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+             |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Q16 — ranking window: top-3 orders per customer by totalprice
+    // (top-k topics serving). rank/dense_rank on the price ordering;
+    // row_number gets a unique tiebreak so selection is deterministic.
+    "q16_window_rank" -> QueryDef(
+      (s, d) => {
+        val wRank = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+        val wRn = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tbl(s, d, "orders")
+          .withColumn("rn", row_number().over(wRn).cast("long"))
+          .withColumn("rnk", rank().over(wRank).cast("long"))
+          .withColumn("drnk", dense_rank().over(wRank).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"), col("rnk"), col("drnk"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |        CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             |        CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+             |        CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+             |      FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Q17 — analytic window with a range frame: 7-day moving average of
+    // daily revenue + day-over-day delta. The frame aggregates exact cents
+    // (BIGINT) so segment-tree vs streaming accumulation cannot drift.
+    "q17_window_frame" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "lineitem")
+          .groupBy(col("l_shipdate").cast("date").as("day"))
+          .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+          .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")))
+        val wRange = Window.orderBy("dn").rangeBetween(-6, 0)
+        val wLag = Window.orderBy("dn")
+        daily
+          .withColumn("ma7", sum(col("rev_c")).over(wRange).cast("double") / 100.0
+            / count(lit(1)).over(wRange))
+          .withColumn("delta", (col("rev_c") - lag(col("rev_c"), 1).over(wLag)).cast("double") / 100.0)
+          .select(col("day"), (col("rev_c").cast("double") / 100.0).as("revenue"),
+            col("ma7"), col("delta"))
+          .orderBy("day")
+      },
+      Some("""SELECT day, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+             |  CAST(SUM(rev_c) OVER w AS DOUBLE) / 100.0 / COUNT(*) OVER w AS ma7,
+             |  CAST(rev_c - lag(rev_c, 1) OVER (ORDER BY dn) AS DOUBLE) / 100.0 AS delta
+             |FROM (SELECT CAST(l_shipdate AS DATE) AS day,
+             |        CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS rev_c,
+             |        CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INTEGER) AS dn
+             |      FROM lineitem GROUP BY 1, 3)
+             |WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY day""".stripMargin)),
+
+    // Q18 — global top-k (TakeOrderedAndProject; reference S3
+    // sort=relevance&limit=100, internal/clients/reddit_client.go:76-77).
+    "q18_topk" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+        .limit(10),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin)),
+
+    // Q19 — set operations over customer-key sets of two order years
+    // (reference S1 union of category fetches).
+    "q19_setops" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val a = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        val b = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        val unionAll = a.unionAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("union_all"))
+        val unionD = a.union(b).distinct().withColumn("n", lit(1L)).withColumn("op", lit("union"))
+        val inter = a.intersect(b).withColumn("n", lit(1L)).withColumn("op", lit("intersect"))
+        val exc = a.except(b).withColumn("n", lit(1L)).withColumn("op", lit("except"))
+        unionAll.select("op", "o_custkey", "n")
+          .unionByName(unionD.select("op", "o_custkey", "n"))
+          .unionByName(inter.select("op", "o_custkey", "n"))
+          .unionByName(exc.select("op", "o_custkey", "n"))
+          .orderBy("op", "o_custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+             |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+             |SELECT 'union_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY o_custkey
+             |UNION ALL
+             |SELECT 'union', o_custkey, 1 FROM (SELECT * FROM a UNION SELECT * FROM b)
+             |UNION ALL
+             |SELECT 'intersect', o_custkey, 1 FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+             |UNION ALL
+             |SELECT 'except', o_custkey, 1 FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+             |ORDER BY op, o_custkey""".stripMargin)),
+
+    // Q20 — string function battery incl. the T5 content-id recipe
+    // hex(sha256("source:lang:id")) (internal/producer/fetch.go:178-182).
+    "q20_string_funcs" -> QueryDef(
+      (s, d) => tbl(s, d, "documents")
+        .select(
+          col("doc_id"),
+          sha2(concat_ws(":", col("source"), col("lang"), col("doc_id").cast("string")), 256).as("content_id"),
+          length(col("text")).cast("long").as("n_chars_c"),
+          length(trim(col("text"))).cast("long").as("n_trimmed"),
+          substring(col("text"), 1, 20).as("head20"),
+          upper(substring(col("text"), 1, 10)).as("head_upper"),
+          regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+          regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "").as("devoweled"),
+          translate(substring(col("text"), 1, 20), "abc", "xyz").as("translated"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  sha256(concat_ws(':', source, lang, CAST(doc_id AS VARCHAR))) AS content_id,
+             |  length(text) AS n_chars_c,
+             |  length(trim(text)) AS n_trimmed,
+             |  substring(text, 1, 20) AS head20,
+             |  upper(substring(text, 1, 10)) AS head_upper,
+             |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+             |  regexp_replace(substring(text, 1, 40), '[aeiou]', '', 'g') AS devoweled,
+             |  translate(substring(text, 1, 20), 'abc', 'xyz') AS translated
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q21 — date/time battery: daily buckets, epoch round-trip, the 24 h
+    // TTL recipe (internal/db/dynamodb.go:34,201), calendar parts.
+    "q21_datetime_funcs" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          min(unix_seconds(col("ts"))).as("min_ep"),
+          max(unix_seconds(col("ts") + expr("INTERVAL 24 HOURS"))).as("ttl_ep"))
+        .select(col("day"), col("n"), col("min_ep"), col("ttl_ep"),
+          year(col("day")).as("yr"), month(col("day")).as("mo"),
+          (weekday(col("day")) + 1).as("idow"))
+        .orderBy("day"),
+      Some("""SELECT day, n, min_ep, ttl_ep,
+             |  CAST(year(day) AS INTEGER) AS yr, CAST(month(day) AS INTEGER) AS mo,
+             |  CAST(isodow(day) AS INTEGER) AS idow
+             |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |        CAST(COUNT(*) AS BIGINT) AS n,
+             |        CAST(MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS min_ep,
+             |        CAST(MAX(CAST(floor(epoch(ts + INTERVAL 24 HOURS)) AS BIGINT)) AS BIGINT) AS ttl_ep
+             |      FROM events GROUP BY 1)
+             |ORDER BY day""".stripMargin)),
+
+    // Q22 — math battery: histogram buckets via floor-division, exact sums,
+    // abs/greatest/least (score post-processing).
+    "q22_math_funcs" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"),
+          (sum(cents(col("value"))).cast("double") / 100.0 / count(lit(1))).as("avg_value"),
+          max(col("value")).as("max_v"), min(col("value")).as("min_v"),
+          max(abs(col("value") - 250)).as("max_dev"),
+          greatest(max(col("value")), lit(100.0)).as("g"),
+          least(min(col("value")), lit(1.0)).as("l"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(value/50) AS BIGINT) AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+             |  CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value,
+             |  MAX(value) AS max_v, MIN(value) AS min_v,
+             |  MAX(abs(value - 250)) AS max_dev,
+             |  greatest(MAX(value), 100.0) AS g,
+             |  least(MIN(value), 1.0) AS l
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Q23 — array battery over tokenized documents; array_join with '+' is
+    // the T3 subreddit-string recipe (internal/producer/fetch.go:43).
+    "q23_array_funcs" -> QueryDef(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        tbl(s, d, "documents").select(
+          col("doc_id"),
+          size(t).cast("long").as("n_tok"),
+          size(array_distinct(t)).cast("long").as("n_dist"),
+          array_contains(t, "spark").as("has_spark"),
+          array_join(slice(t, 1, 5), "+").as("first5"),
+          array_join(slice(sort_array(array_distinct(t)), 1, 3), ",").as("abc3"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tok,
+             |  len(list_distinct(string_split(text, ' '))) AS n_dist,
+             |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+             |  array_to_string(string_split(text, ' ')[1:5], '+') AS first5,
+             |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS abc3
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q24 — map battery: sparse metadata map w/ empty-value filtering
+    // (reference sparse DynamoDB attrs, internal/db/dynamodb.go:204-222).
+    // The oracle computes the same scalars without MAP types so arrow
+    // round-tripping can't diverge.
+    "q24_map_funcs" -> QueryDef(
+      (s, d) => {
+        val m = map(lit("source"), col("source"), lit("lang"), col("lang"))
+        val filtered = map_filter(m, (_, v) => length(v) > 0)
+        tbl(s, d, "documents").select(
+          col("doc_id"),
+          size(filtered).cast("long").as("n_meta"),
+          element_at(m, "lang").as("lang_val"),
+          array_join(sort_array(map_keys(filtered)), ",").as("keys_sorted"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST((CASE WHEN source <> '' THEN 1 ELSE 0 END) + (CASE WHEN lang <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+             |  lang AS lang_val,
+             |  concat_ws(',', CASE WHEN lang <> '' THEN 'lang' END, CASE WHEN source <> '' THEN 'source' END) AS keys_sorted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q25 — JSON battery on events.props (reference T1/T2 serde,
+    // internal/utils/kafka_helpers.go:8-26; T18 repair).
+    "q25_json_funcs" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          from_json(col("props"), "k INT").getField("k").as("k2"),
+          to_json(struct(get_json_object(col("props"), "$.k").cast("int").as("k"))).as("reemit"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(props->>'$.k' AS INTEGER) AS k,
+             |  CAST(props->>'$.k' AS INTEGER) AS k2,
+             |  concat('{"k":', CAST(props->>'$.k' AS INTEGER), '}') AS reemit
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q26 — conditional/null battery: threshold labeling (reference T15
+    // sentiment label semantics), coalesce/nullif.
+    "q26_conditional" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .select(
+          when(col("value") < 20, "NEGATIVE")
+            .when(col("value") < 50, "NEUTRAL")
+            .otherwise("POSITIVE").as("label"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("unknown")).as("etype"),
+          coalesce(nullif(floor(col("value") / 50).cast("long"), lit(0L)), lit(-1L)).as("nz_bucket"))
+        .groupBy("label", "etype")
+        .agg(count(lit(1)).as("n"), sum(col("nz_bucket")).as("sum_bucket"))
+        .orderBy("label", "etype"),
+      Some("""SELECT label, etype, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(nz_bucket) AS BIGINT) AS sum_bucket
+             |FROM (SELECT
+             |    CASE WHEN value < 20 THEN 'NEGATIVE' WHEN value < 50 THEN 'NEUTRAL' ELSE 'POSITIVE' END AS label,
+             |    COALESCE(NULLIF(event_type, 'error'), 'unknown') AS etype,
+             |    COALESCE(NULLIF(CAST(floor(value/50) AS BIGINT), 0), -1) AS nz_bucket
+             |  FROM events)
+             |GROUP BY label, etype ORDER BY label, etype""".stripMargin))
+  )
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryDef, Qh}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `documents` (set similarity) and `embeddings`
+  * (vector similarity) — the north-star "similarity search" mandate.
+  *
+  * Scale design: the brute-force variants are the correctness oracles; the
+  * LSH variant shows the 100 TB path (bucket equi-join instead of a cross
+  * join — candidates shrink from O(n²) to the bucket collision set, and the
+  * join shuffles on the bucket key like any other equi-join).
+  *
+  * Float discipline: embeddings are float32; every fold casts to double
+  * first and both engines evaluate the identical left-to-right fold, so
+  * dot products are bit-identical (see Qh docs).
+  */
+object Similarity {
+  import Qh._
+
+  /** Sequential-fold dot product of two array<float> columns (exact
+    * left-to-right double accumulation; matches the DuckDB list_reduce
+    * fold in the oracles). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normD(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** SQL fragment: same sequential fold in DuckDB. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+
+  def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
+
+  // --- random-hyperplane LSH (deterministic, engine-independent) --------
+  // hyperplane(j)(i) = (((1103515245*(j*64+i) + 12345) % 2001) - 1000)/1000
+  // All-integer generation: both engines compute identical planes.
+  val LshPlanes = 8
+
+  /** Spark column: LSH bucket id (0..255) of an array<float> embedding. */
+  def lshBucket(v: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(LshPlanes - 1)), j => {
+        val dot = aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
+          acc + element_at(v, i + 1).cast("double") *
+            ((pmod(lit(1103515245L) * (j * 64 + i) + 12345L, lit(2001L)) - 1000L).cast("double") / 1000.0))
+        when(dot > 0, shiftleft(lit(1L), 0).cast("long") * pow(lit(2.0), j).cast("long")).otherwise(0L)
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** DuckDB SQL: same bucket id for embedding expression `v`. */
+  def lshBucketSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $LshPlanes), j ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), i ->
+       |      CAST($v[i+1] AS DOUBLE) * CAST(((1103515245*(j*64+i) + 12345) % 2001) - 1000 AS DOUBLE) / 1000.0)),
+       |      (x, y) -> x + y) > 0
+       |  THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)""".stripMargin
+
+  /** Brute-force cosine top-k against one query vector (the baseline). */
+  def cosineTopK(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
+    val emb = tbl(s, d, "embeddings")
+    val q = broadcast(emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("e0"), normD(col("embedding")).as("n0")))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        round(dotD(col("embedding"), col("e0")) / (normD(col("embedding")) * col("n0")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q28a — pairwise token-set Jaccard within source, sim >= 0.8
+    // (reference T7/T19 near-dup heritage). Self-equi-join on source:
+    // shuffles on the join key, no cross join.
+    "q28a_jaccard_pairs" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+        val a = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
+        val b = docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb"))
+        a.join(b, Seq("source"))
+          .filter(col("a") < col("b"))
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("uni", size(col("ta")).cast("long") + size(col("tb")) - col("inter"))
+          .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("source"), col("a"), col("b"), col("jaccard"))
+          .orderBy("source", "a", "b")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tk FROM documents)
+             |SELECT source, a, b, jaccard FROM (
+             |  SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b,
+             |    round(CAST(len(list_filter(x.tk, v -> list_contains(y.tk, v))) AS DOUBLE)
+             |      / (len(x.tk) + len(y.tk) - len(list_filter(x.tk, v -> list_contains(y.tk, v)))), 4) AS jaccard
+             |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id)
+             |WHERE jaccard >= 0.8 ORDER BY source, a, b""".stripMargin)),
+
+    // Q28b — brute-force cosine top-5 of vec_id=0 (the ANN baseline).
+    "sim_cosine_topk" -> QueryDef(
+      (s, d) => cosineTopK(s, d, 0L, 5),
+      Some(s"""WITH q AS (SELECT embedding AS e0, ${normSql("embedding")} AS n0
+              |          FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, label,
+              |  round(${dotSql("embedding", "(SELECT e0 FROM q)")}
+              |    / (${normSql("embedding")} * (SELECT n0 FROM q)), 4) AS sim
+              |FROM embeddings WHERE vec_id <> 0
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ANN via random-hyperplane LSH: candidates = query's bucket only,
+    // then exact cosine rerank. The scale path — bucket equi-join.
+    "sim_ann_lsh" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
+        val q = broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("bucket").as("qbucket"), col("embedding").as("e0"),
+            normD(col("embedding")).as("n0")))
+        emb.filter(col("vec_id") =!= 0)
+          .join(q, col("bucket") === col("qbucket"))
+          .select(col("vec_id"), col("label"), col("bucket"),
+            round(dotD(col("embedding"), col("e0")) / (normD(col("embedding")) * col("n0")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+              |q AS (SELECT bucket AS qbucket, embedding AS e0, ${normSql("embedding")} AS n0 FROM e WHERE vec_id = 0)
+              |SELECT vec_id, label, bucket,
+              |  round(${dotSql("embedding", "(SELECT e0 FROM q)")}
+              |    / (${normSql("embedding")} * (SELECT n0 FROM q)), 4) AS sim
+              |FROM e WHERE vec_id <> 0 AND bucket = (SELECT qbucket FROM q)
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin))
+  )
+}

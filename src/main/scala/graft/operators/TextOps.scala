@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{QueryDef, Qh}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization +
+  * top-token frequencies (Q27), language-ID heuristic, quality scoring,
+  * token counting, and document fingerprinting — the LLM-training-data
+  * pipeline surface mandated by BASELINE.json alongside the reference's
+  * T17 topic extraction (internal/topic_generation/topic_generation.go).
+  *
+  * All scoring is pure column arithmetic (whole-stage codegen, no UDFs);
+  * ratios are int/int divisions so both engines produce identical doubles.
+  */
+object TextOps {
+  import Qh._
+
+  /** Stopword list used across queries (fixed, tiny — broadcast-literal). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "it")
+  private def stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Per-language marker words for the n-gram/function-word language-ID
+    * heuristic. Deterministic tie-break: list order below. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "table"),
+    "es" -> Seq("data", "part", "row", "batch"),
+    "de" -> Seq("hash", "key", "window", "group"),
+    "fr" -> Seq("merge", "sort", "stream", "value"),
+    "zh" -> Seq("spark", "join", "scan", "column"))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q27 — tokenize + stopword-filter + per-lang top-5 token frequencies
+    // (ties broken alphabetically). Reference: T17 topic extraction.
+    "q27_text_top_tokens" -> QueryDef(
+      (s, d) => {
+        val toksAll = split(col("text"), " ")
+        val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+        tbl(s, d, "documents")
+          .select(col("lang"), explode(toksAll).as("token"))
+          .filter(!col("token").isin(Stopwords: _*))
+          .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("token"), col("cnt"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""SELECT lang, token, cnt, rn FROM (
+              |  SELECT lang, token, cnt,
+              |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rn
+              |  FROM (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+              |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+              |        WHERE NOT list_contains($stopSql, token)
+              |        GROUP BY lang, token))
+              |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
+    // Language-ID: marker-word frequency scoring with a fixed tie-break
+    // order (north-star "text analysis"; n-gram heuristic family).
+    "text_langid" -> QueryDef(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        val scored = LangMarkers.foldLeft(tbl(s, d, "documents").withColumn("toks", t)) {
+          case (df, (lang, markers)) =>
+            df.withColumn(s"s_$lang",
+              size(filter(col("toks"), x => x.isin(markers: _*))).cast("long"))
+        }
+        val langs = LangMarkers.map(_._1)
+        val pred = langs.init.foldRight(lit(langs.last)) { (l, elseCol) =>
+          val others = langs.filterNot(_ == l).map(o => col(s"s_$o"))
+          when(col(s"s_$l") >= greatest(others.head, others.tail: _*), lit(l)).otherwise(elseCol)
+        }
+        scored.select(col("doc_id"), col("lang"), pred.as("predicted"),
+          (pred === col("lang")).as("match"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = LangMarkers.map { case (l, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($lst, x))) AS BIGINT) AS s_$l"
+        }.mkString(",\n    ")
+        val langs = LangMarkers.map(_._1)
+        val pred = langs.init.foldRight(s"'${langs.last}'") { (l, e) =>
+          val others = langs.filterNot(_ == l).map(o => s"s_$o").mkString(", ")
+          s"CASE WHEN s_$l >= greatest($others) THEN '$l' ELSE $e END"
+        }
+        s"""SELECT doc_id, lang, $pred AS predicted, ($pred = lang) AS match
+           |FROM (SELECT doc_id, lang, text,
+           |    $scores
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: length / stopword-ratio / type-token-ratio composite
+    // (north-star "quality scoring"). Pure int/int arithmetic.
+    "text_quality" -> QueryDef(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars_c"),
+            size(t).cast("long").as("n_tok"),
+            size(array_distinct(t)).cast("long").as("n_dist"),
+            size(filter(t, x => x.isin(Stopwords: _*))).cast("long").as("n_stop"))
+          .withColumn("ttr", col("n_dist").cast("double") / col("n_tok"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+          .withColumn("quality", round(
+            col("ttr") * 0.3
+              + (lit(1.0) - col("stop_ratio")) * 0.4
+              + least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.3, 4))
+          .select(col("doc_id"), col("lang"), col("n_chars_c"), col("n_tok"),
+            col("n_dist"), col("n_stop"), round(col("ttr"), 4).as("ttr"),
+            round(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, n_chars_c, n_tok, n_dist, n_stop,
+              |  round(ttr, 4) AS ttr, round(stop_ratio, 4) AS stop_ratio,
+              |  round(ttr*0.3 + (1.0 - stop_ratio)*0.4 + least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.3, 4) AS quality
+              |FROM (SELECT doc_id, lang, n_chars_c, n_tok, n_dist, n_stop,
+              |    CAST(n_dist AS DOUBLE)/n_tok AS ttr, CAST(n_stop AS DOUBLE)/n_tok AS stop_ratio
+              |  FROM (SELECT doc_id, lang,
+              |      length(text) AS n_chars_c,
+              |      len(string_split(text, ' ')) AS n_tok,
+              |      len(list_distinct(string_split(text, ' '))) AS n_dist,
+              |      CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopSql, x))) AS BIGINT) AS n_stop
+              |    FROM documents))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Token counting per source: whitespace tokens + BPE-ish regex tokens
+    // + exact vocabulary size (explode → distinct, the scalable shape).
+    "text_token_count" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val perDoc = docs.groupBy("source").agg(
+          sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long")).as("re_tokens"),
+          count(lit(1)).as("n_docs"))
+        val vocab = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("source").agg(countDistinct(col("token")).as("vocab"))
+        perDoc.join(vocab, Seq("source")).orderBy("source")
+      },
+      Some("""SELECT a.source, ws_tokens, re_tokens, n_docs, vocab
+             |FROM (SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source) a
+             |JOIN (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab
+             |      FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+             |      GROUP BY source) b ON a.source = b.source
+             |ORDER BY a.source""".stripMargin)),
+
+    // Document fingerprinting: deterministic polynomial rolling hash over
+    // the full text (north-star "document fingerprinting"; also the exact-
+    // dedup key at scale — 8 bytes instead of the full text).
+    "text_fingerprint" -> QueryDef(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), strHash(col("text")).as("fp"),
+          strHash(lower(trim(col("text")))).as("fp_norm"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${strHashSql("text")} AS fp,
+              |  ${strHashSql("lower(trim(text))")} AS fp_norm
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
