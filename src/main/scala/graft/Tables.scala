@@ -1,20 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
   * One parquet file per table under `\$dir/\$name.parquet`. We always go
   * through `spark.read.parquet` (no schema inference cost, columnar scan,
   * predicate pushdown + column pruning land in the scan node for free).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects; we read it as a long (nanosAsLong) and truncate to
+  * micros with INTEGER division (`div`) — a double division would lose
+  * precision at ~1.7e18 ns. DuckDB truncates ns→us identically on cast.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register every table as a temp view (used by tests / SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

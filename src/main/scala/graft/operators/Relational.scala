@@ -189,17 +189,24 @@ object Relational {
     // Q13 — rollup over (nation, order-year) revenue; NULL rollup keys are
     // coalesced to sentinels so sort/NULL semantics can't drift.
     "q13_rollup" -> QueryDef(
-      (s, d) => tbl(s, d, "orders")
-        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(tbl(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), year(col("o_orderdate")).as("order_year"),
-          cents(col("o_totalprice")).as("price_c"))
-        .rollup("n_name", "order_year")
-        .agg((sum(col("price_c")).cast("double") / 100.0).as("revenue"), count(lit(1)).as("n"))
-        .select(coalesce(col("n_name"), lit("(all)")).as("nation_g"),
-          coalesce(col("order_year"), lit(-1)).as("year_g"),
-          col("revenue"), col("n"))
-        .orderBy("nation_g", "year_g"),
+      (s, d) => {
+        // The join-derived grouping attrs make rollup+coalesce resolution
+        // ambiguous in the DataFrame API (Expand duplicates them); routing
+        // the rollup through spark.sql yields the identical Catalyst plan
+        // without the name-resolution trap.
+        tbl(s, d, "orders")
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), year(col("o_orderdate")).as("order_year"),
+            cents(col("o_totalprice")).as("price_c"))
+          .createOrReplaceTempView("q13_base")
+        s.sql("""SELECT coalesce(n_name, '(all)') AS nation_g,
+                |  coalesce(order_year, -1) AS year_g,
+                |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue,
+                |  count(1) AS n
+                |FROM q13_base GROUP BY ROLLUP (n_name, order_year)
+                |ORDER BY nation_g, year_g""".stripMargin)
+      },
       Some("""SELECT COALESCE(n_name, '(all)') AS nation_g,
              |  CAST(COALESCE(order_year, -1) AS INTEGER) AS year_g,
              |  CAST(SUM(price_c) AS DOUBLE) / 100.0 AS revenue,
@@ -218,6 +225,7 @@ object Relational {
         .select(col("event_type"), month(col("ts")).as("mo"), cents(col("value")).as("v_c"))
         .cube("event_type", "mo")
         .agg(count(lit(1)).as("n"), (sum(col("v_c")).cast("double") / 100.0).as("sum_value"))
+        .toDF("event_type", "mo", "n", "sum_value") // see q13 note on Expand ambiguity
         .select(coalesce(col("event_type"), lit("(all)")).as("event_type_g"),
           coalesce(col("mo"), lit(-1)).as("month_g"), col("n"), col("sum_value"))
         .orderBy("event_type_g", "month_g"),
@@ -456,19 +464,26 @@ object Relational {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Q25 — JSON battery on events.props (reference T1/T2 serde,
-    // internal/utils/kafka_helpers.go:8-26; T18 repair).
+    // internal/utils/kafka_helpers.go:8-26; T18 repair). Missing/non-int
+    // $.k is null-guarded identically on both sides: reemit '{}' rather
+    // than relying on engine-specific null-in-concat behavior.
     "q25_json_funcs" -> QueryDef(
-      (s, d) => tbl(s, d, "events")
-        .select(
-          col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"),
-          from_json(col("props"), "k INT").getField("k").as("k2"),
-          to_json(struct(get_json_object(col("props"), "$.k").cast("int").as("k"))).as("reemit"))
-        .orderBy("event_id"),
+      (s, d) => {
+        val kc = get_json_object(col("props"), "$.k").cast("int")
+        tbl(s, d, "events")
+          .select(
+            col("event_id"),
+            kc.as("k"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k2"),
+            when(kc.isNull, lit("{}")).otherwise(to_json(struct(kc.as("k")))).as("reemit"))
+          .orderBy("event_id")
+      },
       Some("""SELECT event_id,
              |  CAST(props->>'$.k' AS INTEGER) AS k,
              |  CAST(props->>'$.k' AS INTEGER) AS k2,
-             |  concat('{"k":', CAST(props->>'$.k' AS INTEGER), '}') AS reemit
+             |  CASE WHEN props->>'$.k' IS NULL THEN '{}'
+             |       ELSE concat('{"k":', CAST(props->>'$.k' AS INTEGER), '}') END AS reemit
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // Q26 — conditional/null battery: threshold labeling (reference T15

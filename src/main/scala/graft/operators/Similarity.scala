@@ -51,7 +51,7 @@ object Similarity {
         val dot = aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
           acc + element_at(v, i + 1).cast("double") *
             ((pmod(lit(1103515245L) * (j * 64 + i) + 12345L, lit(2001L)) - 1000L).cast("double") / 1000.0))
-        when(dot > 0, shiftleft(lit(1L), 0).cast("long") * pow(lit(2.0), j).cast("long")).otherwise(0L)
+        when(dot > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
       }),
       lit(0L), (acc, x) => acc + x)
 

@@ -68,7 +68,7 @@ object TextOps {
         val langs = LangMarkers.map(_._1)
         val pred = langs.init.foldRight(lit(langs.last)) { (l, elseCol) =>
           val others = langs.filterNot(_ == l).map(o => col(s"s_$o"))
-          when(col(s"s_$l") >= greatest(others.head, others.tail: _*), lit(l)).otherwise(elseCol)
+          when(col(s"s_$l") >= greatest(others: _*), lit(l)).otherwise(elseCol)
         }
         scored.select(col("doc_id"), col("lang"), pred.as("predicted"),
           (pred === col("lang")).as("match"))
