@@ -17,6 +17,35 @@ object Smoke {
     println(s"[smoke] entry rows=${rows.length}")
     rows.take(10).foreach(r => println(s"[smoke] $r"))
     assert(rows.nonEmpty, "entry() returned 0 rows")
+
+    // End-to-end pipeline: ingest → route/summarize → lexicon-score.
+    import spark.implicits._
+    import graft.schema.Models._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:09:58")
+    val posts = Seq(
+      RedditPost("ai", "technology", "u1", "t", "a good great excellent release", 5, ts, "p1"),
+      RedditPost("ai", "technology", "u2", "t", ("A long broken terrible mess. " * 60).trim, 2, ts, "p2"))
+      .toDS()
+    val scored = graft.pipeline.Pipelines.endToEnd(posts).collect()
+    scored.foreach(r => println(s"[smoke] pipeline ${r.metadata.post_id} " +
+      s"label=${r.sentiment_label} summarized=${r.was_summarized} score=${r.sentiment_score}"))
+    assert(scored.length == 2)
+
+    // Streaming: tumbling counts over a file stream, AvailableNow.
+    val dir = java.nio.file.Files.createTempDirectory("graft_smoke_").toFile.getAbsolutePath
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").json(s"$dir/in")
+    val src = graft.streaming.Streaming.jsonFileSource(spark, s"$dir/in",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"),
+      maxFilesPerTrigger = 100)
+    val q = graft.streaming.Streaming.tumblingCounts(src)
+      .writeStream.format("memory").queryName("smoke_counts").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("smoke_counts").count()
+    println(s"[smoke] streaming windows=$n")
+    assert(n > 0, "streaming produced no windows")
     spark.stop()
   }
 }

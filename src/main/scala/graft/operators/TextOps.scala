@@ -150,6 +150,54 @@ object TextOps {
              |      GROUP BY source) b ON a.source = b.source
              |ORDER BY a.source""".stripMargin)),
 
+    // Lexicon sentiment scoring (reference T15, the VADER heritage of
+    // models/analyzed_models.go:8) as pure column arithmetic — whole-stage
+    // codegen, no UDF. No rounding anywhere: score = (p-n)/ntok and
+    // confidence = |p-n|/(p+n) are single IEEE divisions of small exact
+    // integers, bit-identical across engines.
+    "text_sentiment" -> QueryDef(
+      (s, d) => {
+        import graft.enrich.Enrich.LexiconScorer
+        val sc = LexiconScorer.scoreCol(col("text"))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), sc.as("score"),
+            LexiconScorer.labelCol(sc).as("label"),
+            LexiconScorer.confidenceCol(col("text")).as("confidence"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.enrich.Enrich.LexiconScorer
+        s"""SELECT doc_id, ${LexiconScorer.scoreSql} AS score,
+           |  ${LexiconScorer.labelSql(LexiconScorer.scoreSql)} AS label,
+           |  ${LexiconScorer.confidenceSql} AS confidence
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Sentiment aggregation per (source, label) — the serving-layer query
+    // the reference stores results for (GET /tweets + Grafana dashboards).
+    "text_sentiment_agg" -> QueryDef(
+      (s, d) => {
+        import graft.enrich.Enrich.LexiconScorer
+        val sc = LexiconScorer.scoreCol(col("text"))
+        tbl(s, d, "documents")
+          .select(col("source"), LexiconScorer.labelCol(sc).as("label"), sc.as("score"))
+          .groupBy("source", "label")
+          .agg(count(lit(1)).as("n"),
+            // floor (not cast) before summing: cast-to-int rounding differs
+            // between engines; floor of identical doubles is identical
+            (sum(floor(col("score") * 10000).cast("long")).cast("double") / 10000.0).as("sum_score"))
+          .orderBy("source", "label")
+      },
+      Some {
+        import graft.enrich.Enrich.LexiconScorer
+        val sc = LexiconScorer.scoreSql
+        s"""SELECT source, ${LexiconScorer.labelSql("score")} AS label,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(floor(score * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_score
+           |FROM (SELECT source, $sc AS score FROM documents)
+           |GROUP BY 1, 2 ORDER BY source, label""".stripMargin
+      }),
+
     // Document fingerprinting: deterministic polynomial rolling hash over
     // the full text (north-star "document fingerprinting"; also the exact-
     // dedup key at scale — 8 bytes instead of the full text).

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.schema.Models
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming surface SQ1–SQ10 (SURVEY.md §2.2).
+  *
+  * Architecture: every transformation is a plain `DataFrame => DataFrame`
+  * — the SAME function binds to a batch read or a `readStream`, which is
+  * what makes batch-vs-stream equivalence testable (the reference has no
+  * such property; its batch/stream split is two codebases).
+  *
+  * Delivery semantics mirror the reference honestly (SURVEY §7.4 risk 5):
+  * source progress commits AFTER sink success (Structured Streaming's
+  * checkpoint commit-log ordering = raw_content_consumer.go:112-121), and
+  * end-to-end is at-least-once + idempotent-by-content_id, which is what
+  * the reference's Kafka-transactions-plus-mark-after-publish actually
+  * provides (§3.1 ordering-bug note).
+  */
+object Streaming {
+
+  /** SQ2 — the reference micro-batch cadence (utils/batching.go:12). */
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** SQ1 — file-based stream source with a FIXED schema (never inferred on
+    * a stream). For a real deployment the same pipeline binds to
+    * `spark.readStream.format("kafka")` + `from_json(col("value"))` with
+    * this schema; the Kafka connector jar is not present in this offline
+    * environment, so the file source is the tested path. */
+  def jsonFileSource(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // backpressure knob
+      .json(dir)
+
+  /** Kafka source options the production binding would use — kept here as
+    * the single place documenting S4/K1 semantics (earliest, read_committed
+    * is the Spark default, offsets via checkpoint not manual commit). */
+  def kafkaSourceOptions(bootstrap: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> "10000")
+
+  // ------------------------------------------------------------------
+  // Transforms (batch == stream)
+  // ------------------------------------------------------------------
+
+  /** T10/SQ8 — length router: adds `branch` ∈ {summary, direct}; strict
+    * `>` threshold (raw_content_consumer.go:14,55). Split into two sinks
+    * by filtering on the column — two queries off one source. */
+  def routeByLength(df: DataFrame, threshold: Int = Models.SummaryThreshold): DataFrame =
+    df.withColumn("branch",
+      when(length(col("text")) > threshold, "summary").otherwise("direct"))
+
+  /** SQ3 — tumbling 1 h counts per event_type, 24 h watermark (the
+    * reference TTL horizon); late rows beyond the watermark are dropped. */
+  def tumblingCounts(df: DataFrame, tsCol: String = "ts",
+      watermark: String = "24 hours", width: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** SQ4 — sliding 1 h / 15 min mean value per event_type. */
+  def slidingAvg(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withWatermark(tsCol, "24 hours")
+      .groupBy(window(col(tsCol), "1 hour", "15 minutes"), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("avg_value"), col("n"))
+
+  /** SQ5 — session windows per user (30 min gap), engagement counts. */
+  def sessionCounts(df: DataFrame, tsCol: String = "ts", gap: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, "24 hours")
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** SQ6/T7 — streaming dedup with 24 h state TTL
+    * (valkey_client.go:126-159): watermark bounds the dedup state exactly
+    * like the Valkey EXPIRE bounds the reference's set. */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", watermark: String = "24 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** SQ7/S6 — stream-static join: events stream against a topics snapshot
+    * (the producer re-scans the Topics table each cycle,
+    * dynamodb.go:105-133 — stream-static re-reads the static side per
+    * micro-batch, same semantics). */
+  def streamStaticJoin(stream: DataFrame, static: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(static), Seq(key), "left_outer")
+
+  /** SQ10 — stateful running aggregate per topic (count + mean score), for
+    * update-mode sinks (the results-accumulation query of the serving
+    * layer). */
+  def runningTopicAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("sentiment_score")).as("mean_score"))
+
+  // ------------------------------------------------------------------
+  // Sinks
+  // ------------------------------------------------------------------
+
+  /** SQ9/K1 — exactly-once-to-files sink: checkpointed micro-batches with
+    * the 5 s trigger; Structured Streaming's commit log makes file output
+    * exactly-once across kill/restart. Parquet append, TTL column attached
+    * (K3/K4 pattern, db/dynamodb.go:34,201). */
+  def parquetSink(df: DataFrame, outDir: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.withColumn("expires_at", current_timestamp() + expr("INTERVAL 24 HOURS"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  /** K3/K4 — foreachBatch sink writing in sub-batches of `insertBatch`
+    * rows (reference DB write chunking, 25, utils/batching.go:11) through
+    * an arbitrary writer. Batch-id based idempotence: the writer receives
+    * (batchId, rows) and must upsert by key — at-least-once + idempotent =
+    * the reference's true end-to-end contract. */
+  def foreachBatchSink(df: DataFrame, checkpoint: String, insertBatch: Int = 25)(
+      writer: (Long, Seq[org.apache.spark.sql.Row]) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(DefaultTrigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.collect().grouped(insertBatch).foreach(rows => writer(batchId, rows.toSeq))
+      }
+
+  /** Start a memory-sink query (testing aid; complete/update modes). */
+  def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+}

