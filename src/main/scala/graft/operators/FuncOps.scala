@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{QueryDef, Qh}
+import graft.enrich.Enrich.LexiconScorer
+import graft.functions.Functions
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the custom function surface (SURVEY §2.3): the
+  * weighted-sentiment UDAF and the T18 json_repair function — each with a
+  * DuckDB oracle computing the identical value. */
+object FuncOps {
+  import Qh._
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Weighted-sentiment Aggregator (demo UDAF): n_chars-weighted mean
+    // lexicon score per source. Integer basis points inside the buffer
+    // keep the fold order-independent, so the UDAF matches plain SQL.
+    "func_weighted_sentiment" -> QueryDef(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("source"), LexiconScorer.scoreCol(col("text")).as("score"),
+          col("n_chars").cast("long").as("w"))
+        .groupBy("source")
+        .agg(Functions.weightedSentiment(col("score"), col("w")).as("wmean"),
+          count(lit(1)).as("n"))
+        .orderBy("source"),
+      Some(s"""SELECT source, ${Functions.weightedSentimentSql("score", "w")} AS wmean,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM (SELECT source, ${LexiconScorer.scoreSql} AS score, n_chars AS w FROM documents)
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // T18 json_repair (topic_generation.go:174-198): deterministic dirty
+    // JSON built from events.props (LLM chatter + ```json fences + curly
+    // quotes), repaired back to parseable JSON, value extracted.
+    "func_json_repair" -> QueryDef(
+      (s, d) => {
+        val dirty = concat(lit("Sure! Here is the JSON: ```json "),
+          translate(col("props"), "\"", "“"), lit(" ``` hope this helps"))
+        val repaired = Functions.jsonRepair(dirty)
+        tbl(s, d, "events")
+          .select(col("event_id"), repaired.as("repaired"),
+            get_json_object(repaired, "$.k").cast("int").as("k"))
+          .orderBy("event_id")
+      },
+      Some {
+        val dirty = "concat('Sure! Here is the JSON: ```json ', translate(props, '\"', '“'), ' ``` hope this helps')"
+        val repaired = Functions.jsonRepairSql(dirty)
+        s"""SELECT event_id, $repaired AS repaired,
+           |  CAST($repaired->>'$$.k' AS INTEGER) AS k
+           |FROM events ORDER BY event_id""".stripMargin
+      })
+  )
+}

@@ -105,6 +105,39 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         avg(col("sentiment_score")).as("mean_score"))
 
+  /** SQ6 (custom-state variant) — keep-first dedup with an explicit state
+    * TTL via flatMapGroupsWithState + event-time timeout: the state entry
+    * for a key is dropped once the watermark passes its timeout, exactly
+    * the Valkey `EXPIRE 86400` contract (valkey_client.go:130). Use when
+    * dropDuplicatesWithinWatermark's semantics aren't enough (e.g. custom
+    * per-key TTLs or emit-on-expiry). Works on a keyed string dataset. */
+  def dedupFirstStateful(df: DataFrame, keyCol: String, tsCol: String,
+      watermark: String = "24 hours"): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = df
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"),
+        to_json(struct(df.columns.map(col): _*)).as("payload"),
+        col(tsCol).as("event_ts"))
+      .as[(String, String, java.sql.Timestamp)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // duplicate within TTL
+          else {
+            val first = rows.minBy(_._3.getTime)
+            state.update(first._3.getTime)
+            state.setTimeoutTimestamp(first._3.getTime, watermark)
+            Iterator.single((key, first._2))
+          }
+      }
+      .toDF("k", "payload")
+  }
+
   // ------------------------------------------------------------------
   // Sinks
   // ------------------------------------------------------------------
