@@ -17,7 +17,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = args.toSet // optional: bench a subset, with plan dump
+    if (only.nonEmpty) SparkEntry.queries.filterKeys(only).foreach { case (n, fn) =>
+      System.err.println(s"=== $n\n" + fn(spark, sfDir).queryExecution.executedPlan.toString.take(8000))
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.isEmpty || only(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

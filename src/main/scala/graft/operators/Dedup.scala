@@ -81,14 +81,21 @@ object Dedup {
     * (+1 if bit b of token-hash set else -1) is positive. */
   val SimHashBits = 16
 
-  def simhash(th: Column): Column =
+  def simhash(th: Column): Column = {
+    // Single pass over th: fold into a 16-slot sum array, then collapse to
+    // bits. Higher-order-function arguments are evaluated once per call —
+    // the naive per-bit formulation re-evaluates the (inlined) token-hash
+    // fold 16x per row after CollapseProject, which dominates runtime.
+    val sums = aggregate(
+      th,
+      array_repeat(lit(0L), SimHashBits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimHashBits - 1)), (a, b) =>
+        a + when(pmod((h / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1L, 1L).otherwise(-1L)))
     aggregate(
-      sequence(lit(0), lit(SimHashBits - 1)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(th, lit(0L), (s2, h) =>
-          s2 + when(pmod((h / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1L, 1L).otherwise(-1L)) > 0,
-        pow(lit(2.0), b).cast("long")).otherwise(0L))
+      zip_with(sums, sequence(lit(0), lit(SimHashBits - 1)), (s2, b) =>
+        when(s2 > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
 
   def simhashSql(th: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $SimHashBits), bb ->
@@ -96,12 +103,18 @@ object Dedup {
        |        CASE WHEN (hh // power(2, bb)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), (s2, v) -> s2 + v) > 0
        |    THEN power(2, bb)::BIGINT ELSE 0 END)), (acc, v) -> acc + v)""".stripMargin
 
-  /** Token-3-gram shingle hashes (distinct) from a token-hash array. */
-  def shingles3(th: Column): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(th) - 2, lit(0))), i =>
-        pmod(pmod(element_at(th, i) * 31 + element_at(th, i + 1), lit(HashP)) * 31
-          + element_at(th, i + 2), lit(HashP))))
+  /** Token-3-gram shingle hashes (distinct) from a token-hash array.
+    * Built with zip_with over shifted slices — NOT element_at inside a
+    * lambda, which would re-evaluate the (inlined) th expression per
+    * element access after projection collapse. zip_with pads the shorter
+    * side with nulls; the trailing null partials are filtered off. */
+  def shingles3(th: Column): Column = {
+    val s1 = slice(th, lit(2), greatest(size(th) - 1, lit(0)))
+    val s2 = slice(th, lit(3), greatest(size(th) - 2, lit(0)))
+    val p1 = zip_with(th, s1, (x, y) => pmod(x * 31 + y, lit(HashP)))
+    val p2 = zip_with(p1, s2, (xy, z) => pmod(xy * 31 + z, lit(HashP)))
+    array_distinct(filter(p2, x => x.isNotNull))
+  }
 
   def shingles3Sql(th: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($th) - 1, 1)), i -> " +
@@ -230,19 +243,23 @@ object Dedup {
           df.withColumn(s"mh$i", minhash(col("sh"), i))
         }
         val banded = sig.select(
-          col("source"), col("doc_id"), col("sh"),
+          col("source"), col("doc_id"),
           explode(array((0 until Bands).map(j =>
             struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("bk"))
-          .select(col("source"), col("doc_id"), col("sh"),
+          .select(col("source"), col("doc_id"),
             col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        val a = banded.select(col("source"), col("band"), col("bkey"),
-          col("doc_id").as("a"), col("sh").as("sa"))
-        val b = banded.select(col("source"), col("band"), col("bkey"),
-          col("doc_id").as("b"), col("sh").as("sb"))
-        a.join(b, Seq("source", "band", "bkey"))
+        // candidate id-pairs first (distinct across bands), THEN fetch the
+        // shingle arrays and compute Jaccard exactly once per pair
+        val pairs = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
+          .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
+            Seq("source", "band", "bkey"))
           .filter(col("a") < col("b"))
+          .select("source", "a", "b").distinct()
+        val shOf = base.select(col("doc_id"), col("sh"))
+        pairs
+          .join(shOf.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+          .join(shOf.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
           .select(col("source"), col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jaccard"))
-          .distinct() // a pair may collide in several bands
           .filter(col("jaccard") >= 0.3)
           .orderBy("source", "a", "b")
       },

@@ -80,29 +80,31 @@ object Similarity {
 
     // Q28a — pairwise token-set Jaccard within source, sim >= 0.8
     // (reference T7/T19 near-dup heritage). Self-equi-join on source:
-    // shuffles on the join key, no cross join.
+    // shuffles on the join key, no cross join. Sets are HASHED token sets
+    // (8-byte longs, identical hashing both engines): long-array set ops
+    // are several times cheaper than string-array ones and the exchange
+    // payload shrinks accordingly — the exact all-pairs baseline that the
+    // LSH-prefiltered dedup_ngram_jaccard accelerates at scale.
     "q28a_jaccard_pairs" -> QueryDef(
       (s, d) => {
+        import Dedup.{jaccard, tokHashes}
         val docs = tbl(s, d, "documents")
-          .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
         val a = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
         val b = docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb"))
         a.join(b, Seq("source"))
           .filter(col("a") < col("b"))
-          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-          .withColumn("uni", size(col("ta")).cast("long") + size(col("tb")) - col("inter"))
-          .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+          .withColumn("jaccard", jaccard(col("ta"), col("tb")))
           .filter(col("jaccard") >= 0.8)
           .select(col("source"), col("a"), col("b"), col("jaccard"))
           .orderBy("source", "a", "b")
       },
-      Some("""WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tk FROM documents)
-             |SELECT source, a, b, jaccard FROM (
-             |  SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b,
-             |    round(CAST(len(list_filter(x.tk, v -> list_contains(y.tk, v))) AS DOUBLE)
-             |      / (len(x.tk) + len(y.tk) - len(list_filter(x.tk, v -> list_contains(y.tk, v)))), 4) AS jaccard
-             |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id)
-             |WHERE jaccard >= 0.8 ORDER BY source, a, b""".stripMargin)),
+      Some(s"""WITH t AS (SELECT doc_id, source, ${Dedup.tokHashesSql("text")} AS tk FROM documents)
+              |SELECT source, a, b, jaccard FROM (
+              |  SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b,
+              |    ${Dedup.jaccardSql("x.tk", "y.tk")} AS jaccard
+              |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id)
+              |WHERE jaccard >= 0.8 ORDER BY source, a, b""".stripMargin)),
 
     // Q28b — brute-force cosine top-5 of vec_id=0 (the ANN baseline).
     "sim_cosine_topk" -> QueryDef(
