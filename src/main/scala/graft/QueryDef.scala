@@ -37,13 +37,18 @@ object Qh {
   def revenueBp(price: Column, discount: Column): Column =
     cents(price) * (lit(100L) - cents(discount))
 
-  /** Deterministic polynomial rolling hash of a string, mod HashP.
+  /** Deterministic polynomial rolling hash of a string, mod HashP —
+    * a native codegen'd Expression ([[graft.plans.PolyHash]]).
     * Identical fold in DuckDB:
     * list_reduce(list_prepend(CAST(0 AS BIGINT),
     *   list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT))),
     *   (h, c) -> (h*31 + c) % 1000003)
     */
-  def strHash(c: Column): Column =
+  def strHash(c: Column): Column = graft.plans.PolyHash.column(c)
+
+  /** The declarative formulation of [[strHash]] (same values; kept for the
+    * native-expression parity test). */
+  def strHashDecl(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (h, ch) => pmod(h * 31 + ascii(ch), lit(HashP)))
 
   /** SQL fragment computing the same hash for a token expression `e`. */

@@ -28,8 +28,7 @@ object Dedup {
     * Unordered (distinct-set ordering is engine-dependent) — use ONLY in
     * order-insensitive folds: minhash (min), simhash (sum). */
   def tokHashes(text: Column): Column =
-    transform(toks(text), t =>
-      aggregate(split(t, ""), lit(0L), (h, ch) => pmod(h * 31 + ascii(ch), lit(HashP))))
+    transform(toks(text), t => graft.plans.PolyHash.column(t))
 
   /** Same, DuckDB. `e` is the text expression. */
   def tokHashesSql(e: String): String =
@@ -41,8 +40,7 @@ object Dedup {
   /** Token hashes in ORIGINAL text order (duplicates kept) — required for
     * anything order-sensitive, e.g. n-gram shingling. */
   def tokHashesSeq(text: Column): Column =
-    transform(split(text, " "), t =>
-      aggregate(split(t, ""), lit(0L), (h, ch) => pmod(h * 31 + ascii(ch), lit(HashP))))
+    transform(split(text, " "), t => graft.plans.PolyHash.column(t))
 
   def tokHashesSeqSql(e: String): String =
     s"list_transform(string_split($e, ' '), tkn -> " +

@@ -117,6 +117,63 @@ object Similarity {
               |FROM embeddings WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // ANN via IVF (inverted-file) coarse quantization: vectors with
+    // vec_id 1..16 serve as fixed centroids (deterministic "training");
+    // every vector is assigned to its nearest centroid by exact dot-argmax
+    // (one pass, broadcastable centroid list), the query probes its
+    // nprobe=4 best centroids, and only those cells are reranked exactly.
+    // At scale: the assignment is a narrow map over the corpus, cells are
+    // the partition key, and a probe touches nprobe/nlist of the data.
+    "sim_ann_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val cents = broadcast(emb.filter(col("vec_id").between(1, 16))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+            normD(col("embedding")).as("cnorm")))
+        // cell assignment: nearest centroid by cosine (deterministic
+        // tie-break on centroid id via the max(struct) trick)
+        def assign(df: org.apache.spark.sql.DataFrame, vecCol: String, outPrefix: String) = {
+          val sim = round(dotD(col(vecCol), col("cvec")) / (normD(col(vecCol)) * col("cnorm")), 6)
+          df.crossJoin(cents)
+            .groupBy(col("vec_id"), col(vecCol).as(s"${outPrefix}_vec"))
+            .agg(max(struct(sim.as("s"), (-col("cent_id")).as("nid"))).as("best"))
+            .select(col("vec_id"), col(s"${outPrefix}_vec"), (-col("best.nid")).as("cell"))
+        }
+        val assigned = assign(emb.select("vec_id", "embedding"), "embedding", "e")
+        val q = assigned.filter(col("vec_id") === 0)
+          .select(col("e_vec").as("qvec"), normD(col("qvec")).as("qnorm"))
+        // query probes its 4 nearest centroids
+        val probes = broadcast(cents.crossJoin(broadcast(q))
+          .select(col("cent_id"),
+            round(dotD(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6).as("csim"))
+          .orderBy(col("csim").desc, col("cent_id")).limit(4)
+          .select(col("cent_id").as("cell")))
+        assigned.filter(col("vec_id") =!= 0)
+          .join(probes, Seq("cell")) // only probed cells are scanned
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("cell"),
+            round(dotD(col("e_vec"), col("qvec")) / (normD(col("e_vec")) * col("qnorm")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec, ${normSql("embedding")} AS cnorm
+              |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+              |assigned AS (
+              |  SELECT vec_id, e_vec, -MAX_nid AS cell FROM (
+              |    SELECT e.vec_id, e.embedding AS e_vec,
+              |      max(struct_pack(s := round(${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm), 6),
+              |                      nid := -c.cent_id)).nid AS MAX_nid
+              |    FROM embeddings e CROSS JOIN cents c
+              |    GROUP BY e.vec_id, e.embedding)),
+              |q AS (SELECT e_vec AS qvec, ${normSql("e_vec")} AS qnorm FROM assigned WHERE vec_id = 0),
+              |probes AS (SELECT cent_id AS cell FROM cents CROSS JOIN q
+              |           ORDER BY round(${dotSql("qvec", "cvec")} / (qnorm * cnorm), 6) DESC, cent_id LIMIT 4)
+              |SELECT vec_id, cell,
+              |  round(${dotSql("e_vec", "(SELECT qvec FROM q)")} / (${normSql("e_vec")} * (SELECT qnorm FROM q)), 4) AS sim
+              |FROM assigned JOIN probes USING (cell)
+              |WHERE vec_id <> 0
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
     // ANN via random-hyperplane LSH: candidates = query's bucket only,
     // then exact cosine rerank. The scale path — bucket equi-join.
     "sim_ann_lsh" -> QueryDef(
