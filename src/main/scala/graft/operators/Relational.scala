@@ -283,6 +283,10 @@ object Relational {
     // Q17 — analytic window with a range frame: 7-day moving average of
     // daily revenue + day-over-day delta. The frame aggregates exact cents
     // (BIGINT) so segment-tree vs streaming accumulation cannot drift.
+    // Scale note: the global (unpartitioned) window runs AFTER the daily
+    // pre-aggregation, so the single partition holds #distinct-days rows —
+    // a calendar-bounded cardinality independent of data volume; the
+    // heavy lifting (the groupBy) is fully parallel with map-side combine.
     "q17_window_frame" -> QueryDef(
       (s, d) => {
         val daily = tbl(s, d, "lineitem")

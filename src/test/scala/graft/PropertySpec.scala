@@ -1,0 +1,59 @@
+package graft
+
+import graft.plans.PolyHash
+import graft.schema.Models._
+import graft.sources.Sources
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests (SURVEY §5.3): hash algebra, dedup idempotence, wire
+  * round-trips. Raw ScalaCheck runner (scalatestplus bridge is not in the
+  * offline artifact cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, minOk: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minOk), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiStr = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  test("PolyHash matches its mathematical definition for arbitrary ASCII strings") {
+    check(Prop.forAll(asciiStr) { s =>
+      val expected = s.foldLeft(BigInt(0))((h, c) => (h * 31 + c.toInt) mod BigInt(Qh.HashP))
+      PolyHash.hash(s) == expected.toLong
+    })
+  }
+
+  test("PolyHash concat law: h(a++b) = (h(a) * 31^|b| + h(b)) mod P") {
+    check(Prop.forAll(asciiStr, asciiStr) { (a, b) =>
+      val p = BigInt(Qh.HashP)
+      val combined = (BigInt(PolyHash.hash(a)) * BigInt(31).modPow(b.length, p) + PolyHash.hash(b)) mod p
+      PolyHash.hash(a + b) == combined.toLong
+    })
+  }
+
+  test("exact dedup is idempotent on arbitrary small corpora") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 9L), Gen.alphaStr.map(_.take(8))))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("id", "text")
+      val once = df.dropDuplicates("text")
+      val twice = once.dropDuplicates("text")
+      once.count() == twice.count() && twice.count() == rows.map(_._2).distinct.size
+    }, minOk = 10) // each trial is a Spark job
+  }
+
+  test("Kafka wire round-trip is identity for arbitrary RawContent") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:09:58")
+    val safe = Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty)
+    val gen = Gen.listOfN(5, Gen.zip(safe, safe, safe)).map(_.map { case (id, topic, text) =>
+      RawContent(id, "reddit", topic, text, ContentMetadata(ts, "a", "s", "p", null))
+    })
+    check(Prop.forAll(gen) { rcs =>
+      val distinct = rcs.distinctBy(_.content_id)
+      val wire = Sources.toWire(distinct.toDF(), "content_id")
+      val back = Sources.fromWire(wire, rawContentSchema, "content_id").as[RawContent]
+      back.collect().toSet == distinct.toSet
+    }, minOk = 10) // each trial is a Spark job
+  }
+}
