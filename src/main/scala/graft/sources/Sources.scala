@@ -41,6 +41,20 @@ object Sources {
         current_timestamp() + expr(s"INTERVAL $ttlHours HOURS"))
       .write.mode("append").parquet(table)
 
+  /** K3/T7 — idempotent upsert: like [[appendWithTtl]] but rows whose PK
+    * already exists (unexpired) in the table are skipped first — the
+    * reference's check-Valkey-before-publish flow
+    * (producer/fetch.go:155-173) and the write discipline that makes
+    * at-least-once streaming delivery exactly-once-by-key at the store. */
+  def upsertWithTtl(df: DataFrame, table: String, pk: String, ttlHours: Int = 24): Unit = {
+    val fresh =
+      if (new java.io.File(table).exists()) {
+        val existing = readCurrent(df.sparkSession, table, pk).select(pk)
+        df.join(existing, Seq(pk), "left_anti")
+      } else df
+    appendWithTtl(fresh, table, pk, ttlHours)
+  }
+
   /** S6 — snapshot read of a TTL'd table: expired rows are invisible, and
     * PK-dedup keeps the LATEST surviving row (upsert read semantics). The
     * TTL filter prunes at scan time; the keep-latest window shuffles on
