@@ -280,6 +280,59 @@ object Dedup {
            |ORDER BY source, a, b""".stripMargin
       }),
 
+    // Transitive near-dup clustering: connected components over the
+    // similarity graph (edges = within-source hashed-token Jaccard >= 0.8,
+    // the q28a relation) via min-label propagation — each doc's cluster is
+    // the smallest doc_id it can reach. Pure DataFrame iteration (join +
+    // groupBy-min per round, O(diameter) rounds; near-dup components are
+    // clique-ish so this converges in 2-3); lineage truncated per round.
+    // The oracle computes the same closure with a recursive CTE.
+    "dedup_cluster" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
+        val a = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
+        val b = docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb"))
+        val pairs = a.join(b, Seq("source"))
+          .filter(col("a") < col("b"))
+          .filter(jaccard(col("ta"), col("tb")) >= 0.8)
+          .select("a", "b")
+        val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint(true)
+        var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 15) {
+          val nbr = edges
+            .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
+            .groupBy(col("a")).agg(min(col("lb")).as("nbl"))
+          val next = labels
+            .join(nbr, labels("doc_id") === nbr("a"), "left")
+            .select(labels("doc_id"),
+              least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+            .localCheckpoint(true)
+          changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+          iter += 1
+        }
+        labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT source, doc_id, ${tokHashesSql("text")} AS tk FROM documents),
+              |pairs AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b
+              |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+              |  WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.8),
+              |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT a AS doc_id, MIN(b) AS cluster FROM reach
+              |GROUP BY a ORDER BY doc_id""".stripMargin),
+      doc = "connected components; WITH RECURSIVE oracle"),
+
     // Embedding-cosine near-dup: LSH bucket (random-hyperplane, see
     // Similarity.lshBucket) equi-join generates candidates; exact cosine
     // >= 0.4 verifies. Both engines bucket identically, so the oracle runs
