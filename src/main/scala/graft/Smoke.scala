@@ -46,6 +46,24 @@ object Smoke {
     val n = spark.table("smoke_counts").count()
     println(s"[smoke] streaming windows=$n")
     assert(n > 0, "streaming produced no windows")
+
+    // Streaming throughput (BASELINE.md SLO row): push the sf0.1 events
+    // table (100k rows) through the windowed aggregation as a file stream.
+    val tDir = java.nio.file.Files.createTempDirectory("graft_rate_").toFile.getAbsolutePath
+    spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .write.mode("overwrite").json(s"$tDir/in")
+    val nRows = 100000L
+    val t0 = System.nanoTime()
+    val q2 = graft.streaming.Streaming.tumblingCounts(
+      graft.streaming.Streaming.jsonFileSource(spark, s"$tDir/in",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"),
+        maxFilesPerTrigger = 1000))
+      .writeStream.format("memory").queryName("smoke_rate").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[smoke] streaming_rate rows=$nRows secs=$secs%.2f rows_per_sec=${nRows / secs}%.0f")
     spark.stop()
   }
 }

@@ -44,16 +44,27 @@ object Similarity {
   // All-integer generation: both engines compute identical planes.
   val LshPlanes = 8
 
-  /** Spark column: LSH bucket id (0..255) of an array<float> embedding. */
-  def lshBucket(v: Column): Column =
+  /** Hyperplane coefficients, precomputed driver-side: plane j, dim i =
+    * (((1103515245*(j*64+i) + 12345) % 2001) - 1000)/1000 — embedded as
+    * one literal array so rows don't re-derive them. */
+  val planeCoeffs: Array[Double] =
+    (0 until LshPlanes * 64).map(k =>
+      (((1103515245L * k + 12345L) % 2001L) - 1000L).toDouble / 1000.0).toArray
+
+  /** Spark column: LSH bucket id (0..255) of an array<float> embedding.
+    * Per plane: dot = sum(zip_with(v, plane_slice, *)) — zip_with
+    * evaluates its array arguments once (no element_at-in-lambda re-eval). */
+  def lshBucket(v: Column): Column = {
+    val planes = typedLit(planeCoeffs)
     aggregate(
       transform(sequence(lit(0), lit(LshPlanes - 1)), j => {
-        val dot = aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
-          acc + element_at(v, i + 1).cast("double") *
-            ((pmod(lit(1103515245L) * (j * 64 + i) + 12345L, lit(2001L)) - 1000L).cast("double") / 1000.0))
+        val dot = aggregate(
+          zip_with(v, slice(planes, j * 64 + 1, lit(64)), (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, t) => acc + t)
         when(dot > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
       }),
       lit(0L), (acc, x) => acc + x)
+  }
 
   /** DuckDB SQL: same bucket id for embedding expression `v`. */
   def lshBucketSql(v: String): String =
