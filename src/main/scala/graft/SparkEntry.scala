@@ -23,15 +23,19 @@ object SparkEntry {
     * short branch → aggregate per source.
     */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.enrich.Enrich.LexiconScorer
     val d = "/root/testdata/sf0.001"
     val docs = Tables(spark, d, "documents")
+    val score = LexiconScorer.scoreCol(col("text"))
     docs
       .withColumn("branch",
         when(length(col("text")) > 1024, "summary").otherwise("direct"))
-      .groupBy("source", "branch")
+      .withColumn("label", LexiconScorer.labelCol(score))
+      .groupBy("source", "branch", "label")
       .agg(count(lit(1)).as("n"),
-        round(avg(length(col("text"))), 2).as("avg_chars"))
-      .orderBy("source", "branch")
+        round(avg(length(col("text"))), 2).as("avg_chars"),
+        round(avg(score), 4).as("mean_score"))
+      .orderBy("source", "branch", "label")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

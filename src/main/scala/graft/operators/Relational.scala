@@ -490,6 +490,76 @@ object Relational {
              |       ELSE concat('{"k":', CAST(props->>'$.k' AS INTEGER), '}') END AS reemit
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Q29 — pivot: daily value sums spread across event_type columns (the
+    // dashboard matrix the reference's Grafana boards render). Explicit
+    // pivot value list keeps the schema static (no extra distinct pass,
+    // and the plan is a single aggregation — scale-safe).
+    "q29_pivot" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(cents(col("value"))))
+        .select(col("day"),
+          (coalesce(col("click"), lit(0L)).cast("double") / 100.0).as("click"),
+          (coalesce(col("error"), lit(0L)).cast("double") / 100.0).as("error"),
+          (coalesce(col("purchase"), lit(0L)).cast("double") / 100.0).as("purchase"),
+          (coalesce(col("signup"), lit(0L)).cast("double") / 100.0).as("signup"),
+          (coalesce(col("view"), lit(0L)).cast("double") / 100.0).as("view"))
+        .orderBy("day"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(round(value*100, 0) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS click,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(round(value*100, 0) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS error,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100, 0) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS purchase,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(round(value*100, 0) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS signup,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(round(value*100, 0) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS view
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // Q30 — unpivot (melt): lineitem measures to (metric, value) rows —
+    // the inverse reshape, one Expand pass, no shuffle beyond the sort.
+    "q30_unpivot" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("discount_c"),
+          cents(col("l_tax")).as("tax_c"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price_c"), col("discount_c"), col("tax_c")),
+          "metric", "cents")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          (col("cents").cast("double") / 100.0).as("value"))
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, CAST(cents AS DOUBLE) / 100.0 AS value
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, 'price_c' AS metric, CAST(round(l_extendedprice*100, 0) AS BIGINT) AS cents FROM lineitem WHERE l_orderkey <= 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'discount_c', CAST(round(l_discount*100, 0) AS BIGINT) FROM lineitem WHERE l_orderkey <= 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'tax_c', CAST(round(l_tax*100, 0) AS BIGINT) FROM lineitem WHERE l_orderkey <= 100)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // Q31 — percentile battery on exact integer cents: exact median +
+    // p90 via interpolated percentile (both engines interpolate with the
+    // same (1-f)*a + f*b rule on identical longs), plus min/max bounds.
+    "q31_percentiles" -> QueryDef(
+      (s, d) => tbl(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"), cents(col("o_totalprice")).as("price_c"))
+        .groupBy("prio")
+        .agg(
+          (expr("percentile(price_c, 0.5)") / 100.0).as("median"),
+          (expr("percentile(price_c, 0.9)") / 100.0).as("p90"),
+          (min(col("price_c")).cast("double") / 100.0).as("lo"),
+          (max(col("price_c")).cast("double") / 100.0).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("prio"),
+      Some("""SELECT o_orderpriority AS prio,
+             |  quantile_cont(CAST(round(o_totalprice*100, 0) AS BIGINT), 0.5) / 100.0 AS median,
+             |  quantile_cont(CAST(round(o_totalprice*100, 0) AS BIGINT), 0.9) / 100.0 AS p90,
+             |  CAST(MIN(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS lo,
+             |  CAST(MAX(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS hi,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin)),
+
     // Q26 — conditional/null battery: threshold labeling (reference T15
     // sentiment label semantics), coalesce/nullif.
     "q26_conditional" -> QueryDef(
