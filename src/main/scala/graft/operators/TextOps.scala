@@ -102,20 +102,24 @@ object TextOps {
             size(t).cast("long").as("n_tok"),
             size(array_distinct(t)).cast("long").as("n_dist"),
             size(filter(t, x => x.isin(Stopwords: _*))).cast("long").as("n_stop"))
+          // NO rounding anywhere: the composite can tie exactly at the
+          // 4th decimal (e.g. 0.60225 for /32 fractions) where Spark
+          // (HALF_UP) and DuckDB disagree; the unrounded doubles are
+          // bit-identical because both engines run the same IEEE ops on
+          // the same integers in the same order.
           .withColumn("ttr", col("n_dist").cast("double") / col("n_tok"))
           .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
-          .withColumn("quality", round(
+          .withColumn("quality",
             col("ttr") * 0.3
               + (lit(1.0) - col("stop_ratio")) * 0.4
-              + least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.3, 4))
+              + least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.3)
           .select(col("doc_id"), col("lang"), col("n_chars_c"), col("n_tok"),
-            col("n_dist"), col("n_stop"), round(col("ttr"), 4).as("ttr"),
-            round(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
+            col("n_dist"), col("n_stop"), col("ttr"), col("stop_ratio"), col("quality"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, lang, n_chars_c, n_tok, n_dist, n_stop,
-              |  round(ttr, 4) AS ttr, round(stop_ratio, 4) AS stop_ratio,
-              |  round(ttr*0.3 + (1.0 - stop_ratio)*0.4 + least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.3, 4) AS quality
+              |  ttr, stop_ratio,
+              |  ttr*0.3 + (1.0 - stop_ratio)*0.4 + least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.3 AS quality
               |FROM (SELECT doc_id, lang, n_chars_c, n_tok, n_dist, n_stop,
               |    CAST(n_dist AS DOUBLE)/n_tok AS ttr, CAST(n_stop AS DOUBLE)/n_tok AS stop_ratio
               |  FROM (SELECT doc_id, lang,

@@ -34,12 +34,18 @@ object Sources {
 
   /** K3/K4 — append a batch to a TTL'd parquet table with PK-upsert
     * semantics: rows are deduped on `pk` (keep-first by the table's sort)
-    * before append; TTL column stamped `now + ttlHours`. */
-  def appendWithTtl(df: DataFrame, table: String, pk: String, ttlHours: Int = 24): Unit =
-    df.dropDuplicates(pk)
+    * before append; TTL column stamped `now + ttlHours`. At scale pass
+    * `partitionCols` (e.g. an event-day column) so reads with a partition
+    * predicate prune whole directories at the scan. */
+  def appendWithTtl(df: DataFrame, table: String, pk: String, ttlHours: Int = 24,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val stamped = df.dropDuplicates(pk)
       .withColumn("expires_at",
         current_timestamp() + expr(s"INTERVAL $ttlHours HOURS"))
-      .write.mode("append").parquet(table)
+    val writer = stamped.write.mode("append")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(table)
+  }
 
   /** K3/T7 — idempotent upsert: like [[appendWithTtl]] but rows whose PK
     * already exists (unexpired) in the table are skipped first — the

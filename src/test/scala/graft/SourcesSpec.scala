@@ -44,6 +44,19 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readCurrent(spark, table + "_exp", "url").count() == 0)
   }
 
+  test("partitioned TTL table: partition predicate prunes directories at the scan") {
+    val table = tmp("graft_part_") + "/events_t"
+    val df = Tables(spark, Sf0001, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+    Sources.appendWithTtl(df, table, "event_id", partitionCols = Seq("day"))
+    val days = new java.io.File(table).listFiles().count(_.getName.startsWith("day="))
+    assert(days > 1, "expected one directory per day")
+    val q = spark.read.parquet(table).filter(col("day") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(day"), s"no partition filter:\n$scan")
+    assert(q.count() > 0)
+  }
+
   test("Kafka wire round-trip: key=content_id, JSON value, malformed dropped (T1/T2/K1)") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:09:58")
     val raw = Seq(RawContent("cid1", "reddit", "ai", "text body",

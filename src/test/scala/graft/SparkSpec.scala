@@ -21,6 +21,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", // static conf: set before build
         java.nio.file.Files.createTempDirectory("graft_wh_").toFile.getAbsolutePath)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
