@@ -348,7 +348,7 @@ object Dedup {
         a.join(b, Seq("bucket"))
           .filter(col("a") < col("b"))
           .select(col("bucket"), col("a"), col("b"),
-            round(dotD(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cosine"))
+            (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
           .filter(col("cosine") >= 0.4)
           .orderBy("bucket", "a", "b")
       },
@@ -358,7 +358,7 @@ object Dedup {
            |    ${normSql("embedding")} AS nrm FROM embeddings)
            |SELECT bucket, a, b, cosine FROM (
            |  SELECT x.bucket AS bucket, x.vec_id AS a, y.vec_id AS b,
-           |    round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) AS cosine
+           |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
            |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
            |WHERE cosine >= 0.4 ORDER BY bucket, a, b""".stripMargin
       })

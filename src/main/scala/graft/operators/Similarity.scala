@@ -82,7 +82,7 @@ object Similarity {
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
-        round(dotD(col("embedding"), col("e0")) / (normD(col("embedding")) * col("n0")), 4).as("sim"))
+        (dotD(col("embedding"), col("e0")) / (normD(col("embedding")) * col("n0"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -123,8 +123,8 @@ object Similarity {
       Some(s"""WITH q AS (SELECT embedding AS e0, ${normSql("embedding")} AS n0
               |          FROM embeddings WHERE vec_id = 0)
               |SELECT vec_id, label,
-              |  round(${dotSql("embedding", "(SELECT e0 FROM q)")}
-              |    / (${normSql("embedding")} * (SELECT n0 FROM q)), 4) AS sim
+              |  ${dotSql("embedding", "(SELECT e0 FROM q)")}
+              |    / (${normSql("embedding")} * (SELECT n0 FROM q)) AS sim
               |FROM embeddings WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
@@ -144,7 +144,7 @@ object Similarity {
         // cell assignment: nearest centroid by cosine (deterministic
         // tie-break on centroid id via the max(struct) trick)
         def assign(df: org.apache.spark.sql.DataFrame, vecCol: String, outPrefix: String) = {
-          val sim = round(dotD(col(vecCol), col("cvec")) / (normD(col(vecCol)) * col("cnorm")), 6)
+          val sim = dotD(col(vecCol), col("cvec")) / (normD(col(vecCol)) * col("cnorm"))
           df.crossJoin(cents)
             .groupBy(col("vec_id"), col(vecCol).as(s"${outPrefix}_vec"))
             .agg(max(struct(sim.as("s"), (-col("cent_id")).as("nid"))).as("best"))
@@ -156,14 +156,14 @@ object Similarity {
         // query probes its 4 nearest centroids
         val probes = broadcast(cents.crossJoin(broadcast(q))
           .select(col("cent_id"),
-            round(dotD(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6).as("csim"))
+            (dotD(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm"))).as("csim"))
           .orderBy(col("csim").desc, col("cent_id")).limit(4)
           .select(col("cent_id").as("cell")))
         assigned.filter(col("vec_id") =!= 0)
           .join(probes, Seq("cell")) // only probed cells are scanned
           .crossJoin(broadcast(q))
           .select(col("vec_id"), col("cell"),
-            round(dotD(col("e_vec"), col("qvec")) / (normD(col("e_vec")) * col("qnorm")), 4).as("sim"))
+            (dotD(col("e_vec"), col("qvec")) / (normD(col("e_vec")) * col("qnorm"))).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
@@ -172,15 +172,15 @@ object Similarity {
               |assigned AS (
               |  SELECT vec_id, e_vec, -MAX_nid AS cell FROM (
               |    SELECT e.vec_id, e.embedding AS e_vec,
-              |      max(struct_pack(s := round(${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm), 6),
+              |      max(struct_pack(s := ${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm),
               |                      nid := -c.cent_id)).nid AS MAX_nid
               |    FROM embeddings e CROSS JOIN cents c
               |    GROUP BY e.vec_id, e.embedding)),
               |q AS (SELECT e_vec AS qvec, ${normSql("e_vec")} AS qnorm FROM assigned WHERE vec_id = 0),
               |probes AS (SELECT cent_id AS cell FROM cents CROSS JOIN q
-              |           ORDER BY round(${dotSql("qvec", "cvec")} / (qnorm * cnorm), 6) DESC, cent_id LIMIT 4)
+              |           ORDER BY ${dotSql("qvec", "cvec")} / (qnorm * cnorm) DESC, cent_id LIMIT 4)
               |SELECT vec_id, cell,
-              |  round(${dotSql("e_vec", "(SELECT qvec FROM q)")} / (${normSql("e_vec")} * (SELECT qnorm FROM q)), 4) AS sim
+              |  ${dotSql("e_vec", "(SELECT qvec FROM q)")} / (${normSql("e_vec")} * (SELECT qnorm FROM q)) AS sim
               |FROM assigned JOIN probes USING (cell)
               |WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
@@ -196,15 +196,15 @@ object Similarity {
         emb.filter(col("vec_id") =!= 0)
           .join(q, col("bucket") === col("qbucket"))
           .select(col("vec_id"), col("label"), col("bucket"),
-            round(dotD(col("embedding"), col("e0")) / (normD(col("embedding")) * col("n0")), 4).as("sim"))
+            (dotD(col("embedding"), col("e0")) / (normD(col("embedding")) * col("n0"))).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
               |q AS (SELECT bucket AS qbucket, embedding AS e0, ${normSql("embedding")} AS n0 FROM e WHERE vec_id = 0)
               |SELECT vec_id, label, bucket,
-              |  round(${dotSql("embedding", "(SELECT e0 FROM q)")}
-              |    / (${normSql("embedding")} * (SELECT n0 FROM q)), 4) AS sim
+              |  ${dotSql("embedding", "(SELECT e0 FROM q)")}
+              |    / (${normSql("embedding")} * (SELECT n0 FROM q)) AS sim
               |FROM e WHERE vec_id <> 0 AND bucket = (SELECT qbucket FROM q)
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin))
   )
