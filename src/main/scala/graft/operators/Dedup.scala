@@ -314,9 +314,11 @@ object Dedup {
             .localCheckpoint(true)
           changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
             .filter(col("label") =!= col("old")).count()
+          labels.unpersist(blocking = false) // free the superseded round's blocks
           labels = next
           iter += 1
         }
+        edges.unpersist(blocking = false)
         labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE t AS (SELECT source, doc_id, ${tokHashesSql("text")} AS tk FROM documents),

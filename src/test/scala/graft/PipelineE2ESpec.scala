@@ -43,6 +43,27 @@ class PipelineE2ESpec extends SparkSpec {
     assert(byPost("p3")._3, "long post must be summarized")
   }
 
+  test("wire-level streaming: posts → toWire 'topic' files → fromWire stream → score (K1/T1/T2)") {
+    val dir = Files.createTempDirectory("graft_wire_").toFile.getAbsolutePath
+    val topicDir = s"$dir/topic"; val ckpt = s"$dir/ckpt"; val table = s"$dir/results"
+    // producer side: serialize to Kafka wire shape, land on the "topic"
+    Sources.toWire(posts.take(3).toDS().toDF(), "id")
+      .write.mode("overwrite").json(topicDir)
+    // consumer side: stream the topic, parse, drop malformed, score, sink
+    val wireSchema = org.apache.spark.sql.types.StructType.fromDDL("key STRING, value STRING")
+    val q = spark.readStream.schema(wireSchema).json(topicDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = Sources.fromWire(batch, Models.redditPostSchema, "id").as[RedditPost]
+        Sources.upsertWithTtl(Pipelines.endToEnd(parsed).toDF(), table, "content_id")
+      }.start()
+    q.awaitTermination()
+    val cur = Sources.readCurrent(spark, table, "content_id")
+    assert(cur.count() == 3)
+    assert(cur.filter(col("sentiment_label") === "").count() == 0)
+  }
+
   test("streaming e2e with kill/restart: same results as batch, no duplicate content_ids") {
     val dir = Files.createTempDirectory("graft_e2es_").toFile.getAbsolutePath
     val src = s"$dir/in"; val table = s"$dir/results"; val ckpt = s"$dir/ckpt"
