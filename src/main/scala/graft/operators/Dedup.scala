@@ -281,25 +281,46 @@ object Dedup {
       }),
 
     // Transitive near-dup clustering: connected components over the
-    // similarity graph (edges = within-source hashed-token Jaccard >= 0.8,
-    // the q28a relation) via min-label propagation — each doc's cluster is
-    // the smallest doc_id it can reach. Pure DataFrame iteration (join +
-    // groupBy-min per round, O(diameter) rounds; near-dup components are
-    // clique-ish so this converges in 2-3); lineage truncated per round.
-    // The oracle computes the same closure with a recursive CTE.
+    // similarity graph (edges = within-source hashed-token Jaccard >= 0.8
+    // among MinHash-band collisions — the same LSH candidate generation as
+    // dedup_minhash_lsh, so edge discovery is O(collisions) not O(n²))
+    // via min-label propagation — each doc's cluster is the smallest
+    // doc_id it can reach. Pure DataFrame iteration (one join + groupBy-min
+    // per round, O(diameter) rounds; near-dup components are clique-ish so
+    // this converges in 2-3); lineage truncated and freed per round.
+    // The oracle runs the identical prefilter + a recursive CTE closure.
     "dedup_cluster" -> QueryDef(
       (s, d) => {
         val docs = tbl(s, d, "documents")
           .select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
-        val a = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
-        val b = docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb"))
-        val pairs = a.join(b, Seq("source"))
+        val sig = (0 until MinHashes).foldLeft(docs) { (df, i) =>
+          df.withColumn(s"mh$i", minhash(col("tk"), i))
+        }
+        val banded = sig.select(
+          col("source"), col("doc_id"),
+          explode(array((0 until Bands).map(j =>
+            struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("bk"))
+          .select(col("source"), col("doc_id"),
+            col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val cand = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
+          .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
+            Seq("source", "band", "bkey"))
           .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val tkOf = docs.select(col("doc_id"), col("tk"))
+        val pairs = cand
+          .join(tkOf.select(col("doc_id").as("a"), col("tk").as("ta")), Seq("a"))
+          .join(tkOf.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
           .filter(jaccard(col("ta"), col("tb")) >= 0.8)
           .select("a", "b")
         val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
           .localCheckpoint(true)
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+        // Iterate ONLY over vertices that have an edge: isolated docs (the
+        // overwhelming majority of a 100 TB corpus) can never change label,
+        // so keeping them in the loop would shuffle the whole corpus every
+        // round. They rejoin as singleton clusters at the end.
+        var labels = edges.select(col("a").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
           .localCheckpoint(true)
         var changed = 1L
         var iter = 0
@@ -307,33 +328,50 @@ object Dedup {
           val nbr = edges
             .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
             .groupBy(col("a")).agg(min(col("lb")).as("nbl"))
+          // carry the old label through the round so convergence needs no
+          // second join against the previous state
           val next = labels
             .join(nbr, labels("doc_id") === nbr("a"), "left")
-            .select(labels("doc_id"),
+            .select(labels("doc_id"), col("label").as("old"),
               least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
             .localCheckpoint(true)
-          changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-            .filter(col("label") =!= col("old")).count()
+          changed = next.filter(col("label") =!= col("old")).count()
           labels.unpersist(blocking = false) // free the superseded round's blocks
-          labels = next
+          labels = next.drop("old")
           iter += 1
         }
         edges.unpersist(blocking = false)
-        labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+        docs.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+          .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE t AS (SELECT source, doc_id, ${tokHashesSql("text")} AS tk FROM documents),
-              |pairs AS (
-              |  SELECT x.doc_id AS a, y.doc_id AS b
-              |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
-              |  WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.8),
-              |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-              |reach(a, b) AS (
-              |  SELECT doc_id, doc_id FROM documents
-              |  UNION
-              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-              |SELECT a AS doc_id, MIN(b) AS cluster FROM reach
-              |GROUP BY a ORDER BY doc_id""".stripMargin),
-      doc = "connected components; WITH RECURSIVE oracle"),
+      Some {
+        val mhs = (0 until MinHashes).map(i => s"${minhashSql("tk", i)} AS mh$i").mkString(",\n    ")
+        val bandRows = (0 until Bands).map(j =>
+          s"SELECT source, doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE t AS (SELECT source, doc_id, ${tokHashesSql("text")} AS tk FROM documents),
+           |sig AS (SELECT source, doc_id,
+           |    $mhs
+           |  FROM t),
+           |banded AS ($bandRows),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM banded x JOIN banded y
+           |    ON x.source = y.source AND x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |pairs AS (
+           |  SELECT c.a, c.b FROM cand c
+           |  JOIN t x ON x.doc_id = c.a JOIN t y ON y.doc_id = c.b
+           |  WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.8),
+           |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT a AS doc_id, MIN(b) AS cluster FROM reach
+           |GROUP BY a ORDER BY doc_id""".stripMargin
+      },
+      doc = "connected components over LSH-candidate edges; WITH RECURSIVE oracle"),
 
     // Embedding-cosine near-dup: LSH bucket (random-hyperplane, see
     // Similarity.lshBucket) equi-join generates candidates; exact cosine
