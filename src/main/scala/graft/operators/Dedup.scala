@@ -75,31 +75,62 @@ object Dedup {
   def bandKeySql(j: Int): String =
     "concat_ws(':', " + (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ") + ")"
 
-  /** SimHash bits (16): bit b set iff the sum over distinct tokens of
-    * (+1 if bit b of token-hash set else -1) is positive. */
-  val SimHashBits = 16
+  /** SimHash: 60-bit fingerprint = 4 bands × 15 bits (Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 shape: wide
+    * fingerprint + banded index). 60 bits keeps the packed value inside a
+    * signed long; 15-bit bands are selective enough (1/32768) that band
+    * collisions between unrelated docs are rare — this is what makes the
+    * banded candidate join prune at scale (a 16-bit fingerprint's 4-bit
+    * bands collide constantly and prune nothing).
+    *
+    * Token hashes carry only ~20 bits (mod HashP), so band j draws its 15
+    * bits from an independent affine re-hash g_j = (h·Aj + Bj) mod HashP:
+    * bit b = bit (b mod 15) of g_(b/15).
+    */
+  val SimHashBits = 60
+  val SimBandBits = 15
+  val SimBands: Int = SimHashBits / SimBandBits
+  val simParams: Seq[(Long, Long)] =
+    (0 until SimBands).map(j => ((2 * j + 3) * 130363L % HashP, (9973L * j + 54321L) % HashP))
 
-  def simhash(th: Column): Column = {
-    // Single pass over th: fold into a 16-slot sum array, then collapse to
+  /** Native codegen'd fingerprint — see [[graft.plans.SimHash60]]. */
+  def simhash(th: Column): Column = graft.plans.SimHash60.column(th)
+
+  /** Declarative (built-ins only) formulation, kept as the parity witness
+    * for the native expression: HOFs are CodegenFallback, so this walks an
+    * interpreted tree per (token × bit) — ~60 lambda evals per token. */
+  def simhashDecl(th: Column): Column = {
+    // Single pass over th: fold into a 60-slot sum array, then collapse to
     // bits. Higher-order-function arguments are evaluated once per call —
     // the naive per-bit formulation re-evaluates the (inlined) token-hash
-    // fold 16x per row after CollapseProject, which dominates runtime.
+    // fold 60x per row after CollapseProject, which dominates runtime.
+    val as = typedlit(simParams.map(_._1))
+    val bs = typedlit(simParams.map(_._2))
     val sums = aggregate(
       th,
       array_repeat(lit(0L), SimHashBits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimHashBits - 1)), (a, b) =>
-        a + when(pmod((h / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1L, 1L).otherwise(-1L)))
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimHashBits - 1)), (a, b) => {
+        val j = (b / SimBandBits).cast("int")
+        val g = pmod(h * element_at(as, j + 1) + element_at(bs, j + 1), lit(HashP))
+        // g < 2^20 so double division is exact here; bit = (g >> (b%15)) & 1
+        a + when(pmod((g / pow(lit(2.0), pmod(b, lit(SimBandBits)))).cast("long"), lit(2L)) === 1L, 1L)
+          .otherwise(-1L)
+      }))
     aggregate(
       zip_with(sums, sequence(lit(0), lit(SimHashBits - 1)), (s2, b) =>
         when(s2 > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
   }
 
-  def simhashSql(th: String): String =
+  def simhashSql(th: String): String = {
+    val as = simParams.map(_._1).mkString("[", ", ", "]")
+    val bs = simParams.map(_._2).mkString("[", ", ", "]")
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $SimHashBits), bb ->
        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($th, hh ->
-       |        CASE WHEN (hh // power(2, bb)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), (s2, v) -> s2 + v) > 0
+       |        CASE WHEN (((hh * ($as)[(bb // $SimBandBits)::INT + 1] + ($bs)[(bb // $SimBandBits)::INT + 1]) % $HashP)
+       |                   // power(2, bb % $SimBandBits)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), (s2, v) -> s2 + v) > 0
        |    THEN power(2, bb)::BIGINT ELSE 0 END)), (acc, v) -> acc + v)""".stripMargin
+  }
 
   /** Token-3-gram shingle hashes (distinct) from a token-hash array.
     * Built with zip_with over shifted slices — NOT element_at inside a
@@ -201,26 +232,42 @@ object Dedup {
       }),
 
     // SimHash fingerprints + near-dup pairs at Hamming distance <= 3 within
-    // a source. The fingerprint is 8 bytes; at scale pairs would come from
-    // banding the simhash bits — here source groups are small, so the
-    // within-source equi-join is the candidate generator.
+    // a source. Candidate generation bands the 60 fingerprint bits into 4
+    // 15-bit words: a pair at distance <= 3 differs in at most 3 bands, so
+    // by pigeonhole it collides EXACTLY (no recall loss, unlike
+    // probabilistic MinHash banding) in at least one band. The join is an
+    // equi-join on (source, band, word) — O(collisions), never O(n²) —
+    // and the full-fingerprint Hamming verify runs per candidate. Band
+    // extraction uses integer shifts only: sh spans 60 bits, past double's
+    // 2^53 exact range, so a float division here would corrupt high bands.
     "dedup_simhash" -> QueryDef(
       (s, d) => {
         val docs = tbl(s, d, "documents")
           .select(col("source"), col("doc_id"), simhash(tokHashes(col("text"))).as("sh"))
-        val a = docs.select(col("source"), col("doc_id").as("a"), col("sh").as("sha"))
-        val b = docs.select(col("source"), col("doc_id").as("b"), col("sh").as("shb"))
-        a.join(b, Seq("source"))
+        val banded = docs.select(
+          col("source"), col("doc_id"), col("sh"),
+          explode(array((0 until SimBands).map(j =>
+            struct(lit(j).as("band"),
+              shiftright(col("sh"), SimBandBits * j).bitwiseAND(lit((1L << SimBandBits) - 1)).as("word"))): _*)).as("bk"))
+          .select(col("source"), col("doc_id"), col("sh"),
+            col("bk.band").as("band"), col("bk.word").as("word"))
+        banded.select(col("source"), col("band"), col("word"), col("doc_id").as("a"), col("sh").as("sha"))
+          .join(banded.select(col("source"), col("band"), col("word"), col("doc_id").as("b"), col("sh").as("shb")),
+            Seq("source", "band", "word"))
           .filter(col("a") < col("b"))
           .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
           .filter(col("hamming") <= 3)
-          .select(col("source"), col("a"), col("b"), col("hamming"))
+          .select(col("source"), col("a"), col("b"), col("hamming")).distinct()
           .orderBy("source", "a", "b")
       },
-      Some(s"""WITH t AS (SELECT source, doc_id, ${simhashSql(tokHashesSql("text"))} AS sh FROM documents)
-              |SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b,
+      Some(s"""WITH t AS (SELECT source, doc_id, ${simhashSql(tokHashesSql("text"))} AS sh FROM documents),
+              |banded AS (
+              |  SELECT source, doc_id, sh, band, (sh >> ($SimBandBits * band)::INT) & ${(1L << SimBandBits) - 1} AS word
+              |  FROM t, (SELECT unnest(range(0, $SimBands)) AS band))
+              |SELECT DISTINCT x.source AS source, x.doc_id AS a, y.doc_id AS b,
               |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
-              |FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+              |FROM banded x JOIN banded y
+              |  ON x.source = y.source AND x.band = y.band AND x.word = y.word AND x.doc_id < y.doc_id
               |WHERE bit_count(xor(x.sh, y.sh)) <= 3
               |ORDER BY source, a, b""".stripMargin)),
 

@@ -73,8 +73,10 @@ object PolyHash {
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`, or
   * imperatively via [[GraftExtensions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.graftHash)
+    ext.injectFunction(GraftExtensions.graftSimHash)
+  }
 }
 
 object GraftExtensions {
@@ -83,9 +85,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PolyHash].getName, "graft_hash"),
     (children: Seq[Expression]) => PolyHash(children.head))
 
+  val graftSimHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+    (children: Seq[Expression]) => SimHash60(children.head))
+
   /** Imperative registration for sessions we did not build (e.g. the
     * driver's t1 session calling SparkEntry.entry). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       graftHash._1, graftHash._2, graftHash._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      graftSimHash._1, graftSimHash._2, graftSimHash._3)
+  }
 }

@@ -36,4 +36,20 @@ class PolyHashSpec extends SparkSpec {
     val viaEval = df.select(col("text")).as[String].collect().map(PolyHash.hash).toSeq
     assert(viaCodegen == viaEval)
   }
+
+  test("native simhash equals the declarative fold on every document") {
+    import graft.operators.Dedup
+    val diff = Tables(spark, Sf0001, "documents")
+      .select(Dedup.tokHashes(col("text")).as("th"))
+      .select(Dedup.simhash(col("th")).as("native"), Dedup.simhashDecl(col("th")).as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(diff.count() == 0)
+  }
+
+  test("graft_simhash is SQL-callable and packs 60 bits") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash(transform(split('ab cd ef', ' '), t -> graft_hash(t))) AS sh").head()
+    assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
+  }
 }
