@@ -74,6 +74,26 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("no query plan contains a cartesian product or unintended nested-loop join") {
+    // The 100 TB guard: a CartesianProduct or a non-broadcast nested-loop
+    // join in any registered query is a scale bug regardless of local
+    // timings. BroadcastNestedLoopJoin is tolerated only where the
+    // broadcast side is provably tiny by construction (a single query
+    // vector / fixed centroid list).
+    val tinyBroadcastOk = Set(
+      "sim_cosine_topk", // crossJoin(broadcast(1-row query vector))
+      "sim_ann_ivf",     // fixed 8-centroid literal side
+      "sim_ann_lsh",     // broadcast single query-vector row
+      "dedup_embed_cosine")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !tinyBroadcastOk(name)
+      if (cartesian || bnlj) Some(s"$name (cartesian=$cartesian bnlj=$bnlj)") else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile joins in: ${offenders.mkString(", ")}")
+  }
+
   test("cosine top-k equals brute force on a second query vector") {
     val topk = Similarity.cosineTopK(spark, Sf0001, 7L, 3).select("vec_id").as[Long].collect().toSeq
     assert(topk.length == 3 && !topk.contains(7L))
