@@ -360,31 +360,35 @@ object Dedup {
           .join(tkOf.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
           .filter(jaccard(col("ta"), col("tb")) >= 0.8)
           .select("a", "b")
-        val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-          .localCheckpoint(true)
         // Iterate ONLY over vertices that have an edge: isolated docs (the
         // overwhelming majority of a 100 TB corpus) can never change label,
         // so keeping them in the loop would shuffle the whole corpus every
         // round. They rejoin as singleton clusters at the end.
-        var labels = edges.select(col("a").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id"))
+        //
+        // Each vertex also gets a flagged SELF-loop, which buys one round =
+        // exactly TWO shuffles: min(lb) over the closed neighborhood is the
+        // new label, and the self row carries the vertex's previous label —
+        // so convergence detection needs no second join against the prior
+        // state (a third shuffle per round in the naive formulation).
+        val undirected = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+          .withColumn("self", lit(false))
+        val edges = undirected
+          .union(undirected.select(col("a")).distinct()
+            .select(col("a"), col("a").as("b"), lit(true).as("self")))
+          .localCheckpoint(true)
+        var labels = edges.filter(col("self")).select(col("a").as("doc_id"), col("b").as("label"))
           .localCheckpoint(true)
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 15) {
-          val nbr = edges
+          val next = edges
             .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
-            .groupBy(col("a")).agg(min(col("lb")).as("nbl"))
-          // carry the old label through the round so convergence needs no
-          // second join against the previous state
-          val next = labels
-            .join(nbr, labels("doc_id") === nbr("a"), "left")
-            .select(labels("doc_id"), col("label").as("old"),
-              least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+            .groupBy(col("a"))
+            .agg(min(col("lb")).as("label"), max(when(col("self"), col("lb"))).as("old"))
             .localCheckpoint(true)
           changed = next.filter(col("label") =!= col("old")).count()
           labels.unpersist(blocking = false) // free the superseded round's blocks
-          labels = next.drop("old")
+          labels = next.select(col("a").as("doc_id"), col("label"))
           iter += 1
         }
         edges.unpersist(blocking = false)
