@@ -57,7 +57,14 @@ object Dedup {
   val hashParams: Seq[(Long, Long)] =
     (0 until MinHashes).map(i => (((2 * i + 1) * 104729L) % HashP, (7919L * i + 12345L) % HashP))
 
-  /** i-th minhash of a token-hash array column. */
+  /** Full 8-hash signature in one pass — native codegen expression (see
+    * [[graft.plans.MinHashSig]] for why the per-hash declarative fold is
+    * a codegen-size hazard). */
+  def minhashSig(th: Column): Column = graft.plans.MinHashSig.column(th)
+
+  /** i-th minhash of a token-hash array column — declarative (built-ins
+    * only) form, kept as the parity witness for [[minhashSig]] and as the
+    * definition the DuckDB oracle mirrors. */
   def minhash(th: Column, i: Int): Column = {
     val (a, b) = hashParams(i)
     array_min(transform(th, h => pmod(h * a + b, lit(HashP))))
@@ -71,6 +78,10 @@ object Dedup {
   /** Band key of band j: the rows of the band joined as "m0:m1". */
   def bandKey(j: Int): Column =
     concat_ws(":", (0 until RowsPerBand).map(r => col(s"mh${j * RowsPerBand + r}")): _*)
+
+  /** Same, reading from a signature-array column ([[minhashSig]]). */
+  def bandKeyOf(sig: Column, j: Int): Column =
+    concat_ws(":", (0 until RowsPerBand).map(r => element_at(sig, j * RowsPerBand + r + 1)): _*)
 
   def bandKeySql(j: Int): String =
     "concat_ws(':', " + (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ") + ")"
@@ -186,13 +197,11 @@ object Dedup {
         val docs = tbl(s, d, "documents")
         val base = docs
           .select(col("doc_id"), toks(col("text")).as("tk"), tokHashes(col("text")).as("th"))
-        val sig = (0 until MinHashes).foldLeft(base) { (df, i) =>
-          df.withColumn(s"mh$i", minhash(col("th"), i))
-        }
+        val sig = base.withColumn("mhs", minhashSig(col("th")))
         val banded = sig.select(
           col("doc_id"),
           explode(array((0 until Bands).map(j =>
-            struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("bk"))
+            struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         val bucketMin = banded.groupBy("band", "bkey").agg(min("doc_id").as("min_id"))
         val cand = banded.join(bucketMin, Seq("band", "bkey"))
@@ -284,13 +293,11 @@ object Dedup {
         val base = tbl(s, d, "documents")
           .select(col("source"), col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
           .filter(size(col("sh")) > 0)
-        val sig = (0 until MinHashes).foldLeft(base) { (df, i) =>
-          df.withColumn(s"mh$i", minhash(col("sh"), i))
-        }
+        val sig = base.withColumn("mhs", minhashSig(col("sh")))
         val banded = sig.select(
           col("source"), col("doc_id"),
           explode(array((0 until Bands).map(j =>
-            struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("bk"))
+            struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
           .select(col("source"), col("doc_id"),
             col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         // candidate id-pairs first (distinct across bands), THEN fetch the
@@ -340,13 +347,11 @@ object Dedup {
       (s, d) => {
         val docs = tbl(s, d, "documents")
           .select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
-        val sig = (0 until MinHashes).foldLeft(docs) { (df, i) =>
-          df.withColumn(s"mh$i", minhash(col("tk"), i))
-        }
+        val sig = docs.withColumn("mhs", minhashSig(col("tk")))
         val banded = sig.select(
           col("source"), col("doc_id"),
           explode(array((0 until Bands).map(j =>
-            struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("bk"))
+            struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
           .select(col("source"), col("doc_id"),
             col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         val cand = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))

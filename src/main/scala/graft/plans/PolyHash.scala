@@ -76,6 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.graftHash)
     ext.injectFunction(GraftExtensions.graftSimHash)
+    ext.injectFunction(GraftExtensions.graftMinHash)
   }
 }
 
@@ -90,6 +91,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
     (children: Seq[Expression]) => SimHash60(children.head))
 
+  val graftMinHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    (children: Seq[Expression]) => MinHashSig(children.head))
+
   /** Imperative registration for sessions we did not build (e.g. the
     * driver's t1 session calling SparkEntry.entry). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -97,5 +103,7 @@ object GraftExtensions {
       graftHash._1, graftHash._2, graftHash._3)
     spark.sessionState.functionRegistry.registerFunction(
       graftSimHash._1, graftSimHash._2, graftSimHash._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      graftMinHash._1, graftMinHash._2, graftMinHash._3)
   }
 }

@@ -46,6 +46,17 @@ class PolyHashSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native minhash signature equals the declarative per-hash folds on every document") {
+    import graft.operators.Dedup
+    val sig = Tables(spark, Sf0001, "documents")
+      .select(Dedup.tokHashes(col("text")).as("th"))
+      .select(col("th"), Dedup.minhashSig(col("th")).as("mhs"))
+    val anyDiff = (0 until Dedup.MinHashes)
+      .map(i => element_at(col("mhs"), i + 1) =!= Dedup.minhash(col("th"), i))
+      .reduce(_ || _)
+    assert(sig.filter(anyDiff).count() == 0)
+  }
+
   test("graft_simhash is SQL-callable and packs 60 bits") {
     GraftExtensions.register(spark)
     val r = spark.sql(
