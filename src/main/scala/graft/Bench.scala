@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: force codegen compilation, shuffle machinery, and
+    // the noop sink's commit path once, so the alphabetically-first query
+    // doesn't absorb several seconds of one-time JVM initialization.
+    spark.range(100000).selectExpr("id % 32 AS k", "id AS v")
+      .groupBy("k").count().write.format("noop").mode("overwrite").save()
     val only = args.toSet // optional: bench a subset, with plan dump
     if (only.nonEmpty) SparkEntry.queries.filterKeys(only).foreach { case (n, fn) =>
       System.err.println(s"=== $n\n" + fn(spark, sfDir).queryExecution.executedPlan.toString.take(8000))
