@@ -160,8 +160,14 @@ object Dedup {
     s"list_distinct(list_transform(range(1, greatest(len($th) - 1, 1)), i -> " +
       s"((($th[i]*31 + $th[i+1]) % $HashP)*31 + $th[i+2]) % $HashP))"
 
-  /** Exact Jaccard of two pre-distinct array columns. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Exact Jaccard of two pre-distinct array columns — native codegen
+    * expression (see [[graft.plans.JaccardSim]]; runs per candidate pair,
+    * millions of times in the exact-baseline queries). */
+  def jaccard(a: Column, b: Column): Column = graft.plans.JaccardSim.column(a, b)
+
+  /** Declarative (built-ins only) form — the parity witness for
+    * [[jaccard]] and the definition the DuckDB oracle mirrors. */
+  def jaccardDecl(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("long")
     round(inter.cast("double") / (size(a).cast("long") + size(b) - inter), 4)
   }

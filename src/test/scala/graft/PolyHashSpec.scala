@@ -57,6 +57,47 @@ class PolyHashSpec extends SparkSpec {
     assert(sig.filter(anyDiff).count() == 0)
   }
 
+  test("native jaccard equals the declarative form on real candidate pairs") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("source"), Dedup.tokHashes(col("text")).as("tk"))
+    val a = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
+    val b = docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb"))
+    val pairs = a.join(b, Seq("source")).filter(col("a") < col("b")).limit(20000)
+    val diff = pairs.select(
+      Dedup.jaccard(col("ta"), col("tb")).as("native"),
+      Dedup.jaccardDecl(col("ta"), col("tb")).as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(diff.count() == 0)
+  }
+
+  test("native jaccard edge cases: duplicates match array_intersect semantics; empty∪empty is null") {
+    import graft.operators.Dedup
+    val rows = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),          // 0 / 2
+      (Seq(1L, 1L, 2L), Seq(1L, 3L)),          // duplicate in left, raw sizes
+      (Seq(1L, 2L, 3L), Seq(3L, 2L, 1L))).toDF("x", "y")
+    val diff = rows.select(
+      Dedup.jaccard(col("x"), col("y")).as("native"),
+      Dedup.jaccardDecl(col("x"), col("y")).as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(diff.count() == 0)
+    // 0/0: the ANSI declarative form would raise DIVIDE_BY_ZERO; the
+    // native form is defensively null (inputs are never empty upstream)
+    val nullRow = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("native")).head()
+    assert(nullRow.isNullAt(0))
+    // string-array variant (the minhash-LSH verify path uses raw tokens)
+    val strRows = Seq(
+      (Seq("a", "b", "c"), Seq("c", "b", "x")),
+      (Seq("a", "a", "b"), Seq("a", "z"))).toDF("x", "y")
+    val strDiff = strRows.select(
+      Dedup.jaccard(col("x"), col("y")).as("native"),
+      Dedup.jaccardDecl(col("x"), col("y")).as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(strDiff.count() == 0)
+  }
+
   test("graft_simhash is SQL-callable and packs 60 bits") {
     GraftExtensions.register(spark)
     val r = spark.sql(
