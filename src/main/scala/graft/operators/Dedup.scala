@@ -465,4 +465,93 @@ object Dedup {
            |WHERE cosine >= 0.4 ORDER BY bucket, a, b""".stripMargin
       })
   )
+
+  // ------------------------------------------------------------------
+  // Incremental (cross-run / streaming) near-dup dedup
+  // ------------------------------------------------------------------
+
+  /** Dedup an ARRIVING batch of documents against a persistent LSH band
+    * index, instead of re-running corpus-wide dedup — the only shape that
+    * works at 100 TB, where the kept corpus is far too large to re-cluster
+    * per ingest cycle. Streaming analog of reference T7 (cross-run dedup
+    * vs a Valkey set, producer/fetch.go:155-173), generalized from
+    * exact-id equality to MinHash-LSH near-dup.
+    *
+    * The index is two parquet tables under `indexDir`:
+    *   - `bands/batch=N/`: (band, bkey, doc_id) — the LSH posting lists;
+    *   - `sigs/batch=N/`:  (doc_id, tk)        — token-hash sets for verify.
+    * Each call writes ONLY its own `batch=$batchId` subdirectories with
+    * mode=overwrite, so a replayed micro-batch (checkpoint recovery)
+    * rewrites the same paths and the index never duplicates: dedup output
+    * is idempotent per batch id.
+    *
+    * A new doc is dropped if it Jaccard-matches (>= threshold) any stored
+    * doc sharing a band key, or the minimum-id doc of one of its band
+    * buckets within the batch (the [[defs dedup_minhash_lsh]] keep-first
+    * approximation). Scale notes: every join here is an equi-join on the
+    * compact (band, bkey) key or on doc_id; the arriving batch is small
+    * relative to the index, so Spark broadcasts the batch side of the
+    * index probe; the stored side is touched only on colliding band keys
+    * (partition pruning on `band` would apply if the index were
+    * partitioned by band).
+    *
+    * Returns the kept rows of `batch` (all original columns). */
+  def incrementalNearDup(batch: org.apache.spark.sql.DataFrame, indexDir: String,
+      threshold: Double = 0.7, batchId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val spark = batch.sparkSession
+    val bandsDir = s"$indexDir/bands"
+    val sigsDir = s"$indexDir/sigs"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def readOrEmpty(dir: String, schemaDdl: String) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)).parquet(dir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    val storedBands = readOrEmpty(bandsDir, "band INT, bkey STRING, doc_id BIGINT")
+    val storedSigs = readOrEmpty(sigsDir, "doc_id BIGINT, tk ARRAY<BIGINT>")
+
+    val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
+      .withColumn("mhs", minhashSig(col("tk")))
+    val banded = withSig.select(
+      col("doc_id"),
+      explode(array((0 until Bands).map(j =>
+        struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val newSigs = withSig.select(col("doc_id"), col("tk"))
+
+    // vs the stored corpus: all colliding (new, stored) pairs, verified
+    val candOld = banded
+      .join(storedBands.select(col("band"), col("bkey"), col("doc_id").as("old_id")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select("doc_id", "old_id").distinct()
+    val droppedVsIndex = candOld
+      .join(newSigs, Seq("doc_id"))
+      .join(storedSigs.select(col("doc_id").as("old_id"), col("tk").as("tko")), Seq("old_id"))
+      .filter(jaccard(col("tk"), col("tko")) >= threshold)
+      .select("doc_id")
+
+    // within the batch: keep-first vs each bucket's min id
+    val bucketMin = banded.groupBy("band", "bkey").agg(min("doc_id").as("min_id"))
+    val droppedInBatch = banded.join(bucketMin, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("min_id"))
+      .select("doc_id", "min_id").distinct()
+      .join(newSigs, Seq("doc_id"))
+      .join(newSigs.select(col("doc_id").as("min_id"), col("tk").as("tkm")), Seq("min_id"))
+      .filter(jaccard(col("tk"), col("tkm")) >= threshold)
+      .select("doc_id")
+
+    val kept = batch.join(droppedVsIndex.union(droppedInBatch).distinct(),
+      Seq("doc_id"), "left_anti")
+    // Materialize before writing the index: the kept set must be decided
+    // against the PRE-batch index, not one the write below is mutating.
+    val keptOut = kept.localCheckpoint(true)
+    val keptIds = keptOut.select("doc_id")
+    banded.join(keptIds, Seq("doc_id"))
+      .select("band", "bkey", "doc_id")
+      .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+    newSigs.join(keptIds, Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$sigsDir/batch=$batchId")
+    keptOut
+  }
 }

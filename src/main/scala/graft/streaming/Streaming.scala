@@ -169,6 +169,25 @@ object Streaming {
         batch.collect().grouped(insertBatch).foreach(rows => writer(batchId, rows.toSeq))
       }
 
+  /** Streaming near-dup ingest: every micro-batch is deduped against the
+    * persistent LSH band index ([[graft.operators.Dedup.incrementalNearDup]])
+    * and the kept docs land under `keptDir/batch=N` — per-batch overwrite
+    * paths, so checkpoint-recovery replays rewrite rather than duplicate
+    * (idempotent at-least-once, the reference's true end-to-end contract).
+    * This is T7's cross-run dedup upgraded from exact post-id equality to
+    * MinHash-LSH near-dup — the arrival-time dedup a 100 TB training-data
+    * ingest needs (the kept corpus is never re-clustered, only probed). */
+  def nearDupIngest(stream: DataFrame, indexDir: String, keptDir: String,
+      checkpoint: String, threshold: Double = 0.7,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = graft.operators.Dedup.incrementalNearDup(batch, indexDir, threshold, batchId)
+        kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+      }
+
   /** Start a memory-sink query (testing aid; complete/update modes). */
   def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.operators.Dedup
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Top-level so Spark can derive an Encoder without an outer pointer. */
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+/** Incremental near-dup dedup: arriving docs probed against the
+  * persistent LSH band index (never re-clustering the kept corpus). */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  // Exact-duplicate token sets collide in every band (no LSH recall
+  // uncertainty in the test); `unique N` docs share no tokens with anyone.
+  private val alpha = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val beta = "completely different content about spark distributed execution and shuffles"
+
+  test("cross-batch and in-batch near-dups drop; novel docs pass; replay is idempotent") {
+    val root = Files.createTempDirectory("graft_inc_").toFile.getAbsolutePath
+    val index = s"$root/index"
+
+    // batch 0: doc 1 and its in-batch dup doc 2; novel doc 3
+    val b0 = Seq(Doc(1, alpha, t(1)), Doc(2, alpha, t(2)), Doc(3, beta, t(3))).toDF()
+    val kept0 = Dedup.incrementalNearDup(b0, index, 0.7, 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept0 == Set(1L, 3L), s"batch 0 kept $kept0")
+
+    // batch 1: doc 4 dups the STORED doc 1; doc 5 is novel
+    val gamma = "a third corpus entry mentioning catalyst optimizer rules and codegen stages"
+    val b1 = Seq(Doc(4, alpha, t(10)), Doc(5, gamma, t(11))).toDF()
+    val kept1 = Dedup.incrementalNearDup(b1, index, 0.7, 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(5L), s"batch 1 kept $kept1")
+
+    // replaying batch 1 (checkpoint recovery) rewrites batch=1 in place:
+    // same kept set, and the index holds each doc's signature exactly once
+    val keptReplay = Dedup.incrementalNearDup(b1, index, 0.7, 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptReplay == kept1, s"replay kept $keptReplay")
+    val sigIds = spark.read.parquet(s"$index/sigs").select("doc_id").as[Long].collect().toSeq
+    assert(sigIds.sorted == Seq(1L, 3L, 5L), s"index sigs $sigIds")
+  }
+
+  test("streaming nearDupIngest dedups across micro-batches through the sink") {
+    val root = Files.createTempDirectory("graft_incs_").toFile.getAbsolutePath
+    val ms = MemoryStream[Doc](spark)
+    // two adds → two micro-batches under AvailableNow
+    ms.addData(Seq(Doc(1, alpha, t(1)), Doc(2, beta, t(2))))
+    val q1 = Streaming.nearDupIngest(ms.toDF(), s"$root/index", s"$root/kept",
+      s"$root/ckpt", trigger = Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    ms.addData(Seq(Doc(3, alpha, t(10)), Doc(4, "entirely novel narrative about watermarks and state stores", t(11))))
+    val q2 = Streaming.nearDupIngest(ms.toDF(), s"$root/index", s"$root/kept",
+      s"$root/ckpt", trigger = Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val kept = spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 2L, 4L), s"kept $kept")
+  }
+}
