@@ -26,8 +26,13 @@ object Dedup {
 
   /** Per-token polynomial hashes of the distinct whitespace tokens.
     * Unordered (distinct-set ordering is engine-dependent) — use ONLY in
-    * order-insensitive folds: minhash (min), simhash (sum). */
-  def tokHashes(text: Column): Column =
+    * order-insensitive folds: minhash (min), simhash (sum). Native fused
+    * expression ([[graft.plans.TokHashes]]); [[tokHashesDecl]] is the
+    * parity witness. */
+  def tokHashes(text: Column): Column = graft.plans.TokHashes.column(text, distinct = true)
+
+  /** Declarative (built-ins + PolyHash) form of [[tokHashes]]. */
+  def tokHashesDecl(text: Column): Column =
     transform(toks(text), t => graft.plans.PolyHash.column(t))
 
   /** Same, DuckDB. `e` is the text expression. */
@@ -39,7 +44,10 @@ object Dedup {
 
   /** Token hashes in ORIGINAL text order (duplicates kept) — required for
     * anything order-sensitive, e.g. n-gram shingling. */
-  def tokHashesSeq(text: Column): Column =
+  def tokHashesSeq(text: Column): Column = graft.plans.TokHashes.column(text, distinct = false)
+
+  /** Declarative form of [[tokHashesSeq]] (parity witness). */
+  def tokHashesSeqDecl(text: Column): Column =
     transform(split(text, " "), t => graft.plans.PolyHash.column(t))
 
   def tokHashesSeqSql(e: String): String =

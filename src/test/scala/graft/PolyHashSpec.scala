@@ -98,6 +98,27 @@ class PolyHashSpec extends SparkSpec {
     assert(strDiff.count() == 0)
   }
 
+  test("native fused token-hashes equal the declarative chain on every document") {
+    import graft.operators.Dedup
+    val diff = Tables(spark, Sf0001, "documents")
+      .select(
+        Dedup.tokHashes(col("text")).as("nd"), Dedup.tokHashesDecl(col("text")).as("dd"),
+        Dedup.tokHashesSeq(col("text")).as("ns"), Dedup.tokHashesSeqDecl(col("text")).as("ds"))
+      .filter(col("nd") =!= col("dd") || col("ns") =!= col("ds"))
+    assert(diff.count() == 0)
+  }
+
+  test("native token-hashes edge cases: empty tokens, hash collisions dedup by string") {
+    import graft.operators.Dedup
+    // "a b" vs spacing edge cases; repeated tokens; leading/trailing spaces
+    val rows = Seq("", " ", "a  b ", "x x y x", "solo").toDF("text")
+    val diff = rows.select(
+      Dedup.tokHashes(col("text")).as("nd"), Dedup.tokHashesDecl(col("text")).as("dd"),
+      Dedup.tokHashesSeq(col("text")).as("ns"), Dedup.tokHashesSeqDecl(col("text")).as("ds"))
+      .filter(col("nd") =!= col("dd") || col("ns") =!= col("ds"))
+    assert(diff.count() == 0)
+  }
+
   test("graft_simhash is SQL-callable and packs 60 bits") {
     GraftExtensions.register(spark)
     val r = spark.sql(
