@@ -206,6 +206,42 @@ object Similarity {
               |  ${dotSql("embedding", "(SELECT e0 FROM q)")}
               |    / (${normSql("embedding")} * (SELECT n0 FROM q)) AS sim
               |FROM e WHERE vec_id <> 0 AND bucket = (SELECT qbucket FROM q)
-              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin))
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // Batch k-NN self-join: EVERY vector's top-3 same-bucket neighbors by
+    // exact cosine — the corpus-wide ANN operation a training pipeline
+    // runs (per-example nearest neighbors for dedup/curation), vs the
+    // single-query variants above. Candidates come from the LSH bucket
+    // equi-join (never O(n²)); ranking is a row_number window partitioned
+    // by vec_id, so the top-k shuffle partitions by vector — both sides
+    // scale with bucket collision counts, not corpus size².
+    "sim_knn_join" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding")).as("bucket"), normD(col("embedding")).as("nrm"))
+        val pairs = emb
+          .join(emb.select(col("bucket"), col("vec_id").as("nbr_id"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("bucket"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            (dotD(col("embedding"), col("eb")) / (col("nrm") * col("nb"))).as("cosine"))
+        val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+        pairs.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy("vec_id", "rnk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+              |    ${normSql("embedding")} AS nrm FROM embeddings),
+              |pairs AS (
+              |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+              |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+              |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+              |SELECT vec_id, nbr_id, cosine, rnk FROM (
+              |  SELECT vec_id, nbr_id, cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
+              |  FROM pairs)
+              |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin))
   )
 }
