@@ -43,6 +43,45 @@ class PropertySpec extends SparkSpec {
     }, minOk = 10) // each trial is a Spark job
   }
 
+  test("fused TokHashes equals split-distinct-hash model for arbitrary ASCII strings") {
+    check(Prop.forAll(asciiStr) { s =>
+      val toks = s.split(" ", -1).toSeq
+      val distinctModel = toks.distinct.map(PolyHash.hash)
+      val seqModel = toks.map(PolyHash.hash)
+      graft.plans.TokHashes.hashes(s, distinct = true).toLongArray().toSeq == distinctModel &&
+        graft.plans.TokHashes.hashes(s, distinct = false).toLongArray().toSeq == seqModel
+    })
+  }
+
+  test("native Jaccard kernel equals the set-arithmetic model for arbitrary long arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = Gen.listOf(Gen.choose(0L, 50L)) // small domain → real collisions
+    check(Prop.forAll(arr, arr) { (a, b) =>
+      val native = graft.plans.JaccardSim.simLong(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      val inter = (a.toSet & b.toSet).size.toLong
+      val denom = a.size.toLong + b.size - inter
+      if (denom == 0) native == null
+      else {
+        val model = java.math.BigDecimal.valueOf(inter.toDouble / denom)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        native != null && native.doubleValue() == model
+      }
+    })
+  }
+
+  test("native MinHash signature equals the per-hash min model for arbitrary long arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = Gen.nonEmptyListOf(Gen.choose(0L, Qh.HashP - 1))
+    check(Prop.forAll(arr) { a =>
+      val sig = graft.plans.MinHashSig.signature(new GenericArrayData(a.toArray)).toLongArray().toSeq
+      val model = (0 until graft.plans.MinHashSig.Hashes).map { j =>
+        a.map(h => (h * graft.plans.MinHashSig.A(j) + graft.plans.MinHashSig.B(j)) % Qh.HashP).min
+      }
+      sig == model
+    })
+  }
+
   test("Kafka wire round-trip is identity for arbitrary RawContent") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:09:58")
     val safe = Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty)
