@@ -21,7 +21,12 @@ object Verify {
     val root = new java.io.File(outDir)
     if (root.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // don't follow symlinks (delete the link itself), tolerate
+        // unlistable dirs (listFiles → null)
+        if (f.isDirectory && !Files.isSymbolicLink(f.toPath)) {
+          val children = f.listFiles()
+          if (children != null) children.foreach(rm)
+        }
         f.delete()
       }
       rm(root)

@@ -83,11 +83,9 @@ object Dedup {
     s"list_min(list_transform($th, mh -> (mh*$a + $b) % $HashP))"
   }
 
-  /** Band key of band j: the rows of the band joined as "m0:m1". */
-  def bandKey(j: Int): Column =
-    concat_ws(":", (0 until RowsPerBand).map(r => col(s"mh${j * RowsPerBand + r}")): _*)
-
-  /** Same, reading from a signature-array column ([[minhashSig]]). */
+  /** Band key of band j from a signature-array column ([[minhashSig]]):
+    * the rows of the band joined as "m0:m1". [[bandKeySql]] is the DuckDB
+    * mirror over per-hash mh$i columns. */
   def bandKeyOf(sig: Column, j: Int): Column =
     concat_ws(":", (0 until RowsPerBand).map(r => element_at(sig, j * RowsPerBand + r + 1)): _*)
 
@@ -509,12 +507,22 @@ object Dedup {
     val spark = batch.sparkSession
     val bandsDir = s"$indexDir/bands"
     val sigsDir = s"$indexDir/sigs"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    def readOrEmpty(dir: String, schemaDdl: String) =
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)).parquet(dir)
+    // Resolve the filesystem FROM the path: indexDir may live on a scheme
+    // other than fs.defaultFS (s3a vs hdfs vs file) on a real cluster.
+    def readOrEmpty(dir: String, schemaDdl: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // `batch` is the partition column of the per-micro-batch
+      // subdirectories; a REPLAYED batch must not probe against its own
+      // previously written rows (they would near-dup-match the very docs
+      // being re-decided and drop both members of a kept similar pair),
+      // so the current batch id is excluded from the stored view.
+      if (fs.exists(p))
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch BIGINT"))
+          .parquet(dir).filter(col("batch") =!= batchId).drop("batch")
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    }
     val storedBands = readOrEmpty(bandsDir, "band INT, bkey STRING, doc_id BIGINT")
     val storedSigs = readOrEmpty(sigsDir, "doc_id BIGINT, tk ARRAY<BIGINT>")
 

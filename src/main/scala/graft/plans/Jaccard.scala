@@ -20,11 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   *
   * Semantics are IDENTICAL to the declarative form
   * ([[graft.operators.Dedup.jaccardDecl]], spec-asserted) and the DuckDB
-  * oracle fragment: the intersection is counted over DISTINCT common
-  * elements (array_intersect semantics), sizes are the raw array lengths,
-  * and rounding is HALF_UP like Spark's `round`. Two empty arrays yield
-  * NULL defensively (the ANSI declarative form would raise
-  * DIVIDE_BY_ZERO; operator pipelines never produce empty token sets).
+  * oracle fragment FOR NULL-FREE ELEMENTS (all token/shingle producers
+  * declare containsNull=false; null elements here are skipped, whereas
+  * array_intersect would count a null shared by both sides): the
+  * intersection is counted over DISTINCT common elements, sizes are the
+  * raw array lengths, and rounding is HALF_UP like Spark's `round`. Two
+  * empty arrays yield NULL defensively (the ANSI declarative form would
+  * raise DIVIDE_BY_ZERO; operator pipelines never produce empty sets).
   */
 case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -51,10 +53,13 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isLongElems) "simLong" else "simObj"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |java.lang.Double gjRes = graft.plans.JaccardSim.$fn($a, $b);
-      |if (gjRes == null) { ${ev.isNull} = true; } else { ${ev.value} = gjRes.doubleValue(); }
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("gjRes")
+      s"""
+      |java.lang.Double $res = graft.plans.JaccardSim.$fn($a, $b);
+      |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.doubleValue(); }
+      |""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =

@@ -50,6 +50,55 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sigIds.sorted == Seq(1L, 3L, 5L), s"index sigs $sigIds")
   }
 
+  test("replay keeps a similar pair that survived the keep-first pass (no self-index probing)") {
+    // The hazard: B ~ C (>= threshold) share a band whose bucket min is a
+    // DISSIMILAR doc M — keep-first verifies B and C only against M, so
+    // both are kept and indexed. A replayed batch that probed its own
+    // indexed rows would then drop B against stored C AND C against
+    // stored B, losing both. Search deterministically (pure-JVM kernels)
+    // for such a triple: every band where B and C collide must also
+    // contain M.
+    import graft.plans.{MinHashSig, TokHashes, JaccardSim}
+    def bands(text: String): IndexedSeq[(Long, Long)] = {
+      val s = MinHashSig.signature(TokHashes.hashes(text, distinct = true)).toLongArray()
+      (0 until Dedup.Bands).map(j => (s(2 * j), s(2 * j + 1)))
+    }
+    // Search over deterministic pseudo-random corpora: vary the base set
+    // too — a fixed base can structurally block the configuration (e.g.
+    // when no band's argmin tokens are among M's shared tokens).
+    val found = (for {
+      seed <- (0 until 300).iterator
+      rnd = new scala.util.Random(seed)
+      ws = IndexedSeq.fill(60)((0 until (6 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      base = ws.take(10)
+      bTxt = base.mkString(" ")
+      bB = bands(bTxt)
+      i <- (0 until 20).iterator
+      cTxt = (base.take(9) :+ ws(10 + i)).mkString(" ")
+      bC = bands(cTxt)
+      shared = (0 until Dedup.Bands).filter(j => bB(j) == bC(j))
+      if shared.nonEmpty
+      k <- (0 until 30).iterator
+      mTxt = (base.take(2) ++ (0 until 8).map(x => ws(30 + (k + x) % 30) + s"x$k")).mkString(" ")
+      bM = bands(mTxt)
+      if shared.forall(j => bM(j) == bB(j))
+    } yield (bTxt, cTxt, mTxt)).take(1).toList.headOption
+    assert(found.nonEmpty, "no B/C/M triple found — widen the search space")
+    val (bTxt, cTxt, mTxt) = found.get
+    def jac(x: String, y: String): Double = JaccardSim.simLong(
+      TokHashes.hashes(x, distinct = true), TokHashes.hashes(y, distinct = true)).doubleValue()
+    assert(jac(bTxt, cTxt) >= 0.7 && jac(mTxt, bTxt) < 0.7 && jac(mTxt, cTxt) < 0.7)
+
+    val root = Files.createTempDirectory("graft_rep_").toFile.getAbsolutePath
+    val batch = Seq(Doc(1, mTxt, t(1)), Doc(2, bTxt, t(2)), Doc(3, cTxt, t(3))).toDF()
+    val kept0 = Dedup.incrementalNearDup(batch, s"$root/index", 0.7, 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept0 == Set(1L, 2L, 3L), s"first run kept $kept0")
+    val keptReplay = Dedup.incrementalNearDup(batch, s"$root/index", 0.7, 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptReplay == kept0, s"replay kept $keptReplay — self-index probing regressed")
+  }
+
   test("streaming nearDupIngest dedups across micro-batches through the sink") {
     val root = Files.createTempDirectory("graft_incs_").toFile.getAbsolutePath
     val ms = MemoryStream[Doc](spark)
