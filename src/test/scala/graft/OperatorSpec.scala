@@ -94,6 +94,32 @@ class OperatorSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-hostile joins in: ${offenders.mkString(", ")}")
   }
 
+  test("LSH banding recovers >=90% of exact Jaccard>=0.8 pairs (measured recall)") {
+    // Theoretical recall at J=0.8 with 4 bands x 2 rows: 1-(1-0.8^2)^4 ≈
+    // 0.983. Measure on real data: exact pairs from the all-pairs
+    // baseline (q28a relation), candidates from MinHash band collisions.
+    val docs = Tables(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("source"), Dedup.tokHashes(col("text")).as("tk"))
+      .withColumn("mhs", Dedup.minhashSig(col("tk")))
+    val exact = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
+      .join(docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb")), Seq("source"))
+      .filter(col("a") < col("b"))
+      .filter(Dedup.jaccard(col("ta"), col("tb")) >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs")
+    val banded = docs.select(col("source"), col("doc_id"),
+      explode(array((0 until Dedup.Bands).map(j =>
+        struct(lit(j).as("band"), Dedup.bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
+      .select(col("source"), col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("source", "band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    val recall = (exact & cand).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
   test("cosine top-k equals brute force on a second query vector") {
     val topk = Similarity.cosineTopK(spark, Sf0001, 7L, 3).select("vec_id").as[Long].collect().toSeq
     assert(topk.length == 3 && !topk.contains(7L))
