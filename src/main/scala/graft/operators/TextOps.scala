@@ -154,6 +154,36 @@ object TextOps {
              |      GROUP BY source) b ON a.source = b.source
              |ORDER BY a.source""".stripMargin)),
 
+    // Benchmark-contamination detection: corpus docs sharing any token-
+    // 3-gram shingle with an evaluation set (GPT-3-style n-gram overlap
+    // decontamination; the stand-in eval set is the deterministic
+    // doc_id % 97 == 0 slice). Scale shape: the eval set is tiny relative
+    // to a 100 TB corpus, so its exploded shingles BROADCAST; the corpus
+    // side streams through a broadcast hash join on the 8-byte shingle
+    // hash and the per-doc distinct-count shuffles on doc_id only for
+    // docs with at least one hit.
+    "text_contamination" -> QueryDef(
+      (s, d) => {
+        import Dedup.{shingles3, tokHashesSeq}
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        corpus.join(broadcast(bench), Seq("g"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_shared"), min(col("bench_id")).as("first_bench"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, ${Dedup.shingles3Sql(Dedup.tokHashesSeqSql("text"))} AS sh FROM documents),
+              |bench AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+              |corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+              |SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared,
+              |  MIN(b.bench_id) AS first_bench
+              |FROM corpus c JOIN bench b ON c.g = b.g
+              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
     // Lexicon sentiment scoring (reference T15, the VADER heritage of
     // models/analyzed_models.go:8) as pure column arithmetic — whole-stage
     // codegen, no UDF. No rounding anywhere: score = (p-n)/ntok and
