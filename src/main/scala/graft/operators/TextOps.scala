@@ -207,6 +207,51 @@ object TextOps {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Deterministic stratified sampling: per-source rates via the content
+    // fingerprint mod 100 — reproducible across runs/engines (no RNG),
+    // embarrassingly parallel (a pure filter, no shuffle before the
+    // ORDER BY), and stable under corpus growth: a doc's in/out decision
+    // never changes when other docs arrive. The curation op that carves
+    // training mixtures out of a 100 TB corpus.
+    "sample_stratified" -> QueryDef(
+      (s, d) => {
+        val rate = when(col("source").isin("src0", "src1"), 50).otherwise(10)
+        tbl(s, d, "documents")
+          .withColumn("h", pmod(strHash(col("text")), lit(100L)))
+          .filter(col("h") < rate)
+          .select(col("doc_id"), col("source"), col("h"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, source, h FROM (
+              |  SELECT doc_id, source, ${strHashSql("text")} % 100 AS h FROM documents)
+              |WHERE h < CASE WHEN source IN ('src0', 'src1') THEN 50 ELSE 10 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget shard packing: assign docs to shards of <= 2000
+    // whitespace tokens per (source) stream, in doc_id order — the
+    // sequence-packing step that turns a curated corpus into training
+    // shards. A running SUM window partitioned by source (parallel across
+    // sources; within a source the cumsum is the inherent sequential
+    // dependency) and integer division by the budget yields the shard id
+    // without any driver-side loop.
+    "shard_pack" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+          .withColumn("cum", sum(col("ntok")).over(w))
+          .withColumn("shard", ((col("cum") - 1L) / 2000L).cast("long"))
+          .select(col("source"), col("shard"), col("doc_id"), col("ntok"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT source, CAST((cum - 1) // 2000 AS BIGINT) AS shard, doc_id, ntok FROM (
+             |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM documents)
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // Sentiment aggregation per (source, label) — the serving-layer query
     // the reference stores results for (GET /tweets + Grafana dashboards).
     "text_sentiment_agg" -> QueryDef(
