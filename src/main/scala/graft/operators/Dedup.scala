@@ -89,6 +89,16 @@ object Dedup {
   def bandKeyOf(sig: Column, j: Int): Column =
     concat_ws(":", (0 until RowsPerBand).map(r => element_at(sig, j * RowsPerBand + r + 1)): _*)
 
+  /** Explode a signature column into one (band, bkey) posting row per
+    * band, carrying `keep` through — the single definition of LSH
+    * candidate-posting generation shared by every banded operator. */
+  def bandExplode(df: org.apache.spark.sql.DataFrame, sigCol: String, keep: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    df.select(keep.map(col) :+
+      explode(array((0 until Bands).map(j =>
+        struct(lit(j).as("band"), bandKeyOf(col(sigCol), j).as("bkey"))): _*)).as("bk"): _*)
+      .select(keep.map(col) :+ col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+
   def bandKeySql(j: Int): String =
     "concat_ws(':', " + (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ") + ")"
 
@@ -210,11 +220,7 @@ object Dedup {
         val base = docs
           .select(col("doc_id"), toks(col("text")).as("tk"), tokHashes(col("text")).as("th"))
         val sig = base.withColumn("mhs", minhashSig(col("th")))
-        val banded = sig.select(
-          col("doc_id"),
-          explode(array((0 until Bands).map(j =>
-            struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val banded = bandExplode(sig, "mhs", Seq("doc_id"))
         val bucketMin = banded.groupBy("band", "bkey").agg(min("doc_id").as("min_id"))
         val cand = banded.join(bucketMin, Seq("band", "bkey"))
           .filter(col("doc_id") > col("min_id"))
@@ -306,12 +312,7 @@ object Dedup {
           .select(col("source"), col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
           .filter(size(col("sh")) > 0)
         val sig = base.withColumn("mhs", minhashSig(col("sh")))
-        val banded = sig.select(
-          col("source"), col("doc_id"),
-          explode(array((0 until Bands).map(j =>
-            struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
-          .select(col("source"), col("doc_id"),
-            col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
         // candidate id-pairs first (distinct across bands), THEN fetch the
         // shingle arrays and compute Jaccard exactly once per pair
         val pairs = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
@@ -360,12 +361,7 @@ object Dedup {
         val docs = tbl(s, d, "documents")
           .select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
         val sig = docs.withColumn("mhs", minhashSig(col("tk")))
-        val banded = sig.select(
-          col("source"), col("doc_id"),
-          explode(array((0 until Bands).map(j =>
-            struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
-          .select(col("source"), col("doc_id"),
-            col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
         val cand = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
           .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
             Seq("source", "band", "bkey"))
@@ -528,11 +524,7 @@ object Dedup {
 
     val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
-    val banded = withSig.select(
-      col("doc_id"),
-      explode(array((0 until Bands).map(j =>
-        struct(lit(j).as("band"), bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
     val newSigs = withSig.select(col("doc_id"), col("tk"))
 
     // vs the stored corpus: all colliding (new, stored) pairs, verified

@@ -157,11 +157,12 @@ object TextOps {
     // Benchmark-contamination detection: corpus docs sharing any token-
     // 3-gram shingle with an evaluation set (GPT-3-style n-gram overlap
     // decontamination; the stand-in eval set is the deterministic
-    // doc_id % 97 == 0 slice). Scale shape: the eval set is tiny relative
-    // to a 100 TB corpus, so its exploded shingles BROADCAST; the corpus
-    // side streams through a broadcast hash join on the 8-byte shingle
-    // hash and the per-doc distinct-count shuffles on doc_id only for
-    // docs with at least one hit.
+    // doc_id % 97 == 0 slice). Scale shape: an equi-join on the 8-byte
+    // shingle hash; a real eval set is fixed-size, so AQE broadcasts it
+    // at runtime — no explicit broadcast() hint here, because THIS
+    // stand-in grows with the corpus (1/97 of it) and a forced broadcast
+    // would collect it to the driver at 100 TB. The per-doc
+    // distinct-count shuffles only docs with at least one hit.
     "text_contamination" -> QueryDef(
       (s, d) => {
         import Dedup.{shingles3, tokHashesSeq}
@@ -171,7 +172,7 @@ object TextOps {
           .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
           .select(col("doc_id"), explode(col("sh")).as("g"))
-        corpus.join(broadcast(bench), Seq("g"))
+        corpus.join(bench, Seq("g"))
           .groupBy("doc_id")
           .agg(countDistinct(col("g")).as("n_shared"), min(col("bench_id")).as("first_bench"))
           .orderBy("doc_id")
@@ -227,13 +228,16 @@ object TextOps {
               |WHERE h < CASE WHEN source IN ('src0', 'src1') THEN 50 ELSE 10 END
               |ORDER BY doc_id""".stripMargin)),
 
-    // Token-budget shard packing: assign docs to shards of <= 2000
-    // whitespace tokens per (source) stream, in doc_id order — the
-    // sequence-packing step that turns a curated corpus into training
-    // shards. A running SUM window partitioned by source (parallel across
+    // Greedy-cumsum shard packing: assign docs to ~2000-token shards per
+    // (source) stream, in doc_id order — the sequence-packing step that
+    // turns a curated corpus into training shards. Shard id =
+    // (cumsum-1) div budget with NO reset at boundaries: a doc straddling
+    // a boundary lands in the shard where it ENDS, so a shard holds at
+    // most budget + (max doc ntok - 1) tokens — approximate packing, the
+    // price of expressing it as one running-SUM window (parallel across
     // sources; within a source the cumsum is the inherent sequential
-    // dependency) and integer division by the budget yields the shard id
-    // without any driver-side loop.
+    // dependency) instead of a per-source sequential scan. Exact-cap
+    // packing would need stateful iteration (mapPartitions per source).
     "shard_pack" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy("source").orderBy("doc_id")

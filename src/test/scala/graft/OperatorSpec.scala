@@ -98,19 +98,16 @@ class OperatorSpec extends SparkSpec {
     // Theoretical recall at J=0.8 with 4 bands x 2 rows: 1-(1-0.8^2)^4 ≈
     // 0.983. Measure on real data: exact pairs from the all-pairs
     // baseline (q28a relation), candidates from MinHash band collisions.
+    // exact set = the registered all-pairs baseline; candidates = the
+    // shared band-explode helper — both reused so this test measures the
+    // very relation and posting generation the queries run
+    val exact = q("q28a_jaccard_pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs")
     val docs = Tables(spark, Sf0001, "documents")
       .select(col("doc_id"), col("source"), Dedup.tokHashes(col("text")).as("tk"))
       .withColumn("mhs", Dedup.minhashSig(col("tk")))
-    val exact = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
-      .join(docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb")), Seq("source"))
-      .filter(col("a") < col("b"))
-      .filter(Dedup.jaccard(col("ta"), col("tb")) >= 0.8)
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(exact.nonEmpty, "fixture has no exact near-dup pairs")
-    val banded = docs.select(col("source"), col("doc_id"),
-      explode(array((0 until Dedup.Bands).map(j =>
-        struct(lit(j).as("band"), Dedup.bandKeyOf(col("mhs"), j).as("bkey"))): _*)).as("bk"))
-      .select(col("source"), col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val banded = Dedup.bandExplode(docs, "mhs", Seq("source", "doc_id"))
     val cand = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
       .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
         Seq("source", "band", "bkey"))
