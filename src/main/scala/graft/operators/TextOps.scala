@@ -256,6 +256,55 @@ object TextOps {
              |  FROM documents)
              |ORDER BY source, doc_id""".stripMargin)),
 
+    // Exact-cap shard packing — the stateful counterpart of shard_pack:
+    // a doc that would overflow the current shard STARTS a new one, so a
+    // shard never exceeds the 2000-token budget unless a single document
+    // alone does. The within-source scan is inherently sequential, so
+    // this is the one legitimate mapPartitions operator in the library
+    // (SURVEY §7.3 "last resort"): repartition by source co-locates each
+    // source's stream, sortWithinPartitions makes it contiguous and
+    // ordered, and the per-partition pass keeps O(1) state. Parallelism
+    // = number of sources — the same bound the recursive dependency
+    // imposes on any engine. Oracle: recursive CTE with identical reset
+    // semantics.
+    "shard_pack_exact" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val docs = tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .as[(String, Long, Long)]
+        val packed = docs
+          .repartition(col("source"))
+          .sortWithinPartitions("source", "doc_id")
+          .mapPartitions { rows =>
+            var curSource: String = null
+            var cum = 0L
+            var shard = 0L
+            rows.map { case (src, id, ntok) =>
+              if (src != curSource) { curSource = src; cum = 0L; shard = 0L }
+              if (cum > 0 && cum + ntok > 2000L) { shard += 1; cum = 0L }
+              cum += ntok
+              (src, shard, id, ntok)
+            }
+          }
+        packed.toDF("source", "shard", "doc_id", "ntok").orderBy("source", "doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, ntok, rn, ntok AS cum, CAST(0 AS BIGINT) AS shard
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.source, t.doc_id, t.ntok, t.rn,
+             |    CASE WHEN r.cum + t.ntok > 2000 THEN t.ntok ELSE r.cum + t.ntok END,
+             |    CASE WHEN r.cum + t.ntok > 2000 THEN r.shard + 1 ELSE r.shard END
+             |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+             |SELECT source, shard, doc_id, ntok FROM r
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // Sentiment aggregation per (source, label) — the serving-layer query
     // the reference stores results for (GET /tweets + Grafana dashboards).
     "text_sentiment_agg" -> QueryDef(

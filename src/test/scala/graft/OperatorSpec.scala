@@ -117,6 +117,23 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("exact-cap shard packing resets at boundaries and never exceeds the budget") {
+    // sf0.01 sources total < 2000 tokens, so the oracle compare never
+    // crosses a shard boundary — drive the reset logic explicitly
+    val ntoks = Seq(1500, 600, 1400, 1, 3000, 10)
+    val docs = ntoks.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "s", Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_shard_").toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("shard_pack_exact")(spark, d)
+      .select("doc_id", "shard", "ntok").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 1L, 2L, 3L, 4L), s"shards ${out.toSeq}")
+    // cap invariant: a shard exceeds the budget only when a single doc does
+    val perShard = out.groupBy(_._2).values.map(g => (g.map(_._3).sum, g.length))
+    assert(perShard.forall { case (tot, n) => tot <= 2000 || n == 1 })
+  }
+
   test("cosine top-k equals brute force on a second query vector") {
     val topk = Similarity.cosineTopK(spark, Sf0001, 7L, 3).select("vec_id").as[Long].collect().toSeq
     assert(topk.length == 3 && !topk.contains(7L))
