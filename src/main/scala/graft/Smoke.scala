@@ -50,9 +50,9 @@ object Smoke {
     // Streaming throughput (BASELINE.md SLO row): push the sf0.1 events
     // table (100k rows) through the windowed aggregation as a file stream.
     val tDir = java.nio.file.Files.createTempDirectory("graft_rate_").toFile.getAbsolutePath
-    spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .write.mode("overwrite").json(s"$tDir/in")
-    val nRows = 100000L
+    val events = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    events.write.mode("overwrite").json(s"$tDir/in")
+    val nRows = events.count() // measure what was actually pushed
     val t0 = System.nanoTime()
     val q2 = graft.streaming.Streaming.tumblingCounts(
       graft.streaming.Streaming.jsonFileSource(spark, s"$tDir/in",

@@ -72,9 +72,16 @@ object Enrich {
     private def hits(t: Column, words: Set[String]): Column =
       size(filter(t, x => x.isin(words.toSeq.sorted: _*))).cast("double")
 
+    /** Tokens for the Column form: split on \s+ AND drop empty tokens —
+      * leading/trailing whitespace yields "" entries that the Scala
+      * scorer and the DuckDB fragments both exclude; counting them in
+      * the denominator would silently shift every score. */
+    private def tokCol(text: Column): Column =
+      filter(split(lower(text), "\\s+"), x => x =!= "")
+
     /** (score, label, confidence) columns over a text column. */
     def scoreCol(text: Column): Column = {
-      val t = split(lower(text), "\\s+")
+      val t = tokCol(text)
       val p = hits(t, Positive)
       val n = hits(t, Negative)
       val raw = when(size(t) === 0, 0.0).otherwise((p - n) / size(t))
@@ -85,7 +92,7 @@ object Enrich {
       when(scoreC > 0.05, "POSITIVE").when(scoreC < -0.05, "NEGATIVE").otherwise("NEUTRAL")
 
     def confidenceCol(text: Column): Column = {
-      val t = split(lower(text), "\\s+")
+      val t = tokCol(text)
       val p = hits(t, Positive)
       val n = hits(t, Negative)
       when(p + n === 0, 0.5).otherwise(abs(p - n) / (p + n))
@@ -96,9 +103,8 @@ object Enrich {
       val lst = words.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
       s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), tt -> tt <> ''), x -> list_contains($lst, x))) AS DOUBLE)"
     }
-    // NB: Spark split on \s+ never yields empty tokens mid-array for
-    // space-separated text; DuckDB string_split_regex matches. Both count
-    // over the same token multiset.
+    // NB: both engines drop empty tokens (leading/trailing whitespace)
+    // before counting, so the denominators agree on any input.
     def scoreSql: String = {
       val ntok = "len(list_filter(string_split_regex(lower(text), '\\s+'), tt -> tt <> ''))"
       s"greatest(-1.0, least(1.0, CASE WHEN $ntok = 0 THEN 0.0 ELSE (${hitsSql(Positive)} - ${hitsSql(Negative)}) / $ntok END))"

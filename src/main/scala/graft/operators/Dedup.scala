@@ -188,9 +188,14 @@ object Dedup {
     round(inter.cast("double") / (size(a).cast("long") + size(b) - inter), 4)
   }
 
+  /** The intersection is counted over DISTINCT elements (list_distinct on
+    * the probe side) to match Spark's array_intersect/JaccardSim: token-
+    * hash arrays CAN contain duplicate values — two distinct tokens
+    * colliding mod HashP keep both occurrences by design — and counting
+    * them twice would yield impossible jaccard values > 1. */
   def jaccardSql(a: String, b: String): String =
-    s"round(CAST(len(list_filter($a, jv -> list_contains($b, jv))) AS DOUBLE) / " +
-      s"(len($a) + len($b) - len(list_filter($a, jv -> list_contains($b, jv)))), 4)"
+    s"round(CAST(len(list_filter(list_distinct($a), jv -> list_contains($b, jv))) AS DOUBLE) / " +
+      s"(len($a) + len($b) - len(list_filter(list_distinct($a), jv -> list_contains($b, jv)))), 4)"
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -391,9 +396,14 @@ object Dedup {
           .localCheckpoint(true)
         var labels = edges.filter(col("self")).select(col("a").as("doc_id"), col("b").as("label"))
           .localCheckpoint(true)
+        // Loop to convergence — the oracle's recursive CTE computes the
+        // UNBOUNDED closure, so a round cap would diverge on long chains
+        // (eccentricity > cap). Rounds needed = max component propagation
+        // eccentricity, bounded by component size; 10k is a pure runaway
+        // guard, far past any real near-dup chain.
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < 15) {
+        while (changed > 0 && iter < 10000) {
           val next = edges
             .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
             .groupBy(col("a"))
@@ -527,11 +537,14 @@ object Dedup {
     val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
     val newSigs = withSig.select(col("doc_id"), col("tk"))
 
-    // vs the stored corpus: all colliding (new, stored) pairs, verified
+    // vs the stored corpus: all colliding (new, stored) pairs, verified.
+    // No doc_id self-exclusion: a doc RE-DELIVERED in a later batch
+    // (at-least-once sources) must match its own stored copy and drop —
+    // that is exactly the reference's T7 cross-run dedup. Same-batch
+    // replay is already excluded via the batch partition column above.
     val candOld = banded
       .join(storedBands.select(col("band"), col("bkey"), col("doc_id").as("old_id")),
         Seq("band", "bkey"))
-      .filter(col("doc_id") =!= col("old_id"))
       .select("doc_id", "old_id").distinct()
     val droppedVsIndex = candOld
       .join(newSigs, Seq("doc_id"))

@@ -38,10 +38,17 @@ object Skew {
     * the fact gets a deterministic salt in [0, n); the dim is replicated n
     * times; the join key becomes (key, salt), spreading each hot key over
     * n reducers. Row multiplicity is unchanged (each fact row matches
-    * exactly its original dim rows, in exactly one salt bucket).
+    * exactly its original dim rows, in exactly one salt bucket) — for
+    * inner and left joins ONLY: an unmatched dim row exists in all n salt
+    * replicas, so right/full outer would emit it n times. Such joins
+    * need a different decomposition and are rejected here.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltFrom: Column,
       n: Int, joinType: String = "inner"): DataFrame = {
+    val ok = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(ok(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves multiplicity only for inner/left join types, got '$joinType': " +
+        "an unmatched dim row would be emitted once per salt replica")
     val saltedFact = fact.withColumn("__salt", pmod(hash(saltFrom), lit(n)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))

@@ -44,7 +44,10 @@ object Pipelines {
       .filter(length(trim(col("post_content"))) > 0)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("topic", "id").orderBy("created_at")))
+          .partitionBy("topic", "id")
+          // content tiebreak: equal-timestamp duplicates must keep the
+          // SAME row every run, or downstream text/scoring output flaps
+          .orderBy(col("created_at"), col("post_content"))))
       .filter(col("rn") === 1)
       .select(
         sha2(concat_ws(":", col("topic"), lit("reddit"), col("id")), 256).as("content_id"),

@@ -53,8 +53,13 @@ object Sources {
     * (producer/fetch.go:155-173) and the write discipline that makes
     * at-least-once streaming delivery exactly-once-by-key at the store. */
   def upsertWithTtl(df: DataFrame, table: String, pk: String, ttlHours: Int = 24): Unit = {
+    // Existence via the path's OWN filesystem (s3a/hdfs/file) — a
+    // java.io.File check is always false off the local disk, which would
+    // silently skip the anti-join and degrade upsert to plain append.
+    val p = new org.apache.hadoop.fs.Path(table)
+    val exists = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
     val fresh =
-      if (new java.io.File(table).exists()) {
+      if (exists) {
         val existing = readCurrent(df.sparkSession, table, pk).select(pk)
         df.join(existing, Seq(pk), "left_anti")
       } else df

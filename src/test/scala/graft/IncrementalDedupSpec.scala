@@ -50,6 +50,19 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sigIds.sorted == Seq(1L, 3L, 5L), s"index sigs $sigIds")
   }
 
+  test("a doc re-delivered in a LATER batch drops against its own stored copy") {
+    // at-least-once sources re-send; cross-run dedup (reference T7) must
+    // treat the re-delivery as a duplicate of the stored copy even though
+    // doc_id is identical
+    val root = Files.createTempDirectory("graft_redeliver_").toFile.getAbsolutePath
+    val b0 = Seq(Doc(1, alpha, t(1))).toDF()
+    assert(Dedup.incrementalNearDup(b0, s"$root/index", 0.7, 0L).count() == 1)
+    val b1 = Seq(Doc(1, alpha, t(10)), Doc(2, beta, t(11))).toDF()
+    val kept1 = Dedup.incrementalNearDup(b1, s"$root/index", 0.7, 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(2L), s"batch 1 kept $kept1 — redelivered doc 1 must drop")
+  }
+
   test("replay keeps a similar pair that survived the keep-first pass (no self-index probing)") {
     // The hazard: B ~ C (>= threshold) share a band whose bucket min is a
     // DISSIMILAR doc M — keep-first verifies B and C only against M, so
