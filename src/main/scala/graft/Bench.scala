@@ -24,7 +24,7 @@ object Bench {
     spark.range(100000).selectExpr("id % 32 AS k", "id AS v")
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
     val only = args.toSet // optional: bench a subset, with plan dump
-    if (only.nonEmpty) SparkEntry.queries.filterKeys(only).foreach { case (n, fn) =>
+    if (only.nonEmpty) SparkEntry.queries.view.filterKeys(only).foreach { case (n, fn) =>
       System.err.println(s"=== $n\n" + fn(spark, sfDir).queryExecution.executedPlan.toString.take(8000))
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -65,7 +65,7 @@ object Multimodal {
       }
     override def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
       val scale = math.min(1.0,
-        (w.toLong * h) / math.max(1.0, r.meta.width.toLong * r.meta.height))
+        (w.toLong * h).toDouble / math.max(1.0, (r.meta.width.toLong * r.meta.height).toDouble))
       r.copy(
         bytes = r.bytes.take(math.max(1, (r.bytes.length * scale).toInt)),
         meta = r.meta.copy(width = w, height = h))

@@ -87,7 +87,7 @@ object Sources {
     * offline tests. */
   def toWire(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** T1 — parse Kafka wire rows back to typed columns; malformed value →
     * null struct, dropped (drop-on-parse-failure,

@@ -118,7 +118,7 @@ object Streaming {
     val keyed = df
       .withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("string").as("k"),
-        to_json(struct(df.columns.map(col): _*)).as("payload"),
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("payload"),
         col(tsCol).as("event_ts"))
       .as[(String, String, java.sql.Timestamp)]
     keyed
