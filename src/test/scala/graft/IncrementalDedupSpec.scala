@@ -112,6 +112,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(keptReplay == kept0, s"replay kept $keptReplay — self-index probing regressed")
   }
 
+  test("curation e2e: streamed near-dup ingest feeds the registered curation queries") {
+    // the full training-data shape: arrive → near-dup drop → kept corpus
+    // → quality score / stratified sample / shard-pack via the SAME
+    // registered operators the oracle gate checks
+    val root = Files.createTempDirectory("graft_cur_").toFile.getAbsolutePath
+    val texts = (0 until 30).map(i => s"document number $i with content token$i filler words here")
+    val docs = texts.zipWithIndex.map { case (txt, i) => Doc(i.toLong, txt, t(i % 50)) } ++
+      Seq(Doc(100, texts(0), t(40)), Doc(101, texts(1), t(41))) // exact near-dups
+    val b = docs.toDF()
+    val kept = graft.operators.Dedup.incrementalNearDup(b, s"$root/index", 0.7, 0L)
+    assert(kept.count() == 30, "near-dups must drop, originals kept")
+    kept.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .select("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$root/corpus/documents.parquet")
+    val quality = SparkEntry.queries("text_quality")(spark, s"$root/corpus")
+    assert(quality.count() == 30)
+    val sampled = SparkEntry.queries("sample_stratified")(spark, s"$root/corpus")
+    assert(sampled.count() > 0 && sampled.count() < 30)
+    val shards = SparkEntry.queries("shard_pack_exact")(spark, s"$root/corpus")
+    assert(shards.count() == 30)
+    assert(shards.groupBy("shard").agg(sum("ntok").as("tot"))
+      .filter(col("tot") > 2000).count() == 0)
+  }
+
   test("streaming nearDupIngest dedups across micro-batches through the sink") {
     val root = Files.createTempDirectory("graft_incs_").toFile.getAbsolutePath
     val ms = MemoryStream[Doc](spark)
