@@ -397,23 +397,33 @@ object Dedup {
         var labels = edges.filter(col("self")).select(col("a").as("doc_id"), col("b").as("label"))
           .localCheckpoint(true)
         // Loop to convergence — the oracle's recursive CTE computes the
-        // UNBOUNDED closure, so a round cap would diverge on long chains
-        // (eccentricity > cap). Rounds needed = max component propagation
-        // eccentricity, bounded by component size; 10k is a pure runaway
-        // guard, far past any real near-dup chain.
+        // UNBOUNDED closure, so a round cap would diverge on long chains.
+        // Each round combines neighbor-min propagation with POINTER
+        // JUMPING (label := min(label, label(label))), so chains converge
+        // in O(log eccentricity) rounds, not O(eccentricity) — a
+        // 10k-link drift chain needs ~14 rounds, not 10k sequential
+        // jobs. The cap is a pure runaway guard and exits LOUDLY.
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < 10000) {
-          val next = edges
+        while (changed > 0 && iter < 64) {
+          val nbr = edges
             .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
             .groupBy(col("a"))
             .agg(min(col("lb")).as("label"), max(when(col("self"), col("lb"))).as("old"))
+          val next = nbr
+            .join(nbr.select(col("a").as("jid"), col("label").as("jlb")),
+              nbr("label") === col("jid"), "left")
+            .select(nbr("a"), least(nbr("label"), coalesce(col("jlb"), nbr("label"))).as("label"),
+              col("old"))
             .localCheckpoint(true)
           changed = next.filter(col("label") =!= col("old")).count()
           labels.unpersist(blocking = false) // free the superseded round's blocks
           labels = next.select(col("a").as("doc_id"), col("label"))
           iter += 1
         }
+        if (changed > 0)
+          System.err.println(s"[dedup_cluster] WARNING: iteration cap hit with $changed labels " +
+            "still changing — clusters may be unconverged (pathological component shape)")
         edges.unpersist(blocking = false)
         docs.select(col("doc_id"))
           .join(labels, Seq("doc_id"), "left")
@@ -516,14 +526,12 @@ object Dedup {
     // Resolve the filesystem FROM the path: indexDir may live on a scheme
     // other than fs.defaultFS (s3a vs hdfs vs file) on a real cluster.
     def readOrEmpty(dir: String, schemaDdl: String) = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // `batch` is the partition column of the per-micro-batch
       // subdirectories; a REPLAYED batch must not probe against its own
       // previously written rows (they would near-dup-match the very docs
       // being re-decided and drop both members of a kept similar pair),
       // so the current batch id is excluded from the stored view.
-      if (fs.exists(p))
+      if (graft.sources.Sources.fsExists(spark, dir))
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch BIGINT"))
           .parquet(dir).filter(col("batch") =!= batchId).drop("batch")
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -45,7 +45,7 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltFrom: Column,
       n: Int, joinType: String = "inner"): DataFrame = {
-    val ok = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    val ok = Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti", "cross")
     require(ok(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin preserves multiplicity only for inner/left join types, got '$joinType': " +
         "an unmatched dim row would be emitted once per salt replica")

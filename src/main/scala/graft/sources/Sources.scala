@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** Path existence via the path's OWN filesystem (s3a/hdfs/file) — a
+    * java.io.File check is always false off the local disk. Shared by
+    * every table/index existence probe in the library. */
+  def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** S1/S2 — NewsAPI-shaped headline source: fixed schema (never
     * inferred), one JSON-lines file or directory; the reference's own
     * offline path reads `./data/newsapi.json`
@@ -53,13 +61,10 @@ object Sources {
     * (producer/fetch.go:155-173) and the write discipline that makes
     * at-least-once streaming delivery exactly-once-by-key at the store. */
   def upsertWithTtl(df: DataFrame, table: String, pk: String, ttlHours: Int = 24): Unit = {
-    // Existence via the path's OWN filesystem (s3a/hdfs/file) — a
-    // java.io.File check is always false off the local disk, which would
-    // silently skip the anti-join and degrade upsert to plain append.
-    val p = new org.apache.hadoop.fs.Path(table)
-    val exists = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+    // fsExists: a local-File check would silently skip the anti-join and
+    // degrade upsert to plain append on non-local schemes
     val fresh =
-      if (exists) {
+      if (fsExists(df.sparkSession, table)) {
         val existing = readCurrent(df.sparkSession, table, pk).select(pk)
         df.join(existing, Seq(pk), "left_anti")
       } else df
