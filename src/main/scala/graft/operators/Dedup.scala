@@ -492,6 +492,25 @@ object Dedup {
   // Incremental (cross-run / streaming) near-dup dedup
   // ------------------------------------------------------------------
 
+  /** bkey hash buckets the persistent band index is partitioned by
+    * (together with `band`): a small probe batch reads only the (band, kb)
+    * partitions its own keys hash to instead of scanning every posting.
+    * 16 buckets x 4 bands = 64 directories per ingested batch — coarse
+    * enough to avoid a small-file explosion at streaming cadence, fine
+    * enough that a one-doc probe touches <= 4 of 64 partitions. */
+  val KbBuckets = 16
+
+  /** Partition bucket of a band key. */
+  def kbOf(bkey: Column): Column = pmod(strHash(bkey), lit(KbBuckets.toLong)).cast("int")
+
+  /** Static partition-prune predicate over the (band, kb) partition
+    * columns — an OR of exact pairs, the form the parquet source folds
+    * into `PartitionFilters`. `pairs` is bounded by Bands*KbBuckets (64),
+    * so collecting it to the driver is an O(1)-sized aggregate. */
+  def bandPrunePredicate(pairs: Seq[(Int, Int)]): Column =
+    pairs.map { case (bd, k) => col("band") === bd && col("kb") === k }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
   /** Dedup an ARRIVING batch of documents against a persistent LSH band
     * index, instead of re-running corpus-wide dedup — the only shape that
     * works at 100 TB, where the kept corpus is far too large to re-cluster
@@ -513,9 +532,11 @@ object Dedup {
     * approximation). Scale notes: every join here is an equi-join on the
     * compact (band, bkey) key or on doc_id; the arriving batch is small
     * relative to the index, so Spark broadcasts the batch side of the
-    * index probe; the stored side is touched only on colliding band keys
-    * (partition pruning on `band` would apply if the index were
-    * partitioned by band).
+    * index probe. The bands index is PARTITIONED by (band, kb) — kb a
+    * [[KbBuckets]]-way hash bucket of bkey — and the probe statically
+    * filters on the exact (band, kb) pairs present in the arriving batch,
+    * so a small probe reads only the index partitions its own keys hash
+    * to (PartitionFilters on the scan), never the whole index.
     *
     * Returns the kept rows of `batch` (all original columns). */
   def incrementalNearDup(batch: org.apache.spark.sql.DataFrame, indexDir: String,
@@ -537,13 +558,21 @@ object Dedup {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     }
-    val storedBands = readOrEmpty(bandsDir, "band INT, bkey STRING, doc_id BIGINT")
+    val storedBands = readOrEmpty(bandsDir, "band INT, bkey STRING, doc_id BIGINT, kb INT")
     val storedSigs = readOrEmpty(sigsDir, "doc_id BIGINT, tk ARRAY<BIGINT>")
 
     val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
     val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
+      .withColumn("kb", kbOf(col("bkey")))
     val newSigs = withSig.select(col("doc_id"), col("tk"))
+
+    // Prune the stored index scan to the exact (band, kb) partitions the
+    // probe can hit — kb is a pure function of bkey, so dropping every
+    // other partition cannot lose a join match. The pair set is <= 64
+    // values (Bands x KbBuckets); collecting it is a tiny aggregate.
+    val probePairs = banded.select("band", "kb").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
 
     // vs the stored corpus: all colliding (new, stored) pairs, verified.
     // No doc_id self-exclusion: a doc RE-DELIVERED in a later batch
@@ -551,7 +580,8 @@ object Dedup {
     // that is exactly the reference's T7 cross-run dedup. Same-batch
     // replay is already excluded via the batch partition column above.
     val candOld = banded
-      .join(storedBands.select(col("band"), col("bkey"), col("doc_id").as("old_id")),
+      .join(storedBands.filter(bandPrunePredicate(probePairs))
+        .select(col("band"), col("bkey"), col("doc_id").as("old_id")),
         Seq("band", "bkey"))
       .select("doc_id", "old_id").distinct()
     val droppedVsIndex = candOld
@@ -577,8 +607,9 @@ object Dedup {
     val keptOut = kept.localCheckpoint(true)
     val keptIds = keptOut.select("doc_id")
     banded.join(keptIds, Seq("doc_id"))
-      .select("band", "bkey", "doc_id")
-      .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+      .select("bkey", "doc_id", "band", "kb")
+      .write.partitionBy("band", "kb")
+      .mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
     newSigs.join(keptIds, Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$sigsDir/batch=$batchId")
     keptOut

@@ -159,14 +159,23 @@ object Streaming {
     * rows (reference DB write chunking, 25, utils/batching.go:11) through
     * an arbitrary writer. Batch-id based idempotence: the writer receives
     * (batchId, rows) and must upsert by key — at-least-once + idempotent =
-    * the reference's true end-to-end contract. */
+    * the reference's true end-to-end contract.
+    *
+    * The writer runs ON EXECUTORS, one invocation per `insertBatch` rows
+    * per partition (it must be serializable and carry/open its own client
+    * connection, the standard foreachPartition contract). The micro-batch
+    * is never collected to the driver — a large batch at 100 TB-ingest
+    * rates would OOM a driver-side sink. */
   def foreachBatchSink(df: DataFrame, checkpoint: String, insertBatch: Int = 25)(
       writer: (Long, Seq[org.apache.spark.sql.Row]) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(DefaultTrigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.collect().grouped(insertBatch).foreach(rows => writer(batchId, rows.toSeq))
+        val (n, w) = (insertBatch, writer) // serialize only what the task needs
+        batch.rdd.foreachPartition { it =>
+          it.grouped(n).foreach(rows => w(batchId, rows.toSeq))
+        }
       }
 
   /** Streaming near-dup ingest: every micro-batch is deduped against the

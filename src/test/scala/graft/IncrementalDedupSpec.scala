@@ -112,6 +112,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(keptReplay == kept0, s"replay kept $keptReplay — self-index probing regressed")
   }
 
+  test("bands index is partitioned by (band, kb); the probe prunes to its own partitions") {
+    val root = Files.createTempDirectory("graft_prune_").toFile.getAbsolutePath
+    val index = s"$root/index"
+    val b0 = Seq(Doc(1, alpha, t(1)), Doc(3, beta, t(3))).toDF()
+    Dedup.incrementalNearDup(b0, index, 0.7, 0L).count()
+
+    // physical layout: bands/batch=0/band=B/kb=K/
+    val batchDir = new java.io.File(s"$index/bands/batch=0")
+    val bandDirs = batchDir.listFiles().filter(_.isDirectory).toSeq
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.getName.startsWith("band=")),
+      s"expected band= partition dirs, got ${bandDirs.map(_.getName)}")
+    assert(bandDirs.forall(_.listFiles().filter(_.isDirectory)
+      .forall(_.getName.startsWith("kb="))), "expected kb= subdirs under band=")
+
+    // the probe's static (band, kb) predicate must reach the scan as
+    // PartitionFilters (partition pruning), not a post-scan Filter
+    val stored = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "band INT, bkey STRING, doc_id BIGINT, kb INT, batch BIGINT"))
+      .parquet(s"$index/bands")
+    val probe = stored.filter(Dedup.bandPrunePredicate(Seq((0, 0), (1, 3))))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("band"),
+      s"probe predicate must prune partitions:\n$plan")
+  }
+
   test("curation e2e: streamed near-dup ingest feeds the registered curation queries") {
     // the full training-data shape: arrive → near-dup drop → kept corpus
     // → quality score / stratified sample / shard-pack via the SAME

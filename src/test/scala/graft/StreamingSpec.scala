@@ -12,6 +12,15 @@ import org.apache.spark.sql.streaming.Trigger
 /** Top-level so Spark can derive an Encoder without an outer pointer. */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Collects foreachBatchSink writer payloads. A singleton so the closure
+  * shipped to executors and the asserting test observe the same state
+  * (local mode: one JVM; object fields deserialize by module reference). */
+object SinkProbe {
+  val chunks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+  def record(batchId: Long, ids: Seq[Long]): Unit = chunks.add((batchId, ids))
+  def clear(): Unit = chunks.clear()
+}
+
 /** SQ1–SQ10: batch-vs-stream equivalence, watermark dedup/late-drop,
   * router fan-out, checkpoint kill/recover without duplicates. */
 class StreamingSpec extends SparkSpec {
@@ -109,6 +118,23 @@ class StreamingSpec extends SparkSpec {
     run() // resume
     val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
     assert(ids == events.map(_.event_id).sorted.toSeq, "each event exactly once across restart")
+  }
+
+  test("K3/K4 foreachBatchSink: writer runs per-partition on executors, every row once, chunks capped") {
+    SinkProbe.clear()
+    val dir = Files.createTempDirectory("graft_fbs_").toFile.getAbsolutePath
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(events)
+    val q = Streaming.foreachBatchSink(ms.toDF(), s"$dir/ckpt", insertBatch = 2) {
+      (batchId, rows) => SinkProbe.record(batchId, rows.map(_.getAs[Long]("event_id")))
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val chunks = SinkProbe.chunks.asScala.toSeq
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_._2.size <= 2), "DB write chunking respects insertBatch (reference: 25)")
+    assert(chunks.flatMap(_._2).sorted == events.map(_.event_id).sorted,
+      "each row delivered to the writer exactly once")
   }
 
   test("SQ3 late data beyond the watermark is dropped from the aggregate") {
