@@ -14,25 +14,43 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase (salted) sum-like aggregation: groupBy(key, salt) computes
-    * partial aggregates in parallel across `n` reducers per key, then a
-    * second tiny shuffle on `key` merges the partials. Correct for any
-    * algebraic aggregate expressed as (partial, merge) column pairs.
+  /** One salted aggregate: output name, partial expression (phase 1,
+    * per (key, salt) group), and the merge applied to the partial column
+    * in phase 2 (per key). The pair must be algebraic: merge(partials) ==
+    * aggregate(all rows) — e.g. (sum, sum), (count, sum), (min, min),
+    * (max, max). Non-decomposable aggregates (median, count-distinct)
+    * have no such pair; use approx sketches instead. */
+  final case class SaltedAgg(name: String, partial: Column, merge: Column => Column)
+
+  /** Two-phase (salted) aggregation: groupBy(key, salt) computes partial
+    * aggregates in parallel across `n` reducers per key, then a second
+    * tiny shuffle on `key` merges the partials with each aggregate's own
+    * merge function.
     *
     * At scale: the first shuffle spreads a hot key over n partitions; the
     * second shuffle moves only #keys × n rows.
     */
-  def saltedSum(df: DataFrame, key: Seq[String], saltFrom: Column, n: Int,
-      sums: (String, Column)*): DataFrame = {
+  def saltedAgg(df: DataFrame, key: Seq[String], saltFrom: Column, n: Int,
+      aggs: SaltedAgg*): DataFrame = {
     val salted = df.withColumn("__salt", pmod(hash(saltFrom), lit(n)))
     val partial = salted
       .groupBy((key :+ "__salt").map(col): _*)
-      .agg(sums.head._2.as(sums.head._1), sums.tail.map { case (a, c) => c.as(a) }: _*)
+      .agg(aggs.head.partial.as(aggs.head.name),
+        aggs.tail.map(a => a.partial.as(a.name)): _*)
     partial
       .groupBy(key.map(col): _*)
-      .agg(sum(col(sums.head._1)).as(sums.head._1),
-        sums.tail.map { case (a, _) => sum(col(a)).as(a) }: _*)
+      .agg(aggs.head.merge(col(aggs.head.name)).as(aggs.head.name),
+        aggs.tail.map(a => a.merge(col(a.name)).as(a.name)): _*)
   }
+
+  /** [[saltedAgg]] specialized to SUM-MERGEABLE partials ONLY (sum,
+    * count — anything whose partials combine by addition). A min/max/avg
+    * partial passed here would be merged wrong; use [[saltedAgg]] with an
+    * explicit merge for those. */
+  def saltedSum(df: DataFrame, key: Seq[String], saltFrom: Column, n: Int,
+      sums: (String, Column)*): DataFrame =
+    saltedAgg(df, key, saltFrom, n,
+      sums.map { case (a, c) => SaltedAgg(a, c, sum(_)) }: _*)
 
   /** Salted join of a skewed fact side against a non-broadcastable dim:
     * the fact gets a deterministic salt in [0, n); the dim is replicated n
@@ -54,4 +72,55 @@ object Skew {
       explode(sequence(lit(0), lit(n - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  import graft.{QueryDef, Qh}
+  import Qh._
+
+  /** Oracle-gated skew queries over `events` — event_type has only 5
+    * distinct values for ~1M rows/SF, the exact one-hot-reducer shape
+    * salting exists for. The oracle is the PLAIN (unsalted) SQL: salting
+    * is a pure execution-strategy rewrite and must be result-invisible. */
+  val defs: Seq[(String, QueryDef)] = Seq(
+    // Salted two-phase aggregate with heterogeneous merges (sum-merged
+    // count/sum + min/max-merged extremes). Exact integer cents: `value`
+    // carries 2 decimals, so sums are order-independent and bit-identical
+    // to DuckDB's.
+    "skew_salted_agg" -> QueryDef(
+      (s, d) =>
+        saltedAgg(tbl(s, d, "events"), Seq("event_type"), col("event_id"), 8,
+          SaltedAgg("n", count(lit(1)), sum(_)),
+          SaltedAgg("sum_cents", sum(cents(col("value"))), sum(_)),
+          SaltedAgg("min_cents", min(cents(col("value"))), min(_)),
+          SaltedAgg("max_cents", max(cents(col("value"))), max(_)))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents,
+             |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
+             |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Salted aggregation over the 5-value event_type key; " +
+        "plan spreads each key over 8 salt buckets before merging"),
+
+    // Salted fact×dim join on the same hot key, then a per-key rollup so
+    // the oracle result is compact. The dim (5 rows) would of course
+    // broadcast in practice — the query exists to oracle-check the salted
+    // REWRITE's row multiplicity, which is broadcast-independent.
+    "skew_salted_join" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("weight", length(col("event_type")).cast("long"))
+        saltedJoin(ev, dim, "event_type", col("event_id"), 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("weight")).as("w_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS weight
+             |  FROM events)
+             |SELECT e.event_type, count(*) AS n, sum(d.weight) AS w_sum
+             |FROM events e JOIN dim d USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+      doc = "Salted join: fact salted in [0,8), dim replicated 8x; " +
+        "multiplicity-preserving for inner/left joins"))
 }

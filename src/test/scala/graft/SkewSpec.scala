@@ -36,4 +36,29 @@ class SkewSpec extends SparkSpec {
       .filter(col("k") === "HOT").select("__salt").distinct().count()
     assert(salts == 8, "deterministic salt must use all buckets")
   }
+
+  test("saltedAgg with min/max merges equals direct aggregation") {
+    val direct = skewed.groupBy("k")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), avg(col("v")).as("av"))
+      .orderBy("k").collect().toSeq
+    // avg is not sum-mergeable: decompose as merged-sum / merged-count
+    val salted = Skew.saltedAgg(skewed, Seq("k"), col("id"), 8,
+        Skew.SaltedAgg("mn", min(col("v")), min(_)),
+        Skew.SaltedAgg("mx", max(col("v")), max(_)),
+        Skew.SaltedAgg("sv", sum(col("v")), sum(_)),
+        Skew.SaltedAgg("n", count(lit(1)), sum(_)))
+      .select(col("k"), col("mn"), col("mx"), (col("sv") / col("n")).as("av"))
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("registered skew_salted_agg: first shuffle partitions on (key, salt)") {
+    val df = SparkEntry.queries("skew_salted_agg")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val firstExchange = plan.split("\n").filter(_.contains("hashpartitioning")).lastOption
+    // bottom-most exchange (printed last) is phase 1: must carry __salt so
+    // the hot key spreads over 8 reducers before the per-key merge
+    assert(firstExchange.exists(l => l.contains("__salt") && l.contains("event_type")),
+      s"phase-1 shuffle must partition on (event_type, __salt):\n$plan")
+  }
 }
