@@ -17,7 +17,7 @@ object SparkEntry {
   /** All query definitions, in declaration order. */
   val allDefs: Seq[(String, QueryDef)] =
     Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Dedup.defs ++
-      FuncOps.defs ++ Skew.defs
+      FuncOps.defs ++ Skew.defs ++ graft.multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY §7.2 minimum slice: scan → length-route → lexicon-score the

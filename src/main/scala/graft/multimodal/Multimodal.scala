@@ -48,19 +48,29 @@ object Multimodal {
   /** STUB codec — deterministic, no external libs. Features are a 16-dim
     * rolling-hash profile of the payload; resize rewrites meta and
     * truncates the payload proportionally; frame sampling cuts the payload
-    * into equal windows. Replace with a real codec for production. */
+    * into equal windows. Replace with a real codec for production.
+    *
+    * Numeric discipline (same as [[graft.Qh]]): the whole decode is exact
+    * 64-bit integer arithmetic — per-dim Long accumulators of
+    * `(prefixHash % 1000)`, with ONE terminal float division per dim.
+    * Accumulators stay < 2^24 for any sane payload, so `toFloat` is exact
+    * and the only IEEE op is the division — bit-identical to the DuckDB
+    * oracle mirror (see the `mm_decode_features` query). */
   object StubCodec extends MediaCodec {
     val Dim = 16
     override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
-        val f = new Array[Float](Dim)
+        val acc = new Array[Long](Dim)
         var h = 17L
         var i = 0
         while (i < r.bytes.length) {
           h = (h * 31 + (r.bytes(i) & 0xff)) % 1000003L
-          f(i % Dim) += (h % 1000).toFloat / 1000f
+          acc(i % Dim) += h % 1000L
           i += 1
         }
+        val f = new Array[Float](Dim)
+        var j = 0
+        while (j < Dim) { f(j) = acc(j).toFloat / 1000f; j += 1 }
         MediaFeatures(r.media_id, r.kind, f)
       }
     override def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
@@ -122,4 +132,89 @@ object Multimodal {
           MediaMeta(s"application/x-$kind", (n % 640).toInt + 16, 480, 16000, n * 10))
       }
   }
+
+  import graft.QueryDef
+
+  /** Oracle-gated multimodal queries. [[StubCodec]] is exact integer
+    * arithmetic, so both the decode and the frame explosion have full
+    * DuckDB mirrors: the binary-column PIPELINE (schema, batched decode,
+    * frame explode) is verified end to end even though the codec is the
+    * documented offline stub.
+    *
+    * The decode oracle mirrors the rolling hash algebraically: with
+    * p = 1000003 and inv31 = 31^(p-2) mod p = 193549,
+    *   h_i = (17·31^(i+1) + 31^i · Σ_{j≤i} b_j·inv31^j) mod p
+    * turns the sequential fold into a windowed prefix sum over
+    * position-joined power tables (one tiny recursive CTE). */
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "mm_decode_features" -> QueryDef(
+      (s, d) => {
+        decodeFeatures(syntheticMedia(s, d)).toDF()
+          .select(col("media_id"), col("kind"), col("features"))
+          .orderBy("media_id")
+      },
+      Some("""WITH RECURSIVE pw(i, p31, pinv) AS (
+             |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+             |  UNION ALL
+             |  SELECT i + 1, (p31 * 31) % 1000003, (pinv * 193549) % 1000003
+             |  FROM pw WHERE i <= (SELECT max(length(text)) FROM documents)
+             |),
+             |b AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS byte,
+             |    unnest(range(0, length(text))) AS pos
+             |  FROM documents WHERE length(text) > 0
+             |),
+             |s AS (
+             |  SELECT b.doc_id, b.pos,
+             |    sum((b.byte * pw.pinv) % 1000003)
+             |      OVER (PARTITION BY b.doc_id ORDER BY b.pos) % 1000003 AS sp
+             |  FROM b JOIN pw ON pw.i = b.pos
+             |),
+             |h AS (
+             |  SELECT s.doc_id, s.pos, (17 * p1.p31 + p0.p31 * s.sp) % 1000003 AS hv
+             |  FROM s JOIN pw p0 ON p0.i = s.pos JOIN pw p1 ON p1.i = s.pos + 1
+             |),
+             |g AS (
+             |  SELECT doc_id, CAST(pos % 16 AS INT) AS dim, sum(hv % 1000) AS sg
+             |  FROM h GROUP BY 1, 2
+             |),
+             |grid AS (
+             |  SELECT doc_id, unnest(range(0, 16)) AS dim FROM documents
+             |),
+             |fv AS (
+             |  SELECT grid.doc_id, grid.dim, COALESCE(g.sg, 0) AS sg
+             |  FROM grid LEFT JOIN g ON g.doc_id = grid.doc_id AND g.dim = grid.dim
+             |)
+             |SELECT doc_id AS media_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |    ELSE 'video' END AS kind,
+             |  list(CAST(sg AS FLOAT) / CAST(1000 AS FLOAT) ORDER BY dim) AS features
+             |FROM fv GROUP BY doc_id ORDER BY media_id""".stripMargin),
+      doc = "Batched binary-column decode to fixed-dim features via the " +
+        "deterministic stub codec; DuckDB mirror of the full rolling hash"),
+
+    "mm_frame_sample" -> QueryDef(
+      (s, d) => {
+        sampleFrames(syntheticMedia(s, d), 1000L).toDF()
+          .select(col("media_id"), col("frame_idx"), col("frame_ms"),
+            length(col("bytes")).as("nbytes"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, length(text) AS len,
+             |    greatest(1, (n_chars * 10) // 1000) AS n
+             |  FROM documents
+             |),
+             |f AS (
+             |  SELECT doc_id, len, n, greatest(1, len // n) AS win,
+             |    unnest(range(0, n)) AS fi
+             |  FROM m
+             |)
+             |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+             |  fi * 1000 AS frame_ms,
+             |  CAST(greatest(0, least(len, (fi + 1) * win) - least(len, fi * win)) AS INT) AS nbytes
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin),
+      doc = "Frame-sampling explosion of video/audio payloads into equal " +
+        "byte windows; output size is data-dependent (flatMap)"))
 }
