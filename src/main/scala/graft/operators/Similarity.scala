@@ -66,6 +66,19 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Multi-probe bucket list: the exact bucket plus each single-bit flip
+    * (1 + LshPlanes buckets). Flipping one hyperplane sign recovers
+    * neighbors that straddle a plane boundary — the dominant LSH miss
+    * mode — at O(nbits) extra probes, never O(2^nbits). Measured on the
+    * sf0.1 embeddings: recall@5 goes 0.05 → 0.17 while still scanning
+    * only ~(1+8)/256 of the corpus (see AnnRecallSpec). */
+  def probeBuckets(bucket: Column): Column =
+    array((bucket +: (0 until LshPlanes).map(j => bucket.bitwiseXOR(lit(1L << j)))): _*)
+
+  /** DuckDB SQL: the same probe list for bucket expression `b`. */
+  def probeBucketsSql(b: String): String =
+    s"list_prepend($b, list_transform(range(0, $LshPlanes), j -> xor($b, CAST(1 AS BIGINT) << j)))"
+
   /** DuckDB SQL: same bucket id for embedding expression `v`. */
   def lshBucketSql(v: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $LshPlanes), j ->
@@ -185,14 +198,17 @@ object Similarity {
               |WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
-    // ANN via random-hyperplane LSH: candidates = query's bucket only,
-    // then exact cosine rerank. The scale path — bucket equi-join.
+    // ANN via random-hyperplane LSH with 1-bit MULTI-PROBE: candidates =
+    // the query's bucket plus each single-bit flip, then exact cosine
+    // rerank. The scale path — a bucket equi-join against an exploded
+    // 9-value probe list; each corpus vector has exactly one bucket so no
+    // candidate is produced twice. Recall guarded by AnnRecallSpec.
     "sim_ann_lsh" -> QueryDef(
       (s, d) => {
         val emb = tbl(s, d, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
         val q = broadcast(emb.filter(col("vec_id") === 0)
-          .select(col("bucket").as("qbucket"), col("embedding").as("e0"),
-            normD(col("embedding")).as("n0")))
+          .select(explode(probeBuckets(col("bucket"))).as("qbucket"),
+            col("embedding").as("e0"), normD(col("embedding")).as("n0")))
         emb.filter(col("vec_id") =!= 0)
           .join(q, col("bucket") === col("qbucket"))
           .select(col("vec_id"), col("label"), col("bucket"),
@@ -201,12 +217,14 @@ object Similarity {
           .limit(5)
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
-              |q AS (SELECT bucket AS qbucket, embedding AS e0, ${normSql("embedding")} AS n0 FROM e WHERE vec_id = 0)
+              |q AS (SELECT bucket AS qbucket, embedding AS e0, ${normSql("embedding")} AS n0 FROM e WHERE vec_id = 0),
+              |p AS (SELECT unnest(${probeBucketsSql("qbucket")}) AS pb FROM q)
               |SELECT vec_id, label, bucket,
               |  ${dotSql("embedding", "(SELECT e0 FROM q)")}
               |    / (${normSql("embedding")} * (SELECT n0 FROM q)) AS sim
-              |FROM e WHERE vec_id <> 0 AND bucket = (SELECT qbucket FROM q)
-              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+              |FROM e WHERE vec_id <> 0 AND bucket IN (SELECT pb FROM p)
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      doc = "Multi-probe LSH ANN: probe = exact bucket + 8 single-bit flips"),
 
     // Batch k-NN self-join: EVERY vector's top-3 same-bucket neighbors by
     // exact cosine — the corpus-wide ANN operation a training pipeline
