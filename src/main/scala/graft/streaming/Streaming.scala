@@ -178,6 +178,31 @@ object Streaming {
         }
       }
 
+  /** M1 — health-gated foreachBatch sink (reference
+    * monitoring/ai_healthchecks.go:12-48; consumer gating at
+    * summary_consumer.go:67-71): the batch body runs only when `healthy()`
+    * reports true. While unhealthy the gate polls `maxTries` times with
+    * `backoffMs` between probes; if the backend stays down the batch
+    * FAILS with an exception — Structured Streaming then does NOT write
+    * the batch's commit-log entry, so a later restart reprocesses the
+    * SAME batch from the checkpoint. Gating therefore never skips or
+    * drops data; it only delays it until the backend recovers (the
+    * reference pauses consumption on failed healthchecks the same way). */
+  def healthGatedSink(df: DataFrame, checkpoint: String, healthy: () => Boolean,
+      maxTries: Int = 3, backoffMs: Long = 100, trigger: Trigger = DefaultTrigger)(
+      body: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        var tries = 1
+        while (!healthy() && tries < maxTries) { Thread.sleep(backoffMs); tries += 1 }
+        if (!healthy())
+          throw new IllegalStateException(
+            s"backend unhealthy after $maxTries probes; failing batch $batchId for retry")
+        body(batch, batchId)
+      }
+
   /** Streaming near-dup ingest: every micro-batch is deduped against the
     * persistent LSH band index ([[graft.operators.Dedup.incrementalNearDup]])
     * and the kept docs land under `keptDir/batch=N` — per-batch overwrite

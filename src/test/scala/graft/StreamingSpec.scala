@@ -137,6 +137,50 @@ class StreamingSpec extends SparkSpec {
       "each row delivered to the writer exactly once")
   }
 
+  test("M1 health gating: down backend fails the batch; recovery reprocesses without loss") {
+    val dir = Files.createTempDirectory("graft_health_").toFile.getAbsolutePath
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(events)
+    val healthy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = Streaming.healthGatedSink(ms.toDF(), s"$dir/ckpt", () => healthy.get(),
+        maxTries = 2, backoffMs = 10, trigger = Trigger.AvailableNow()) { (b, _) =>
+      b.collect().foreach(r => out.add(r.getAs[Long]("event_id")))
+    }.start()
+
+    // backend down: the micro-batch must fail, not be skipped-and-committed
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { q1.awaitTermination() }
+    assert(out.isEmpty, "no rows may reach the sink while unhealthy")
+
+    // backend recovers: restart from the SAME checkpoint reprocesses the
+    // failed batch — gating delayed the data, never dropped it
+    healthy.set(true)
+    val q2 = start()
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(out.asScala.toSeq.sorted == events.map(_.event_id).sorted,
+      "recovery delivers each row exactly once")
+  }
+
+  test("M1 health gating: a flapping backend delays the batch, then it proceeds") {
+    val dir = Files.createTempDirectory("graft_flap_").toFile.getAbsolutePath
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(events)
+    // unhealthy on the first probe, healthy from the second on — the gate's
+    // in-batch backoff loop must absorb the flap without failing the query
+    val probes = new java.util.concurrent.atomic.AtomicInteger()
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Streaming.healthGatedSink(ms.toDF(), s"$dir/ckpt", () => probes.incrementAndGet() >= 2,
+        maxTries = 5, backoffMs = 10, trigger = Trigger.AvailableNow()) { (b, _) =>
+      b.collect().foreach(r => out.add(r.getAs[Long]("event_id")))
+    }.start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(probes.get() >= 2, "gate must have re-probed after the first unhealthy answer")
+    assert(out.asScala.toSeq.sorted == events.map(_.event_id).sorted)
+  }
+
   test("SQ3 late data beyond the watermark is dropped from the aggregate") {
     val name = "late_q"
     val ms = MemoryStream[Ev](spark)
