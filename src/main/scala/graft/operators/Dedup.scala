@@ -362,74 +362,7 @@ object Dedup {
     // this converges in 2-3); lineage truncated and freed per round.
     // The oracle runs the identical prefilter + a recursive CTE closure.
     "dedup_cluster" -> QueryDef(
-      (s, d) => {
-        val docs = tbl(s, d, "documents")
-          .select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
-        val sig = docs.withColumn("mhs", minhashSig(col("tk")))
-        val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
-        val cand = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
-          .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
-            Seq("source", "band", "bkey"))
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
-        val tkOf = docs.select(col("doc_id"), col("tk"))
-        val pairs = cand
-          .join(tkOf.select(col("doc_id").as("a"), col("tk").as("ta")), Seq("a"))
-          .join(tkOf.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
-          .filter(jaccard(col("ta"), col("tb")) >= 0.8)
-          .select("a", "b")
-        // Iterate ONLY over vertices that have an edge: isolated docs (the
-        // overwhelming majority of a 100 TB corpus) can never change label,
-        // so keeping them in the loop would shuffle the whole corpus every
-        // round. They rejoin as singleton clusters at the end.
-        //
-        // Each vertex also gets a flagged SELF-loop, which buys one round =
-        // exactly TWO shuffles: min(lb) over the closed neighborhood is the
-        // new label, and the self row carries the vertex's previous label —
-        // so convergence detection needs no second join against the prior
-        // state (a third shuffle per round in the naive formulation).
-        val undirected = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-          .withColumn("self", lit(false))
-        val edges = undirected
-          .union(undirected.select(col("a")).distinct()
-            .select(col("a"), col("a").as("b"), lit(true).as("self")))
-          .localCheckpoint(true)
-        var labels = edges.filter(col("self")).select(col("a").as("doc_id"), col("b").as("label"))
-          .localCheckpoint(true)
-        // Loop to convergence — the oracle's recursive CTE computes the
-        // UNBOUNDED closure, so a round cap would diverge on long chains.
-        // Each round combines neighbor-min propagation with POINTER
-        // JUMPING (label := min(label, label(label))), so chains converge
-        // in O(log eccentricity) rounds, not O(eccentricity) — a
-        // 10k-link drift chain needs ~14 rounds, not 10k sequential
-        // jobs. The cap is a pure runaway guard and exits LOUDLY.
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 64) {
-          val nbr = edges
-            .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
-            .groupBy(col("a"))
-            .agg(min(col("lb")).as("label"), max(when(col("self"), col("lb"))).as("old"))
-          val next = nbr
-            .join(nbr.select(col("a").as("jid"), col("label").as("jlb")),
-              nbr("label") === col("jid"), "left")
-            .select(nbr("a"), least(nbr("label"), coalesce(col("jlb"), nbr("label"))).as("label"),
-              col("old"))
-            .localCheckpoint(true)
-          changed = next.filter(col("label") =!= col("old")).count()
-          labels.unpersist(blocking = false) // free the superseded round's blocks
-          labels = next.select(col("a").as("doc_id"), col("label"))
-          iter += 1
-        }
-        if (changed > 0)
-          System.err.println(s"[dedup_cluster] WARNING: iteration cap hit with $changed labels " +
-            "still changing — clusters may be unconverged (pathological component shape)")
-        edges.unpersist(blocking = false)
-        docs.select(col("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
-          .orderBy("doc_id")
-      },
+      (s, d) => clusterDocs(tbl(s, d, "documents")),
       Some {
         val mhs = (0 until MinHashes).map(i => s"${minhashSql("tk", i)} AS mh$i").mkString(",\n    ")
         val bandRows = (0 until Bands).map(j =>
@@ -487,6 +420,86 @@ object Dedup {
            |WHERE cosine >= 0.4 ORDER BY bucket, a, b""".stripMargin
       })
   )
+
+  /** Transitive near-dup clustering: connected components over
+    * LSH-candidate + Jaccard-verified edges (the dedup_cluster query).
+    *
+    * `checkpointDir`, when set, switches the per-round materialization
+    * from `localCheckpoint` (blocks live on executors; LOST on executor
+    * failure, which kills the iterative lineage mid-run) to RELIABLE
+    * `df.checkpoint()` into that directory (HDFS/S3 on a real cluster) —
+    * a lost executor then recomputes from the checkpoint files instead of
+    * failing the job. Local mode keeps the default None: one JVM, nothing
+    * to lose, and localCheckpoint skips the write-to-storage round trip. */
+  def clusterDocs(raw: org.apache.spark.sql.DataFrame,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    checkpointDir.foreach(raw.sparkSession.sparkContext.setCheckpointDir)
+    def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    val docs = raw.select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
+    val sig = docs.withColumn("mhs", minhashSig(col("tk")))
+    val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
+    val cand = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("source", "band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val tkOf = docs.select(col("doc_id"), col("tk"))
+    val pairs = cand
+      .join(tkOf.select(col("doc_id").as("a"), col("tk").as("ta")), Seq("a"))
+      .join(tkOf.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
+      .filter(jaccard(col("ta"), col("tb")) >= 0.8)
+      .select("a", "b")
+    // Iterate ONLY over vertices that have an edge: isolated docs (the
+    // overwhelming majority of a 100 TB corpus) can never change label,
+    // so keeping them in the loop would shuffle the whole corpus every
+    // round. They rejoin as singleton clusters at the end.
+    //
+    // Each vertex also gets a flagged SELF-loop, which buys one round =
+    // exactly TWO shuffles: min(lb) over the closed neighborhood is the
+    // new label, and the self row carries the vertex's previous label —
+    // so convergence detection needs no second join against the prior
+    // state (a third shuffle per round in the naive formulation).
+    val undirected = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .withColumn("self", lit(false))
+    val edges = mat(undirected
+      .union(undirected.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b"), lit(true).as("self"))))
+    var labels = mat(edges.filter(col("self"))
+      .select(col("a").as("doc_id"), col("b").as("label")))
+    // Loop to convergence — the oracle's recursive CTE computes the
+    // UNBOUNDED closure, so a round cap would diverge on long chains.
+    // Each round combines neighbor-min propagation with POINTER
+    // JUMPING (label := min(label, label(label))), so chains converge
+    // in O(log eccentricity) rounds, not O(eccentricity) — a
+    // 10k-link drift chain needs ~14 rounds, not 10k sequential
+    // jobs. The cap is a pure runaway guard and exits LOUDLY.
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 64) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
+        .groupBy(col("a"))
+        .agg(min(col("lb")).as("label"), max(when(col("self"), col("lb"))).as("old"))
+      val next = mat(nbr
+        .join(nbr.select(col("a").as("jid"), col("label").as("jlb")),
+          nbr("label") === col("jid"), "left")
+        .select(nbr("a"), least(nbr("label"), coalesce(col("jlb"), nbr("label"))).as("label"),
+          col("old")))
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false) // free the superseded round's blocks
+      labels = next.select(col("a").as("doc_id"), col("label"))
+      iter += 1
+    }
+    if (changed > 0)
+      System.err.println(s"[dedup_cluster] WARNING: iteration cap hit with $changed labels " +
+        "still changing — clusters may be unconverged (pathological component shape)")
+    edges.unpersist(blocking = false)
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
 
   // ------------------------------------------------------------------
   // Incremental (cross-run / streaming) near-dup dedup

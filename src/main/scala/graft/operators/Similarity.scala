@@ -112,7 +112,18 @@ object Similarity {
     "q28a_jaccard_pairs" -> QueryDef(
       (s, d) => {
         import Dedup.{jaccard, tokHashes}
-        val docs = tbl(s, d, "documents")
+        val raw = tbl(s, d, "documents")
+        // Scale guard: this is the O(n²)-per-source EXACT baseline that
+        // dedup_ngram_jaccard's LSH prefilter accelerates. Refuse to
+        // launch it on a corpus where the self-join would explode; the
+        // cap is a conf so a deliberate baseline run can raise it.
+        val cap = s.conf.get("spark.graft.q28a.maxDocs", "100000").toLong
+        val nDocs = raw.count()
+        require(nDocs <= cap,
+          s"q28a_jaccard_pairs is the exact all-pairs baseline: $nDocs docs exceeds the " +
+            s"$cap-doc guard. Use dedup_ngram_jaccard (LSH-prefiltered) at scale, or raise " +
+            "spark.graft.q28a.maxDocs for a deliberate baseline run.")
+        val docs = raw
           .select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
         val a = docs.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
         val b = docs.select(col("source"), col("doc_id").as("b"), col("tk").as("tb"))
@@ -128,7 +139,9 @@ object Similarity {
               |  SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b,
               |    ${Dedup.jaccardSql("x.tk", "y.tk")} AS jaccard
               |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id)
-              |WHERE jaccard >= 0.8 ORDER BY source, a, b""".stripMargin)),
+              |WHERE jaccard >= 0.8 ORDER BY source, a, b""".stripMargin),
+      doc = "EXACT all-pairs baseline, guarded by spark.graft.q28a.maxDocs " +
+        "(default 100k): scale runs must use the LSH path (dedup_ngram_jaccard)"),
 
     // Q28b — brute-force cosine top-5 of vec_id=0 (the ANN baseline).
     "sim_cosine_topk" -> QueryDef(

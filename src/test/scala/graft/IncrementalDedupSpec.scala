@@ -112,6 +112,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(keptReplay == kept0, s"replay kept $keptReplay — self-index probing regressed")
   }
 
+  test("clusterDocs with a reliable checkpoint dir matches localCheckpoint results") {
+    // On a real cluster localCheckpoint blocks die with a lost executor,
+    // killing the iterative CC lineage; checkpointDir switches rounds to
+    // reliable df.checkpoint() files. Results must be identical.
+    val docs = Seq(
+      (1L, "s", alpha), (2L, "s", alpha), (3L, "s", alpha), // one clique
+      (4L, "s", beta), (5L, "s", "another entirely unrelated body of text here")
+    ).toDF("doc_id", "source", "text")
+    val local = Dedup.clusterDocs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ckDir = Files.createTempDirectory("graft_ck_").toFile
+    val reliable = Dedup.clusterDocs(docs, Some(ckDir.getAbsolutePath))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reliable == local, s"reliable=$reliable local=$local")
+    assert(local.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    assert(files(ckDir).nonEmpty, "reliable checkpoint must write files under checkpointDir")
+  }
+
   test("bands index is partitioned by (band, kb); the probe prunes to its own partitions") {
     val root = Files.createTempDirectory("graft_prune_").toFile.getAbsolutePath
     val index = s"$root/index"

@@ -21,6 +21,15 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q28a scale guard refuses the all-pairs baseline above the doc cap") {
+    spark.conf.set("spark.graft.q28a.maxDocs", "10")
+    try {
+      val e = intercept[IllegalArgumentException] { q("q28a_jaccard_pairs") }
+      assert(e.getMessage.contains("dedup_ngram_jaccard"), "guard must point to the LSH path")
+    } finally spark.conf.unset("spark.graft.q28a.maxDocs")
+    assert(q("q28a_jaccard_pairs").columns.nonEmpty, "default cap must admit test corpora")
+  }
+
   test("q12 approx_count_distinct within 5% of exact") {
     val approx = q("q12_approx_distinct")
       .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
