@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   * reader rejects; we read it as a long (nanosAsLong) and truncate to
   * micros with INTEGER division (`div`) — a double division would lose
   * precision at ~1.7e18 ns. DuckDB truncates ns→us identically on cast.
+  * `spark.sql.legacy.parquet.nanosAsLong=true` must be set ON THE SESSION
+  * (every graft session builder does: Bench/Verify/Smoke/SparkSpec) — the
+  * loader itself is side-effect free and never mutates session config.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -20,7 +23,6 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

@@ -193,19 +193,25 @@ object Relational {
         // The join-derived grouping attrs make rollup+coalesce resolution
         // ambiguous in the DataFrame API (Expand duplicates them); routing
         // the rollup through spark.sql yields the identical Catalyst plan
-        // without the name-resolution trap.
+        // without the name-resolution trap. The view name is unique per
+        // build (and dropped once the plan is resolved) so two concurrent
+        // builds on one session can't race on a shared name.
+        val view = s"q13_base_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         tbl(s, d, "orders")
           .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .join(tbl(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
           .select(col("n_name"), year(col("o_orderdate")).as("order_year"),
             cents(col("o_totalprice")).as("price_c"))
-          .createOrReplaceTempView("q13_base")
-        s.sql("""SELECT coalesce(n_name, '(all)') AS nation_g,
+          .createOrReplaceTempView(view)
+        val out = s.sql(s"""SELECT coalesce(n_name, '(all)') AS nation_g,
                 |  coalesce(order_year, -1) AS year_g,
                 |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue,
                 |  count(1) AS n
-                |FROM q13_base GROUP BY ROLLUP (n_name, order_year)
+                |FROM $view GROUP BY ROLLUP (n_name, order_year)
                 |ORDER BY nation_g, year_g""".stripMargin)
+        out.queryExecution.analyzed // force resolution before the view drops
+        s.catalog.dropTempView(view)
+        out
       },
       Some("""SELECT COALESCE(n_name, '(all)') AS nation_g,
              |  CAST(COALESCE(order_year, -1) AS INTEGER) AS year_g,

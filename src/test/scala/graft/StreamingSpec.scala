@@ -137,6 +137,23 @@ class StreamingSpec extends SparkSpec {
       "each row delivered to the writer exactly once")
   }
 
+  test("S4/K1 kafka binding: documented options parse against the real connector when present") {
+    // Reflection-guarded: the connector jar is absent in this offline
+    // environment, so the test auto-skips (canceled, not passed) — but the
+    // day a kafka jar lands on the classpath, the documented source
+    // options in Streaming.kafkaSourceOptions are exercised for real.
+    val hasKafka =
+      try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(hasKafka, "kafka connector jar absent (offline env)")
+    val df = spark.readStream.format("kafka")
+      .options(Streaming.kafkaSourceOptions("localhost:9092", "posts"))
+      .load()
+    // the fixed Kafka source schema the wire codecs bind against
+    val names = df.schema.fieldNames.toSet
+    assert(Set("key", "value", "topic", "partition", "offset", "timestamp").subsetOf(names))
+  }
+
   test("M1 health gating: down backend fails the batch; recovery reprocesses without loss") {
     val dir = Files.createTempDirectory("graft_health_").toFile.getAbsolutePath
     val ms = MemoryStream[Ev](spark)
