@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, FuncOps, Relational, Similarity, Skew, TextOps}
+import graft.operators.{Dedup, FuncOps, Relational, Similarity, Skew, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
   /** All query definitions, in declaration order. */
   val allDefs: Seq[(String, QueryDef)] =
     Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Dedup.defs ++
-      FuncOps.defs ++ Skew.defs ++ graft.multimodal.Multimodal.defs
+      FuncOps.defs ++ Skew.defs ++ graft.multimodal.Multimodal.defs ++
+      Temporal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY §7.2 minimum slice: scan → length-route → lexicon-score the

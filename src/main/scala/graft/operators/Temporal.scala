@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{QueryDef, Qh}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over the `events` stream table: as-of join,
+  * sessionization, rolling event-time windows — the time-series family
+  * the reference's serving layer reads off DynamoDB and every
+  * training-data pipeline needs for event-context features.
+  *
+  * Scale design: every operator here is ONE shuffle on the entity key
+  * (user_id) followed by window functions — never a per-row lookup or a
+  * range cross-join. The as-of join in particular uses the union-merge
+  * formulation (tag sides, sort once, carry-forward) instead of a
+  * correlated probe: at 100 TB the probe-per-row shape is a nested-loop
+  * disaster, while union-merge is exactly one sort-merge pass.
+  */
+object Temporal {
+  import Qh._
+
+  /** Generic as-of join: for each `probe` row, the latest `build` row with
+    * the same `key` and `ts` <= the probe's (ties on ts included,
+    * tie-broken by the largest `ord`). Both inputs are unioned with a side
+    * tag, sorted once per key, and the build payload is carried forward
+    * with last(ignoreNulls) — one shuffle, no correlated lookups, the
+    * standard distributed as-of formulation. `payload` columns must exist
+    * in `build`; probe columns are preserved. */
+  def asofJoin(probe: DataFrame, build: DataFrame, key: String, ts: String,
+      ord: String, payload: Seq[String]): DataFrame = {
+    val pCols = probe.columns.toSeq
+    val nullPayload = payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"__b_$c"))
+    val pTagged = probe.select(
+      (pCols.map(col) ++ nullPayload :+ lit(1).as("__side")): _*)
+    val bTagged = build.select(
+      (pCols.map(c => (if (c == key || c == ts || c == ord) col(c) else lit(null).cast(probe.schema(c).dataType)).as(c)) ++
+        payload.map(c => col(c).as(s"__b_$c")) :+ lit(0).as("__side")): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pTagged.union(bTagged)
+      .select((pCols.map(col) ++
+        payload.map(c => last(col(s"__b_$c"), ignoreNulls = true).over(w).as(s"asof_$c")) :+
+        col("__side")): _*)
+      .filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Batch sessionization: split each user's event stream at silence gaps
+    * > `gapSec`, assign ordinal session ids via a running sum of
+    * new-session flags — the batch analog of SQ5's session_window. */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSec * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q32 — as-of join: each purchase picks up the value of the same
+    // user's most recent click at-or-before it. Union-merge formulation:
+    // one shuffle on user_id; deterministic tie-break (max ts, then max
+    // event_id). The oracle states the same rule as a correlated top-1 —
+    // fine for DuckDB at sf, the exact shape the Spark side exists to
+    // avoid at 100 TB.
+    "q32_asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+        val probe = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val build = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"), cents(col("value")).as("click_cents"))
+        asofJoin(probe, build, "user_id", "ts", "event_id", Seq("click_cents"))
+          .select(col("user_id"), col("event_id"), col("asof_click_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS click_cents
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id,
+             |  (SELECT b.click_cents FROM b
+             |   WHERE b.user_id = p.user_id AND b.ts <= p.ts
+             |   ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS asof_click_cents
+             |FROM p ORDER BY event_id""".stripMargin),
+      doc = "union-merge as-of join (one shuffle); oracle is the correlated top-1 form"),
+
+    // Q33 — sessionization + per-session rollup. Gap rule: > 30 min of
+    // user silence starts a new session.
+    "q33_sessionize" -> QueryDef(
+      (s, d) =>
+        sessionize(tbl(s, d, "events"))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+            count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+          .orderBy("user_id", "session_idx"),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS cents,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, ts, cents,
+             |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM o),
+             |sid AS (
+             |  SELECT user_id, ts, cents,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |  FROM f)
+             |SELECT user_id, session_idx, min(ts) AS sess_start, max(ts) AS sess_end,
+             |  count(*) AS n_events, sum(cents) AS sum_cents
+             |FROM sid GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      doc = "gap-based batch sessionization; batch analog of SQ5 session_window"),
+
+    // Q34 — rolling event-time window: per event, the user's spend over
+    // the preceding hour (RANGE frame on epoch micros — peers at equal
+    // ts are all included, so tie order cannot affect the result).
+    "q34_rolling_window" -> QueryDef(
+      (s, d) =>
+        tbl(s, d, "events")
+          .withColumn("roll_cents",
+            sum(cents(col("value"))).over(
+              Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+                .rangeBetween(-3600L * 1000000L, 0L)))
+          .select(col("event_id"), col("user_id"), col("roll_cents"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |  sum(CAST(round(value*100) AS BIGINT)) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS roll_cents
+             |FROM events ORDER BY event_id""".stripMargin),
+      doc = "per-user rolling 1h spend via RANGE frame on event time"))
+}

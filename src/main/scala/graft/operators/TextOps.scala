@@ -55,6 +55,43 @@ object TextOps {
               |        GROUP BY lang, token))
               |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
 
+    // TF-IDF top terms per source (each source = one aggregate document):
+    // tf = in-source term count, df = #sources containing the term,
+    // score_milli = (tf * 1000 * N) div df — an integer-scaled idf, so
+    // the whole ranking is exact integer arithmetic (no transcendental
+    // log whose last-ulp could differ between engines). One explode +
+    // two hash aggregations + a broadcast scalar — fully distributed.
+    "text_tfidf" -> QueryDef(
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "" && !col("token").isin(Stopwords: _*))
+        val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+        val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = tbl(s, d, "documents").select(countDistinct("source").as("n_src"))
+        val w = Window.partitionBy("source").orderBy(col("score_milli").desc, col("token"))
+        tf.join(dfx, Seq("token")).crossJoin(broadcast(n))
+          .withColumn("score_milli", expr("(tf * 1000 * n_src) div df"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("token"), col("tf"), col("df"), col("score_milli"), col("rn"))
+          .orderBy("source", "rn")
+      },
+      Some(s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+              |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM toks
+              |       WHERE token <> '' AND NOT list_contains($stopSql, token)
+              |       GROUP BY source, token),
+              |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+              |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_src FROM documents)
+              |SELECT source, token, tf, df, score_milli, rn FROM (
+              |  SELECT source, token, tf, df, score_milli,
+              |    CAST(row_number() OVER (PARTITION BY source ORDER BY score_milli DESC, token) AS BIGINT) AS rn
+              |  FROM (SELECT tf.source, tf.token, tf.tf, dfx.df,
+              |          (tf.tf * 1000 * n.n_src) // dfx.df AS score_milli
+              |        FROM tf JOIN dfx USING (token) CROSS JOIN n))
+              |WHERE rn <= 5 ORDER BY source, rn""".stripMargin),
+      doc = "integer-scaled TF-IDF ranking per source; exact arithmetic, no log()"),
+
     // Language-ID: marker-word frequency scoring with a fixed tie-break
     // order (north-star "text analysis"; n-gram heuristic family).
     "text_langid" -> QueryDef(

@@ -93,7 +93,8 @@ class OperatorSpec extends SparkSpec {
       "sim_cosine_topk", // crossJoin(broadcast(1-row query vector))
       "sim_ann_ivf",     // fixed 8-centroid literal side
       "sim_ann_lsh",     // broadcast single query-vector row
-      "dedup_embed_cosine")
+      "dedup_embed_cosine",
+      "text_tfidf")      // crossJoin(broadcast(1-row countDistinct scalar))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
