@@ -164,17 +164,25 @@ object Dedup {
     * lambda, which would re-evaluate the (inlined) th expression per
     * element access after projection collapse. zip_with pads the shorter
     * side with nulls; the trailing null partials are filtered off. */
-  def shingles3(th: Column): Column = {
+  def shingles3(th: Column): Column = array_distinct(shingles3Raw(th))
+
+  def shingles3Sql(th: String): String =
+    s"list_distinct(${shingles3RawSql(th)})"
+
+  /** Non-distinct variant of [[shingles3]]: every 3-gram occurrence, in
+    * text order — required by repetition metrics where the duplicate
+    * count IS the signal. */
+  def shingles3Raw(th: Column): Column = {
     val s1 = slice(th, lit(2), greatest(size(th) - 1, lit(0)))
     val s2 = slice(th, lit(3), greatest(size(th) - 2, lit(0)))
     val p1 = zip_with(th, s1, (x, y) => pmod(x * 31 + y, lit(HashP)))
     val p2 = zip_with(p1, s2, (xy, z) => pmod(xy * 31 + z, lit(HashP)))
-    array_distinct(filter(p2, x => x.isNotNull))
+    filter(p2, x => x.isNotNull)
   }
 
-  def shingles3Sql(th: String): String =
-    s"list_distinct(list_transform(range(1, greatest(len($th) - 1, 1)), i -> " +
-      s"((($th[i]*31 + $th[i+1]) % $HashP)*31 + $th[i+2]) % $HashP))"
+  def shingles3RawSql(th: String): String =
+    s"list_transform(range(1, greatest(len($th) - 1, 1)), i -> " +
+      s"((($th[i]*31 + $th[i+1]) % $HashP)*31 + $th[i+2]) % $HashP)"
 
   /** Exact Jaccard of two pre-distinct array columns — native codegen
     * expression (see [[graft.plans.JaccardSim]]; runs per candidate pair,

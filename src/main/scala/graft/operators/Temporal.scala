@@ -135,5 +135,66 @@ object Temporal {
              |    PARTITION BY user_id ORDER BY epoch_us(ts)
              |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS roll_cents
              |FROM events ORDER BY event_id""".stripMargin),
-      doc = "per-user rolling 1h spend via RANGE frame on event time"))
+      doc = "per-user rolling 1h spend via RANGE frame on event time"),
+
+    // Q35 — ordered funnel view → click → purchase: each stage counts the
+    // users whose first qualifying event strictly follows their previous
+    // stage's first event. Three per-user min-aggregations chained by
+    // user_id equi-joins — no window over the full stream, no per-row
+    // probe; each stage's input shrinks to the surviving users.
+    "q35_funnel" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+        def firstAfter(typ: String, prev: DataFrame, prevTs: String, outTs: String) =
+          ev.filter(col("event_type") === typ)
+            .join(prev, Seq("user_id"))
+            .filter(col("ts") > col(prevTs))
+            .groupBy("user_id").agg(min(col("ts")).as(outTs))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+        val c = firstAfter("click", v, "v_ts", "c_ts")
+        val p = firstAfter("purchase", c, "c_ts", "p_ts")
+        val one = (df: DataFrame, stage: String, ord: Long) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(stage).as("stage"), lit(ord).as("stage_ord"), col("n_users"))
+        one(v, "view", 1L).union(one(c, "click", 2L)).union(one(p, "purchase", 3L))
+          .orderBy("stage_ord")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) c_ts FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) p_ts FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+             |SELECT stage, stage_ord, n_users FROM (
+             |  SELECT 'view' stage, CAST(1 AS BIGINT) stage_ord, CAST(count(*) AS BIGINT) n_users FROM v
+             |  UNION ALL SELECT 'click', 2, count(*) FROM c
+             |  UNION ALL SELECT 'purchase', 3, count(*) FROM p)
+             |ORDER BY stage_ord""".stripMargin),
+      doc = "3-stage ordered funnel via chained per-user min-aggregations"),
+
+    // Q36 — weekly cohort retention: cohort = Monday of a user's first
+    // event week; a cohort/offset cell counts the distinct users active
+    // in cohort_week + offset weeks. Two aggregations + one broadcastable
+    // join on user_id (the cohort map is one row per user).
+    "q36_retention" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+        val cohort = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_wk"))
+        ev.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("act_wk"))
+          .distinct()
+          .join(cohort, Seq("user_id"))
+          .withColumn("wk_offset", expr("datediff(act_wk, cohort_wk) div 7"))
+          .groupBy("cohort_wk", "wk_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "wk_offset")
+      },
+      Some("""WITH cohort AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) cohort_wk
+             |                FROM events GROUP BY user_id),
+             |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) act_wk FROM events)
+             |SELECT cohort_wk, CAST(date_diff('day', cohort_wk, act_wk) // 7 AS BIGINT) AS wk_offset,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM act JOIN cohort USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "weekly cohort retention matrix from first-event cohorts"))
 }

@@ -222,6 +222,91 @@ object TextOps {
               |FROM corpus c JOIN bench b ON c.g = b.g
               |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
 
+    // Repetition-based quality rules (Gopher-style): per doc, the
+    // duplicate-token fraction, the top-token dominance fraction, and the
+    // duplicate-3-gram fraction, all in exact integer permille; keep=1
+    // when the doc clears the dup/dominance thresholds. Scale shape: one
+    // explode + two hash aggregations for token stats (the top-token
+    // count cannot be had from array ops alone), pure array arithmetic
+    // for the 3-gram side, one doc-granular equi-join to combine.
+    "text_repetition" -> QueryDef(
+      (s, d) => {
+        import Dedup.{shingles3Raw, tokHashesSeq}
+        val docs = tbl(s, d, "documents")
+        val tokStats = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(
+            sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_dist"),
+            max(col("cnt")).as("top_cnt"))
+        val shStats = docs.select(col("doc_id"),
+          shingles3Raw(tokHashesSeq(col("text"))).as("sh"))
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_3g"),
+            size(array_distinct(col("sh"))).cast("long").as("nd_3g"))
+        tokStats.join(shStats, Seq("doc_id"))
+          .withColumn("dup_tok_milli", expr("(n_tok - n_dist) * 1000 div n_tok"))
+          .withColumn("top_milli", expr("top_cnt * 1000 div n_tok"))
+          .withColumn("dup_3g_milli", expr("(n_3g - nd_3g) * 1000 div greatest(n_3g, 1)"))
+          .withColumn("keep",
+            when(col("dup_tok_milli") <= 500 && col("top_milli") <= 100, 1L).otherwise(0L))
+          .select(col("doc_id"), col("n_tok"), col("n_dist"), col("top_cnt"),
+            col("dup_tok_milli"), col("top_milli"), col("dup_3g_milli"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, token, count(*) cnt
+              |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+              |          GROUP BY doc_id, token),
+              |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) n_tok, CAST(count(*) AS BIGINT) n_dist,
+              |        CAST(max(cnt) AS BIGINT) top_cnt FROM c GROUP BY doc_id),
+              |g AS (SELECT doc_id, CAST(len(sh) AS BIGINT) n_3g,
+              |        CAST(len(list_distinct(sh)) AS BIGINT) nd_3g
+              |      FROM (SELECT doc_id, ${Dedup.shingles3RawSql(Dedup.tokHashesSeqSql("text"))} AS sh
+              |            FROM documents))
+              |SELECT doc_id, n_tok, n_dist, top_cnt,
+              |  (n_tok - n_dist) * 1000 // n_tok AS dup_tok_milli,
+              |  top_cnt * 1000 // n_tok AS top_milli,
+              |  (n_3g - nd_3g) * 1000 // greatest(n_3g, 1) AS dup_3g_milli,
+              |  CAST(CASE WHEN (n_tok - n_dist) * 1000 // n_tok <= 500
+              |         AND top_cnt * 1000 // n_tok <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM t JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "Gopher-style repetition filters in exact integer permille"),
+
+    // Boilerplate detection (C4-style): a 3-gram shingle occurring in >= 3
+    // distinct docs is "boilerplate"; per doc, report the fraction of its
+    // distinct shingles that are boilerplate. Scale shape: explode the
+    // per-doc DISTINCT shingles (so count(*) per shingle == doc frequency
+    // with no countDistinct shuffle), filter to common shingles, equi-join
+    // back on the 8-byte hash — the same df-join shape as contamination,
+    // never an all-pairs compare. Docs with zero boilerplate survive via
+    // the left join.
+    "text_boilerplate" -> QueryDef(
+      (s, d) => {
+        import Dedup.{shingles3, tokHashesSeq}
+        val sh = tbl(s, d, "documents")
+          .select(col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
+        val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val common = exploded.groupBy("g").agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") >= 3).select("g")
+        val boiler = exploded.join(common, Seq("g"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+          .join(boiler, Seq("doc_id"), "left_outer")
+          .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+          .withColumn("boiler_milli", expr("n_boiler * 1000 div greatest(n_sh, 1)"))
+          .select(col("doc_id"), col("n_sh"), col("n_boiler"), col("boiler_milli"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, ${Dedup.shingles3Sql(Dedup.tokHashesSeqSql("text"))} AS sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+              |common AS (SELECT g FROM e GROUP BY g HAVING count(*) >= 3),
+              |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_boiler FROM e JOIN common USING (g) GROUP BY doc_id)
+              |SELECT sh.doc_id, CAST(len(sh.sh) AS BIGINT) AS n_sh,
+              |  COALESCE(b.n_boiler, 0) AS n_boiler,
+              |  COALESCE(b.n_boiler, 0) * 1000 // greatest(len(sh.sh), 1) AS boiler_milli
+              |FROM sh LEFT JOIN b ON sh.doc_id = b.doc_id
+              |ORDER BY sh.doc_id""".stripMargin),
+      doc = "C4-style common-ngram boilerplate fraction via shingle-df equi-join"),
+
     // Lexicon sentiment scoring (reference T15, the VADER heritage of
     // models/analyzed_models.go:8) as pure column arithmetic — whole-stage
     // codegen, no UDF. No rounding anywhere: score = (p-n)/ntok and
