@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-/** Streaming surface SQ1–SQ10 (SURVEY.md §2.2).
+/** Streaming surface SQ1–SQ10 (SURVEY.md §2.2) + SQ11 stream-stream interval join.
   *
   * Architecture: every transformation is a plain `DataFrame => DataFrame`
   * — the SAME function binds to a batch read or a `readStream`, which is
@@ -96,6 +96,32 @@ object Streaming {
     * micro-batch, same semantics). */
   def streamStaticJoin(stream: DataFrame, static: DataFrame, key: String): DataFrame =
     stream.join(broadcast(static), Seq(key), "left_outer")
+
+  /** SQ11 — stream-stream interval join: each purchase is joined to the
+    * same user's clicks at most `horizonSec` BEFORE it. Both sides carry
+    * watermarks and the join condition bounds event time on both ends —
+    * the two requirements that let Spark evict join state instead of
+    * growing it forever (a click is dropped once the purchase-side
+    * watermark passes click_ts + horizon). Inner joins are the
+    * production-safe shape; outer interval joins emit nulls only at
+    * watermark expiry. The reference joins these streams client-side via
+    * its content_id tracking map (utils/message_tracking.go:11-22) with
+    * unbounded state — this is the bounded-state equivalent. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour", horizonSec: Long = 3600L): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
 
   /** SQ10 — stateful running aggregate per topic (count + mean score), for
     * update-mode sinks (the results-accumulation query of the serving

@@ -21,7 +21,7 @@ object SinkProbe {
   def clear(): Unit = chunks.clear()
 }
 
-/** SQ1–SQ10: batch-vs-stream equivalence, watermark dedup/late-drop,
+/** SQ1–SQ11: batch-vs-stream equivalence, watermark dedup/late-drop,
   * router fan-out, checkpoint kill/recover without duplicates. */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -90,6 +90,26 @@ class StreamingSpec extends SparkSpec {
       .toDF("topic", "sentiment_score")
     val out = Streaming.runningTopicAgg(scored).orderBy("topic").collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("ai", 2L), ("rust", 1L)))
+  }
+
+  test("SQ11 stream-stream interval join equals batch join; horizon excludes stale clicks") {
+    val clicks = events.filter(_.event_type == "click")
+    val buys = events.filter(_.event_type == "buy")
+    val msC = MemoryStream[Ev](spark); msC.addData(clicks)
+    val msP = MemoryStream[Ev](spark); msP.addData(buys)
+    val name = s"q${System.nanoTime()}"
+    val q = Streaming.intervalJoin(msC.toDF(), msP.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val key = (df: DataFrame) => df.orderBy("click_id", "purchase_id").collect().toSeq
+    val fromStream = key(spark.table(name))
+    val fromBatch = key(Streaming.intervalJoin(clicks.toDF(), buys.toDF()))
+    assert(fromStream == fromBatch)
+    // user 2's click@65 pairs with buy@70 (5 min); user 1's clicks at 5/20
+    // are >1 h before the buy@130 and the click@135 is after it — excluded.
+    assert(fromBatch.map(r =>
+      (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))) == Seq((3L, 4L)))
   }
 
   test("SQ9 checkpointed file sink: kill and resume produces no duplicates") {
