@@ -586,6 +586,36 @@ object Relational {
              |    COALESCE(NULLIF(event_type, 'error'), 'unknown') AS etype,
              |    COALESCE(NULLIF(CAST(floor(value/50) AS BIGINT), 0), -1) AS nz_bucket
              |  FROM events)
-             |GROUP BY label, etype ORDER BY label, etype""".stripMargin))
+             |GROUP BY label, etype ORDER BY label, etype""".stripMargin)),
+
+    // Q37 — range (band) join: events classified into value tiers by
+    // range containment against a tiny tier dimension. The dim side is
+    // broadcast, so the non-equi condition runs as a BroadcastNestedLoop
+    // over 5 rows per event — the right 100 TB shape for band joins
+    // against small dims (a large-large range join would instead bucket
+    // both sides by coarse range, turning containment into an equi-join
+    // on the bucket plus a residual filter).
+    "q37_range_join" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("t0", 0L, 10000L), ("t1", 10000L, 20000L), ("t2", 20000L, 30000L),
+          ("t3", 30000L, 40000L), ("t4", 40000L, 1000000L))
+          .toDF("tier", "lo_cents", "hi_cents")
+        val ev = tbl(s, d, "events").withColumn("v_cents", cents(col("value")))
+        ev.join(broadcast(tiers),
+            col("v_cents") >= col("lo_cents") && col("v_cents") < col("hi_cents"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("sum_cents"))
+          .orderBy("tier")
+      },
+      Some("""WITH tiers(tier, lo_cents, hi_cents) AS (VALUES
+             |  ('t0', 0, 10000), ('t1', 10000, 20000), ('t2', 20000, 30000),
+             |  ('t3', 30000, 40000), ('t4', 40000, 1000000)),
+             |ev AS (SELECT CAST(round(value*100) AS BIGINT) v_cents FROM events)
+             |SELECT tier, CAST(count(*) AS BIGINT) AS n, CAST(sum(v_cents) AS BIGINT) AS sum_cents
+             |FROM ev JOIN tiers ON v_cents >= lo_cents AND v_cents < hi_cents
+             |GROUP BY tier ORDER BY tier""".stripMargin),
+      doc = "range-containment join against a broadcast tier dim")
   )
 }

@@ -273,6 +273,40 @@ object Similarity {
               |  SELECT vec_id, nbr_id, cosine,
               |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
               |  FROM pairs)
-              |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin))
+              |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin)),
+
+    // Vector hygiene stats under int quantization: each float32 component
+    // is quantized to round(x*1000) — integer arithmetic from there on, so
+    // the squared norm is an order-independent exact sum (the per-element
+    // rounding can never tie at .5: k+0.5 = v*1000 would need v = odd/2000,
+    // which no binary float represents). The embedding-QA pass a training
+    // pipeline runs before indexing: norm outliers, dead (all-zero) and
+    // sign-skewed vectors. Pure per-row array arithmetic — no shuffle
+    // before the final ORDER BY.
+    "sim_vector_stats" -> QueryDef(
+      (s, d) => {
+        val q = transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), q.as("q"))
+          .select(col("vec_id"), col("label"),
+            aggregate(col("q"), lit(0L), (a, v) => a + v * v).as("nsq"),
+            size(filter(col("q"), v => v > 0L)).cast("long").as("n_pos"),
+            size(filter(col("q"), v => v === 0L)).cast("long").as("n_zero"))
+          .withColumn("norm_milli", round(sqrt(col("nsq").cast("double"))).cast("long"))
+          .select(col("vec_id"), col("label"), col("nsq"), col("n_pos"),
+            col("n_zero"), col("norm_milli"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, label, nsq, n_pos, n_zero,
+             |  CAST(round(sqrt(CAST(nsq AS DOUBLE))) AS BIGINT) AS norm_milli
+             |FROM (SELECT vec_id, label,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v*v)), (a, v) -> a + v) AS nsq,
+             |    CAST(len(list_filter(q, v -> v > 0)) AS BIGINT) AS n_pos,
+             |    CAST(len(list_filter(q, v -> v = 0)) AS BIGINT) AS n_zero
+             |  FROM (SELECT vec_id, label,
+             |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+             |    FROM embeddings))
+             |ORDER BY vec_id""".stripMargin),
+      doc = "embedding QA stats under exact integer quantization")
   )
 }

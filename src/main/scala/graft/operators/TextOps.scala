@@ -307,6 +307,42 @@ object TextOps {
               |ORDER BY sh.doc_id""".stripMargin),
       doc = "C4-style common-ngram boilerplate fraction via shingle-df equi-join"),
 
+    // PII detection + redaction: regex-scrub emails and phone-shaped
+    // strings before a corpus ships to training. The testdata carries no
+    // PII, so each doc gets a DETERMINISTIC synthetic contact line
+    // derived from doc_id (both engines build the identical string);
+    // the query counts matches and emits the PolyHash of the redacted
+    // text so the oracle proves the full rewritten string, not just the
+    // counts. Per-row regex work only — embarrassingly parallel.
+    "text_pii_redact" -> QueryDef(
+      (s, d) => {
+        val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phoneRe = "555-[0-9]{4}"
+        tbl(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")).as("txt"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+            strHash(regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("red_hash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+              |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+              |  FROM documents),
+              |r AS (SELECT doc_id,
+              |    CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_email,
+              |    CAST(len(regexp_extract_all(txt, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+              |    regexp_replace(regexp_replace(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+              |      '555-[0-9]{4}', '<PHONE>', 'g') AS red
+              |  FROM p)
+              |SELECT doc_id, n_email, n_phone, ${strHashSql("red")} AS red_hash
+              |FROM r ORDER BY doc_id""".stripMargin),
+      doc = "regex PII scrub with deterministic synthetic PII; redacted text proven by hash"),
+
     // Lexicon sentiment scoring (reference T15, the VADER heritage of
     // models/analyzed_models.go:8) as pure column arithmetic — whole-stage
     // codegen, no UDF. No rounding anywhere: score = (p-n)/ntok and

@@ -94,7 +94,8 @@ class OperatorSpec extends SparkSpec {
       "sim_ann_ivf",     // fixed 8-centroid literal side
       "sim_ann_lsh",     // broadcast single query-vector row
       "dedup_embed_cosine",
-      "text_tfidf")      // crossJoin(broadcast(1-row countDistinct scalar))
+      "text_tfidf",      // crossJoin(broadcast(1-row countDistinct scalar))
+      "q37_range_join")  // range containment vs broadcast 5-row tier dim
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
