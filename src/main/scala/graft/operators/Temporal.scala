@@ -196,5 +196,33 @@ object Temporal {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM act JOIN cohort USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "weekly cohort retention matrix from first-event cohorts"))
+      doc = "weekly cohort retention matrix from first-event cohorts"),
+
+    // Q38 — rolling 7-day distinct active users (WAU) per day. Distinct
+    // counts admit no sliding-window frame, so the scalable reformulation
+    // is contribution-explode: a (user, day) presence row contributes to
+    // report days d..d+6 (7× amplification), then one hash aggregation
+    // counts distinct users per report day — versus the unexpressible
+    // "COUNT(DISTINCT) OVER RANGE 6 DAYS" or an O(days²) self-join. The
+    // semi-join drops report days past the data's horizon.
+    "q38_rolling_wau" -> QueryDef(
+      (s, d) => {
+        val pres = tbl(s, d, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+          .distinct()
+        val days = pres.select(col("d").as("day")).distinct()
+        pres.select(col("user_id"),
+            explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+          .join(days, Seq("day"), "left_semi")
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("day")
+      },
+      Some("""WITH pres AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) d FROM events),
+             |days AS (SELECT DISTINCT d AS day FROM pres),
+             |contrib AS (SELECT user_id, d + CAST(g.i AS INTEGER) AS day FROM pres, generate_series(0, 6) g(i))
+             |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+             |FROM contrib c JOIN days ON days.day = c.day
+             |GROUP BY c.day ORDER BY c.day""".stripMargin),
+      doc = "rolling 7-day distinct users via contribution-explode (no window-distinct)"))
 }
