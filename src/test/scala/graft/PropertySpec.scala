@@ -82,6 +82,58 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asofJoin matches the correlated-lookup model on arbitrary event sets") {
+    import graft.operators.Temporal
+    import org.apache.spark.sql.functions._
+    // Small key/time domains force collisions, equal timestamps, and
+    // probes with no matching build row — the as-of edge cases.
+    val ev = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L))
+    val gen = Gen.zip(Gen.listOfN(15, ev), Gen.listOfN(15, ev))
+    check(Prop.forAll(gen) { case (probeRaw, buildRaw) =>
+      val probe = probeRaw.zipWithIndex
+        .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
+      val build = buildRaw.zipWithIndex
+        .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), (100 + i).toLong, (k * 31 + t).toString) }
+      val pDf = probe.toDF("user_id", "ts", "event_id")
+      val bDf = build.toDF("user_id", "ts", "event_id", "payload")
+      val got = Temporal.asofJoin(pDf, bDf, "user_id", "ts", "event_id", Seq("payload"))
+        .orderBy("event_id")
+        .select(col("event_id"), col("asof_payload"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      val want = probe.map { case (k, t, id) =>
+        val cands = build.filter(b => b._1 == k && !b._2.after(t))
+        (id, if (cands.isEmpty) None
+             else Some(cands.maxBy(b => (b._2.getTime, b._3))._4))
+      }.sortBy(_._1)
+      got == want
+    }, minOk = 10) // each trial is a Spark job
+  }
+
+  test("sessionize gap rule matches a sequential scan on arbitrary per-user streams") {
+    import graft.operators.Temporal
+    val gen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 20L)))
+    check(Prop.forAll(gen) { raw =>
+      // 20 events over a 0..20-minute span with a 5-minute gap rule.
+      val evs = raw.zipWithIndex.map { case ((u, m), i) =>
+        (i.toLong, new java.sql.Timestamp(m * 60000), u, "e", 0.0)
+      }
+      val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = Temporal.sessionize(df, gapSec = 300)
+        .select("user_id", "event_id", "session_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = evs.groupBy(_._3).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._1))
+        var sess = 0L; var prev = Long.MinValue
+        sorted.map { e =>
+          if (prev == Long.MinValue || e._2.getTime - prev > 300000L) sess += 1
+          prev = e._2.getTime
+          (u, e._1) -> sess
+        }
+      }
+      got == want
+    }, minOk = 10)
+  }
+
   test("Kafka wire round-trip is identity for arbitrary RawContent") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:09:58")
     val safe = Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty)
