@@ -19,14 +19,24 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import Qh._
 
-  /** Sequential-fold dot product of two array<float> columns (exact
-    * left-to-right double accumulation; matches the DuckDB list_reduce
-    * fold in the oracles). */
-  def dotD(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two array<float|double> columns —
+    * native codegen expression ([[graft.plans.DotProd]]); exact
+    * left-to-right double accumulation, bit-identical to the DuckDB
+    * list_reduce fold in the oracles AND to [[dotDDecl]] (spec-asserted).
+    * Runs once per candidate pair in the ANN queries — the reason it is
+    * native rather than a CodegenFallback higher-order function. */
+  def dotD(a: Column, b: Column): Column = graft.plans.DotProd.column(a, b)
+
+  /** Declarative (HOF) form of [[dotD]] — the parity witness. */
+  def dotDDecl(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def normD(a: Column): Column =
+  /** L2 norm via the native sum-of-squares fold ([[graft.plans.SumSq]]). */
+  def normD(a: Column): Column = sqrt(graft.plans.SumSq.column(a))
+
+  /** Declarative (HOF) form of [[normD]] — the parity witness. */
+  def normDDecl(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
@@ -45,16 +55,20 @@ object Similarity {
   val LshPlanes = 8
 
   /** Hyperplane coefficients, precomputed driver-side: plane j, dim i =
-    * (((1103515245*(j*64+i) + 12345) % 2001) - 1000)/1000 — embedded as
-    * one literal array so rows don't re-derive them. */
-  val planeCoeffs: Array[Double] =
-    (0 until LshPlanes * 64).map(k =>
-      (((1103515245L * k + 12345L) % 2001L) - 1000L).toDouble / 1000.0).toArray
+    * (((1103515245*(j*64+i) + 12345) % 2001) - 1000)/1000 — owned by the
+    * native expression so both forms share one array. */
+  val planeCoeffs: Array[Double] = graft.plans.LshBucket64.Coeffs
 
-  /** Spark column: LSH bucket id (0..255) of an array<float> embedding.
+  /** Spark column: LSH bucket id (0..255) of an array<float> embedding —
+    * native codegen expression ([[graft.plans.LshBucket64]]), computed
+    * once per row in every bucketing query; bit-identical to
+    * [[lshBucketDecl]] (spec-asserted). */
+  def lshBucket(v: Column): Column = graft.plans.LshBucket64.column(v)
+
+  /** Declarative (HOF) form of [[lshBucket]] — the parity witness.
     * Per plane: dot = sum(zip_with(v, plane_slice, *)) — zip_with
     * evaluates its array arguments once (no element_at-in-lambda re-eval). */
-  def lshBucket(v: Column): Column = {
+  def lshBucketDecl(v: Column): Column = {
     val planes = typedLit(planeCoeffs)
     aggregate(
       transform(sequence(lit(0), lit(LshPlanes - 1)), j => {

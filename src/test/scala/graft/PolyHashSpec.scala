@@ -125,4 +125,53 @@ class PolyHashSpec extends SparkSpec {
       "SELECT graft_simhash(transform(split('ab cd ef', ' '), t -> graft_hash(t))) AS sh").head()
     assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
   }
+
+  test("native dot/norm/lsh-bucket equal the declarative HOF folds on every embedding") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, Sf0001, "embeddings")
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .join(emb.filter(col("vec_id") < 20).select(col("embedding").as("b")))
+    val diff = pairs.select(
+      Similarity.dotD(col("a"), col("b")).as("dn"),
+      Similarity.dotDDecl(col("a"), col("b")).as("dd"),
+      Similarity.normD(col("a")).as("nn"),
+      Similarity.normDDecl(col("a")).as("nd"),
+      Similarity.lshBucket(col("a")).as("bn"),
+      Similarity.lshBucketDecl(col("a")).as("bd"))
+      .filter(col("dn") =!= col("dd") || col("nn") =!= col("nd") || col("bn") =!= col("bd"))
+    assert(diff.count() == 0)
+  }
+
+  test("native vector-op edge cases match HOF null/shape semantics") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),        // plain
+      (Array(0.0f, -0.0f), Array(0.0f, 0.0f)),       // signed zeros
+      (Array.empty[Float], Array.empty[Float]))      // empty → dot 0.0
+      .toDF("a", "b")
+    val got = rows.select(
+      Similarity.dotD(col("a"), col("b")).as("dn"),
+      Similarity.dotDDecl(col("a"), col("b")).as("dd"),
+      Similarity.normD(col("a")).as("nn"),
+      Similarity.normDDecl(col("a")).as("nd"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+      assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) == 0)
+    }
+    // length mismatch → null in both forms (zip_with null-padding poisons
+    // the fold; the native form returns null explicitly)
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("a", "b")
+      .select(Similarity.dotD(col("a"), col("b")).as("dn"),
+        Similarity.dotDDecl(col("a"), col("b")).as("dd"))
+      .head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // wrong-dim vector → bucket 0 in both forms
+    val wd = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("a")
+      .select(Similarity.lshBucket(col("a")).as("bn"),
+        Similarity.lshBucketDecl(col("a")).as("bd"))
+      .head()
+    assert(wd.getLong(0) == 0L && wd.getLong(1) == 0L)
+  }
 }
