@@ -69,22 +69,26 @@ object Enrich {
       }
 
     // ---- Column form: same math, whole-stage-codegen, SQL-expressible ---
-    private def hits(t: Column, words: Set[String]): Column =
-      size(filter(t, x => x.isin(words.toSeq.sorted: _*))).cast("double")
+    // Counting runs in ONE native pass ([[graft.plans.MemberCounts]]):
+    // [pos_hits, neg_hits, non_empty_tokens] — the declarative
+    // size(filter(...isin...)) triple is three interpreted HOF scans per
+    // row. Decl forms kept below as parity witnesses (PolyHashSpec).
 
-    /** Tokens for the Column form: split on \s+ AND drop empty tokens —
-      * leading/trailing whitespace yields "" entries that the Scala
-      * scorer and the DuckDB fragments both exclude; counting them in
-      * the denominator would silently shift every score. */
-    private def tokCol(text: Column): Column =
-      filter(split(lower(text), "\\s+"), x => x =!= "")
+    /** [p, n, ntok] counts of a text column, one native pass. Empty
+      * tokens from leading/trailing whitespace are dropped from ntok —
+      * the Scala scorer and the DuckDB fragments both exclude them;
+      * counting them in the denominator would silently shift scores. */
+    private def countsCol(text: Column): Column =
+      graft.plans.MemberCounts.column(split(lower(text), "\\s+"),
+        Positive.toSeq.sorted, Negative.toSeq.sorted)
 
     /** (score, label, confidence) columns over a text column. */
     def scoreCol(text: Column): Column = {
-      val t = tokCol(text)
-      val p = hits(t, Positive)
-      val n = hits(t, Negative)
-      val raw = when(size(t) === 0, 0.0).otherwise((p - n) / size(t))
+      val c = countsCol(text)
+      val p = element_at(c, 1).cast("double")
+      val n = element_at(c, 2).cast("double")
+      val ntok = element_at(c, 3)
+      val raw = when(ntok === 0, 0.0).otherwise((p - n) / ntok)
       greatest(lit(-1.0), least(lit(1.0), raw))
     }
 
@@ -92,9 +96,28 @@ object Enrich {
       when(scoreC > 0.05, "POSITIVE").when(scoreC < -0.05, "NEGATIVE").otherwise("NEUTRAL")
 
     def confidenceCol(text: Column): Column = {
-      val t = tokCol(text)
-      val p = hits(t, Positive)
-      val n = hits(t, Negative)
+      val c = countsCol(text)
+      val p = element_at(c, 1).cast("double")
+      val n = element_at(c, 2).cast("double")
+      when(p + n === 0, 0.5).otherwise(abs(p - n) / (p + n))
+    }
+
+    // Declarative (HOF) forms — parity witnesses only.
+    private def hitsDecl(t: Column, words: Set[String]): Column =
+      size(filter(t, x => x.isin(words.toSeq.sorted: _*))).cast("double")
+    private def tokColDecl(text: Column): Column =
+      filter(split(lower(text), "\\s+"), x => x =!= "")
+    def scoreColDecl(text: Column): Column = {
+      val t = tokColDecl(text)
+      val p = hitsDecl(t, Positive)
+      val n = hitsDecl(t, Negative)
+      val raw = when(size(t) === 0, 0.0).otherwise((p - n) / size(t))
+      greatest(lit(-1.0), least(lit(1.0), raw))
+    }
+    def confidenceColDecl(text: Column): Column = {
+      val t = tokColDecl(text)
+      val p = hitsDecl(t, Positive)
+      val n = hitsDecl(t, Negative)
       when(p + n === 0, 0.5).otherwise(abs(p - n) / (p + n))
     }
 

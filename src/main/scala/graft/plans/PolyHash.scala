@@ -73,37 +73,31 @@ object PolyHash {
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`, or
   * imperatively via [[GraftExtensions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.graftHash)
-    ext.injectFunction(GraftExtensions.graftSimHash)
-    ext.injectFunction(GraftExtensions.graftMinHash)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  val graftHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_hash"),
-    new ExpressionInfo(classOf[PolyHash].getName, "graft_hash"),
-    (children: Seq[Expression]) => PolyHash(children.head))
+  private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  val graftSimHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_simhash"),
-    new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
-    (children: Seq[Expression]) => SimHash60(children.head))
+  private def fn(name: String, cls: Class[_], build: Seq[Expression] => Expression): FnDef =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), build)
 
-  val graftMinHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_minhash"),
-    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-    (children: Seq[Expression]) => MinHashSig(children.head))
+  val graftHash: FnDef = fn("graft_hash", classOf[PolyHash], c => PolyHash(c.head))
+  val graftSimHash: FnDef = fn("graft_simhash", classOf[SimHash60], c => SimHash60(c.head))
+  val graftMinHash: FnDef = fn("graft_minhash", classOf[MinHashSig], c => MinHashSig(c.head))
+  val graftJaccard: FnDef = fn("graft_jaccard", classOf[JaccardSim], c => JaccardSim(c(0), c(1)))
+  val graftDot: FnDef = fn("graft_dot", classOf[DotProd], c => DotProd(c(0), c(1)))
+  val graftSumSq: FnDef = fn("graft_sumsq", classOf[SumSq], c => SumSq(c.head))
+  val graftLshBucket: FnDef = fn("graft_lsh_bucket", classOf[LshBucket64], c => LshBucket64(c.head))
+
+  val all: Seq[FnDef] = Seq(graftHash, graftSimHash, graftMinHash,
+    graftJaccard, graftDot, graftSumSq, graftLshBucket)
 
   /** Imperative registration for sessions we did not build (e.g. the
     * driver's t1 session calling SparkEntry.entry). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      graftHash._1, graftHash._2, graftHash._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      graftSimHash._1, graftSimHash._2, graftSimHash._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      graftMinHash._1, graftMinHash._2, graftMinHash._3)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, build) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, build)
+    }
 }

@@ -126,6 +126,28 @@ class PolyHashSpec extends SparkSpec {
     assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
   }
 
+  test("vector ops are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  graft_sumsq(array(3.0D, 4.0D)) AS s,
+        |  graft_jaccard(array(1L, 2L), array(2L, 3L)) AS j""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 25.0 && r.getDouble(2) == 0.3333)
+  }
+
+  test("native lexicon counts equal the declarative HOF forms on every document") {
+    import graft.enrich.Enrich.LexiconScorer
+    val withEdges = Tables(spark, Sf0001, "documents").select(col("text"))
+      .union(Seq("", "  ", " good bad ", "good good GOOD bug").toDF("text"))
+    val diff = withEdges.select(
+      LexiconScorer.scoreCol(col("text")).as("sn"),
+      LexiconScorer.scoreColDecl(col("text")).as("sd"),
+      LexiconScorer.confidenceCol(col("text")).as("cn"),
+      LexiconScorer.confidenceColDecl(col("text")).as("cd"))
+      .filter(col("sn") =!= col("sd") || col("cn") =!= col("cd"))
+    assert(diff.count() == 0)
+  }
+
   test("native dot/norm/lsh-bucket equal the declarative HOF folds on every embedding") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf0001, "embeddings")
