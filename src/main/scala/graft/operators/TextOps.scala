@@ -307,6 +307,44 @@ object TextOps {
               |ORDER BY sh.doc_id""".stripMargin),
       doc = "C4-style common-ngram boilerplate fraction via shingle-df equi-join"),
 
+    // Mixture planning: given target domain weights (permille of the
+    // training budget) and the measured per-source token supply, compute
+    // each source's sampling rate (capped at 1000 = take everything) and
+    // the tokens it will actually contribute. This is the calculation a
+    // curation pipeline runs BEFORE sample_stratified materializes the
+    // mixture. One aggregation + a broadcast scalar; exact integer
+    // arithmetic throughout.
+    "sample_mixture_plan" -> QueryDef(
+      (s, d) => {
+        // weights: src0/src1 are boosted domains, everything else shares
+        // the remainder evenly via the default 50‰.
+        val weight = when(col("source") === "src0", 300L)
+          .when(col("source") === "src1", 200L).otherwise(50L)
+        val supply = tbl(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply_tok"))
+        val total = supply.agg(sum(col("supply_tok")).as("budget_tok"))
+        supply.crossJoin(broadcast(total))
+          .withColumn("weight_milli", weight)
+          .withColumn("target_tok", expr("weight_milli * budget_tok div 1000"))
+          .withColumn("rate_milli",
+            least(lit(1000L), expr("target_tok * 1000 div supply_tok")))
+          .withColumn("planned_tok", expr("supply_tok * rate_milli div 1000"))
+          .select(col("source"), col("supply_tok"), col("weight_milli"),
+            col("target_tok"), col("rate_milli"), col("planned_tok"))
+          .orderBy("source")
+      },
+      Some("""WITH supply AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) supply_tok
+             |                FROM documents GROUP BY source),
+             |total AS (SELECT CAST(sum(supply_tok) AS BIGINT) budget_tok FROM supply)
+             |SELECT source, supply_tok,
+             |  CAST(CASE WHEN source = 'src0' THEN 300 WHEN source = 'src1' THEN 200 ELSE 50 END AS BIGINT) AS weight_milli,
+             |  weight_milli * budget_tok // 1000 AS target_tok,
+             |  least(1000, (weight_milli * budget_tok // 1000) * 1000 // supply_tok) AS rate_milli,
+             |  supply_tok * least(1000, (weight_milli * budget_tok // 1000) * 1000 // supply_tok) // 1000 AS planned_tok
+             |FROM supply CROSS JOIN total ORDER BY source""".stripMargin),
+      doc = "domain-mixture sampling plan: weights x supply -> per-source rates, exact integers"),
+
     // PII detection + redaction: regex-scrub emails and phone-shaped
     // strings before a corpus ships to training. The testdata carries no
     // PII, so each doc gets a DETERMINISTIC synthetic contact line

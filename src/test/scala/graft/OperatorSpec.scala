@@ -95,7 +95,8 @@ class OperatorSpec extends SparkSpec {
       "sim_ann_lsh",     // broadcast single query-vector row
       "dedup_embed_cosine",
       "text_tfidf",      // crossJoin(broadcast(1-row countDistinct scalar))
-      "q37_range_join")  // range containment vs broadcast 5-row tier dim
+      "q37_range_join",  // range containment vs broadcast 5-row tier dim
+      "sample_mixture_plan") // crossJoin(broadcast(1-row total-budget scalar))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
