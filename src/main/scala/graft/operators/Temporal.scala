@@ -224,5 +224,73 @@ object Temporal {
              |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
              |FROM contrib c JOIN days ON days.day = c.day
              |GROUP BY c.day ORDER BY c.day""".stripMargin),
-      doc = "rolling 7-day distinct users via contribution-explode (no window-distinct)"))
+      doc = "rolling 7-day distinct users via contribution-explode (no window-distinct)"),
+
+    // Q39 — time-weighted average value (TWAP) per user/day: each event's
+    // value holds until the user's next event that day; the last event of
+    // the day carries no weight. All integer arithmetic (cents ×
+    // micros), one shuffle on (user, day) + one lead() pass.
+    "q39_twap" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "day").orderBy(col("ts"), col("event_id"))
+        tbl(s, d, "events")
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+          .withColumn("dur_us", lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+          .filter(col("dur_us").isNotNull)
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_holds"),
+            sum(col("dur_us")).as("dur_us_total"),
+            sum(cents(col("value")) * col("dur_us")).as("wsum"))
+          .withColumn("twap_cents", expr("wsum div dur_us_total"))
+          .select(col("user_id"), col("day"), col("n_holds"),
+            col("dur_us_total"), col("twap_cents"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(round(value*100) AS BIGINT) AS cents,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+             |      ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+             |  FROM events)
+             |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_holds,
+             |  CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
+             |  CAST(sum(cents * dur_us) AS BIGINT) // CAST(sum(dur_us) AS BIGINT) AS twap_cents
+             |FROM o WHERE dur_us IS NOT NULL
+             |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin),
+      doc = "per-user/day time-weighted average in exact cents-x-micros integers"),
+
+    // Q40 — peak concurrency per day: each event opens a 10-minute
+    // presence interval, clipped at midnight so every day's sweep is
+    // self-contained (the standard segmentation that keeps the classic
+    // +1/-1 boundary sweep parallel by day instead of one global sort).
+    // Tie rule: at equal timestamps ends (-1) apply before starts (+1).
+    "q40_concurrency" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+          .select(col("event_id"), col("ts"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .withColumn("day_end_us", unix_micros((col("day") + 1).cast("timestamp")))
+          .withColumn("start_us", unix_micros(col("ts")))
+          .withColumn("end_us", least(col("start_us") + 600000000L, col("day_end_us")))
+        val starts = ev.select(col("day"), col("start_us").as("t_us"), lit(1L).as("delta"), col("event_id"))
+        val ends = ev.select(col("day"), col("end_us").as("t_us"), lit(-1L).as("delta"), col("event_id"))
+        val w = Window.partitionBy("day").orderBy(col("t_us"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        starts.union(ends)
+          .withColumn("running", sum(col("delta")).over(w))
+          .groupBy("day").agg(max(col("running")).as("peak"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT event_id, ts, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    epoch_us(ts) AS start_us,
+             |    least(epoch_us(ts) + 600000000,
+             |          epoch_us(CAST(CAST(date_trunc('day', ts) AS DATE) + 1 AS TIMESTAMP))) AS end_us
+             |  FROM events),
+             |b AS (SELECT day, start_us AS t_us, CAST(1 AS BIGINT) AS delta, event_id FROM ev
+             |      UNION ALL SELECT day, end_us, -1, event_id FROM ev),
+             |r AS (SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY t_us, delta, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+             |      FROM b)
+             |SELECT day, max(running) AS peak FROM r GROUP BY day ORDER BY day""".stripMargin),
+      doc = "midnight-clipped +1/-1 boundary sweep, parallel by day"))
 }
