@@ -282,29 +282,37 @@ object TextOps {
     "text_boilerplate" -> QueryDef(
       (s, d) => {
         import Dedup.{shingles3, tokHashesSeq}
-        val sh = tbl(s, d, "documents")
-          .select(col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
-        val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        // ONE shingle pass over the corpus: per-doc totals ride along the
+        // exploded relation as a conditional count; the doc_id-only base
+        // (a cheap column-pruned scan) restores docs whose shingle set is
+        // empty (<3 tokens) via the left join.
+        val exploded = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(shingles3(tokHashesSeq(col("text")))).as("g"))
         val common = exploded.groupBy("g").agg(count(lit(1)).as("ndocs"))
-          .filter(col("ndocs") >= 3).select("g")
-        val boiler = exploded.join(common, Seq("g"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-        sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-          .join(boiler, Seq("doc_id"), "left_outer")
+          .filter(col("ndocs") >= 3)
+          .select(col("g"), lit(1L).as("is_common"))
+        val perDoc = exploded.join(common, Seq("g"), "left_outer")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_sh"),
+            count(col("is_common")).as("n_boiler"))
+        tbl(s, d, "documents").select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .withColumn("n_sh", coalesce(col("n_sh"), lit(0L)))
           .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
           .withColumn("boiler_milli", expr("n_boiler * 1000 div greatest(n_sh, 1)"))
           .select(col("doc_id"), col("n_sh"), col("n_boiler"), col("boiler_milli"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH sh AS (SELECT doc_id, ${Dedup.shingles3Sql(Dedup.tokHashesSeqSql("text"))} AS sh FROM documents),
-              |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      Some(s"""WITH e AS (SELECT doc_id, unnest(${Dedup.shingles3Sql(Dedup.tokHashesSeqSql("text"))}) AS g FROM documents),
               |common AS (SELECT g FROM e GROUP BY g HAVING count(*) >= 3),
-              |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_boiler FROM e JOIN common USING (g) GROUP BY doc_id)
-              |SELECT sh.doc_id, CAST(len(sh.sh) AS BIGINT) AS n_sh,
+              |b AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) n_sh,
+              |        CAST(count(common.g) AS BIGINT) n_boiler
+              |      FROM e LEFT JOIN common USING (g) GROUP BY e.doc_id)
+              |SELECT d.doc_id, COALESCE(b.n_sh, 0) AS n_sh,
               |  COALESCE(b.n_boiler, 0) AS n_boiler,
-              |  COALESCE(b.n_boiler, 0) * 1000 // greatest(len(sh.sh), 1) AS boiler_milli
-              |FROM sh LEFT JOIN b ON sh.doc_id = b.doc_id
-              |ORDER BY sh.doc_id""".stripMargin),
+              |  COALESCE(b.n_boiler, 0) * 1000 // greatest(COALESCE(b.n_sh, 0), 1) AS boiler_milli
+              |FROM (SELECT doc_id FROM documents) d LEFT JOIN b ON d.doc_id = b.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
       doc = "C4-style common-ngram boilerplate fraction via shingle-df equi-join"),
 
     // Mixture planning: given target domain weights (permille of the
