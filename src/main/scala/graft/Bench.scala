@@ -28,7 +28,9 @@ object Bench {
     if (only.nonEmpty) SparkEntry.queries.view.filterKeys(only).foreach { case (n, fn) =>
       System.err.println(s"=== $n\n" + fn(spark, sfDir).queryExecution.executedPlan.toString.take(8000))
     }
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Clamp to >= 1: zero/negative would produce an empty run list whose
+    // `.min` crashes the report after the whole session ran.
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // Per-query min over `repeats` timed runs: a single timed pass is
     // defenseless against transient host contention (a shared-node load
     // window once inflated 6 queries 10-17x while adjacent queries were

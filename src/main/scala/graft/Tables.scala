@@ -23,6 +23,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events" &&
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      // Fail fast with guidance: without the flag the read dies later in
+      // Parquet footer conversion with an inscrutable "Illegal Parquet
+      // type: INT64 (TIMESTAMP(NANOS,false))". External sessions calling
+      // into SparkEntry must opt in — the loader stays side-effect free.
+      throw new IllegalStateException(
+        "events.parquet carries TIMESTAMP(NANOS); build the SparkSession with " +
+          ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") " +
+          "(all graft session builders do)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

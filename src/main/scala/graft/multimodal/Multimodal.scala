@@ -117,8 +117,13 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media corpus derived from the `documents`
-    * table (text bytes as payload) — the offline stand-in for a real
-    * binary-column source. */
+    * table — the offline stand-in for a real binary-column source.
+    *
+    * Payload = one byte per UTF-16 unit, the unit's low 7 bits. NOT
+    * `getBytes("UTF-8")`: the DuckDB oracles walk CHARACTERS (`ascii(c)
+    * & 127` mirrors the clamp exactly for the whole BMP), while UTF-8
+    * would emit multiple bytes per non-ASCII char and silently diverge
+    * the moment the generated corpus stops being pure ASCII. */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
@@ -128,7 +133,10 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        MediaRecord(id, kind, text.getBytes("UTF-8"),
+        val payload = new Array[Byte](text.length)
+        var i = 0
+        while (i < text.length) { payload(i) = (text.charAt(i) & 0x7f).toByte; i += 1 }
+        MediaRecord(id, kind, payload,
           MediaMeta(s"application/x-$kind", (n % 640).toInt + 16, 480, 16000, n * 10))
       }
   }
@@ -161,7 +169,7 @@ object Multimodal {
              |),
              |b AS (
              |  SELECT doc_id,
-             |    unnest(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS byte,
+             |    unnest(list_transform(string_split(text, ''), c -> CAST(ascii(c) & 127 AS BIGINT))) AS byte,
              |    unnest(range(0, length(text))) AS pos
              |  FROM documents WHERE length(text) > 0
              |),

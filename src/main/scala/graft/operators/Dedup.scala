@@ -547,6 +547,12 @@ object Dedup {
     * rewrites the same paths and the index never duplicates: dedup output
     * is idempotent per batch id.
     *
+    * INDEX FORMAT: `bands/` is hive-partitioned by (band, kb) — an index
+    * written by an engine version without the kb partition column is NOT
+    * readable here (mixed partition depths fail discovery, and flat rows
+    * would read kb=NULL and silently miss every probe). Rebuild such an
+    * index by replaying ingest into a fresh indexDir.
+    *
     * A new doc is dropped if it Jaccard-matches (>= threshold) any stored
     * doc sharing a band key, or the minimum-id doc of one of its band
     * buckets within the batch (the [[defs dedup_minhash_lsh]] keep-first
@@ -582,10 +588,16 @@ object Dedup {
     val storedBands = readOrEmpty(bandsDir, "band INT, bkey STRING, doc_id BIGINT, kb INT")
     val storedSigs = readOrEmpty(sigsDir, "doc_id BIGINT, tk ARRAY<BIGINT>")
 
+    // Persist the signed/banded batch: it feeds the probe-pair collect,
+    // both candidate joins, and the index write below — without the cache
+    // each consumer would recompute tokHashes+MinHash+band-explode over
+    // the arriving documents (4x the signature cost per micro-batch).
     val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
       .withColumn("kb", kbOf(col("bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSigs = withSig.select(col("doc_id"), col("tk"))
 
     // Prune the stored index scan to the exact (band, kb) partitions the
@@ -633,6 +645,8 @@ object Dedup {
       .mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
     newSigs.join(keptIds, Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$sigsDir/batch=$batchId")
+    banded.unpersist()
+    withSig.unpersist()
     keptOut
   }
 }

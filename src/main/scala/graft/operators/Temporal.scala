@@ -26,23 +26,29 @@ object Temporal {
     * tag, sorted once per key, and the build payload is carried forward
     * with last(ignoreNulls) — one shuffle, no correlated lookups, the
     * standard distributed as-of formulation. `payload` columns must exist
-    * in `build`; probe columns are preserved. */
+    * in `build`; probe columns are preserved.
+    *
+    * The payload travels as ONE struct (null exactly on probe rows), so
+    * last(ignoreNulls) selects the latest build ROW even when individual
+    * payload FIELDS are null — a per-column carry would skip a null field
+    * back to an older row and could stitch fields from different rows. */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String, ts: String,
       ord: String, payload: Seq[String]): DataFrame = {
     val pCols = probe.columns.toSeq
-    val nullPayload = payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"__b_$c"))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(c, build.schema(c).dataType)))
     val pTagged = probe.select(
-      (pCols.map(col) ++ nullPayload :+ lit(1).as("__side")): _*)
+      (pCols.map(col) :+ lit(null).cast(payloadType).as("__b") :+ lit(1).as("__side")): _*)
     val bTagged = build.select(
-      (pCols.map(c => (if (c == key || c == ts || c == ord) col(c) else lit(null).cast(probe.schema(c).dataType)).as(c)) ++
-        payload.map(c => col(c).as(s"__b_$c")) :+ lit(0).as("__side")): _*)
+      (pCols.map(c => (if (c == key || c == ts || c == ord) col(c) else lit(null).cast(probe.schema(c).dataType)).as(c)) :+
+        struct(payload.map(col): _*).as("__b") :+ lit(0).as("__side")): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col(ord))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pTagged.union(bTagged)
+      .withColumn("__asof", last(col("__b"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select((pCols.map(col) ++
-        payload.map(c => last(col(s"__b_$c"), ignoreNulls = true).over(w).as(s"asof_$c")) :+
-        col("__side")): _*)
-      .filter(col("__side") === 1).drop("__side")
+        payload.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
   }
 
   /** Batch sessionization: split each user's event stream at silence gaps

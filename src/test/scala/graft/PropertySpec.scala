@@ -85,15 +85,20 @@ class PropertySpec extends SparkSpec {
   test("asofJoin matches the correlated-lookup model on arbitrary event sets") {
     import graft.operators.Temporal
     import org.apache.spark.sql.functions._
-    // Small key/time domains force collisions, equal timestamps, and
-    // probes with no matching build row — the as-of edge cases.
+    // Small key/time domains force collisions, equal timestamps, probes
+    // with no matching build row, and NULL payload values — the latest
+    // build row must win even when its payload field is null (a
+    // per-column ignoreNulls carry would skip back to an older row).
     val ev = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L))
-    val gen = Gen.zip(Gen.listOfN(15, ev), Gen.listOfN(15, ev))
+    val bev = Gen.zip(ev, Gen.prob(0.3))
+    val gen = Gen.zip(Gen.listOfN(15, ev), Gen.listOfN(15, bev))
     check(Prop.forAll(gen) { case (probeRaw, buildRaw) =>
       val probe = probeRaw.zipWithIndex
         .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
       val build = buildRaw.zipWithIndex
-        .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), (100 + i).toLong, (k * 31 + t).toString) }
+        .map { case (((k, t), nullPay), i) =>
+          (k, new java.sql.Timestamp(t * 1000), (100 + i).toLong,
+            if (nullPay) null else (k * 31 + t).toString) }
       val pDf = probe.toDF("user_id", "ts", "event_id")
       val bDf = build.toDF("user_id", "ts", "event_id", "payload")
       val got = Temporal.asofJoin(pDf, bDf, "user_id", "ts", "event_id", Seq("payload"))
@@ -103,7 +108,7 @@ class PropertySpec extends SparkSpec {
       val want = probe.map { case (k, t, id) =>
         val cands = build.filter(b => b._1 == k && !b._2.after(t))
         (id, if (cands.isEmpty) None
-             else Some(cands.maxBy(b => (b._2.getTime, b._3))._4))
+             else Option(cands.maxBy(b => (b._2.getTime, b._3))._4))
       }.sortBy(_._1)
       got == want
     }, minOk = 10) // each trial is a Spark job
