@@ -371,32 +371,34 @@ object Dedup {
     // The oracle runs the identical prefilter + a recursive CTE closure.
     "dedup_cluster" -> QueryDef(
       (s, d) => clusterDocs(tbl(s, d, "documents")),
-      Some {
-        val mhs = (0 until MinHashes).map(i => s"${minhashSql("tk", i)} AS mh$i").mkString(",\n    ")
-        val bandRows = (0 until Bands).map(j =>
-          s"SELECT source, doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
-          .mkString("\nUNION ALL\n")
-        s"""WITH RECURSIVE t AS (SELECT source, doc_id, ${tokHashesSql("text")} AS tk FROM documents),
-           |sig AS (SELECT source, doc_id,
-           |    $mhs
-           |  FROM t),
-           |banded AS ($bandRows),
-           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM banded x JOIN banded y
-           |    ON x.source = y.source AND x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-           |pairs AS (
-           |  SELECT c.a, c.b FROM cand c
-           |  JOIN t x ON x.doc_id = c.a JOIN t y ON y.doc_id = c.b
-           |  WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.8),
-           |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-           |reach(a, b) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-           |SELECT a AS doc_id, MIN(b) AS cluster FROM reach
-           |GROUP BY a ORDER BY doc_id""".stripMargin
-      },
+      Some(s"""WITH RECURSIVE $clusterCteSql
+              |SELECT doc_id, cluster FROM clusters ORDER BY doc_id""".stripMargin),
       doc = "connected components over LSH-candidate edges; WITH RECURSIVE oracle"),
+
+    // Leakage-safe train/val/test split: the unit of assignment is the
+    // near-dup CLUSTER, not the document — two near-duplicates must never
+    // straddle the train/eval boundary or the eval set silently leaks
+    // training data (the canonical contamination bug de-dup exists to
+    // prevent). Split = affine hash of the cluster id mod 100 →
+    // 80/10/10; deterministic, no RNG, stable as the corpus grows within
+    // a cluster.
+    "sample_split" -> QueryDef(
+      (s, d) =>
+        clusterDocs(tbl(s, d, "documents"))
+          .withColumn("split_h", expr("((cluster * 104729 + 12345) % 1000003) % 100"))
+          .withColumn("split",
+            when(col("split_h") < 80, "train")
+              .when(col("split_h") < 90, "val").otherwise("test"))
+          .select(col("doc_id"), col("cluster"), col("split_h"), col("split"))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $clusterCteSql
+              |SELECT doc_id, cluster,
+              |  ((cluster * 104729 + 12345) % 1000003) % 100 AS split_h,
+              |  CASE WHEN ((cluster * 104729 + 12345) % 1000003) % 100 < 80 THEN 'train'
+              |       WHEN ((cluster * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM clusters ORDER BY doc_id""".stripMargin),
+      doc = "cluster-aware 80/10/10 split: near-dups never straddle train/eval"),
 
     // Embedding-cosine near-dup: LSH bucket (random-hyperplane, see
     // Similarity.lshBucket) equi-join generates candidates; exact cosine
@@ -428,6 +430,36 @@ object Dedup {
            |WHERE cosine >= 0.4 ORDER BY bucket, a, b""".stripMargin
       })
   )
+
+  /** Shared oracle fragment: the full LSH-candidate + Jaccard-edge +
+    * recursive-closure clustering as a CTE list ending in
+    * `clusters(doc_id, cluster)` — prefix with `WITH RECURSIVE`. Used by
+    * the dedup_cluster and sample_split oracles so both grade against
+    * the identical closure. */
+  private def clusterCteSql: String = {
+    val mhs = (0 until MinHashes).map(i => s"${minhashSql("tk", i)} AS mh$i").mkString(",\n    ")
+    val bandRows = (0 until Bands).map(j =>
+      s"SELECT source, doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""t AS (SELECT source, doc_id, ${tokHashesSql("text")} AS tk FROM documents),
+       |sig AS (SELECT source, doc_id,
+       |    $mhs
+       |  FROM t),
+       |banded AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.source = y.source AND x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN t x ON x.doc_id = c.a JOIN t y ON y.doc_id = c.b
+       |  WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.8),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |clusters AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)""".stripMargin
+  }
 
   /** Transitive near-dup clustering: connected components over
     * LSH-candidate + Jaccard-verified edges (the dedup_cluster query).
