@@ -159,12 +159,11 @@ object Dedup {
        |    THEN power(2, bb)::BIGINT ELSE 0 END)), (acc, v) -> acc + v)""".stripMargin
   }
 
-  /** Token-3-gram shingle hashes (distinct) from a token-hash array.
-    * Built with zip_with over shifted slices — NOT element_at inside a
-    * lambda, which would re-evaluate the (inlined) th expression per
-    * element access after projection collapse. zip_with pads the shorter
-    * side with nulls; the trailing null partials are filtered off. */
-  def shingles3(th: Column): Column = array_distinct(shingles3Raw(th))
+  /** Token-3-gram shingle hashes (distinct, first-occurrence order) from
+    * a token-hash array — native codegen expression
+    * ([[graft.plans.Shingles3]]); runs once per corpus document in every
+    * shingle-family query. Bit-identical to [[shingles3Decl]]. */
+  def shingles3(th: Column): Column = graft.plans.Shingles3.column(th, distinct = true)
 
   def shingles3Sql(th: String): String =
     s"list_distinct(${shingles3RawSql(th)})"
@@ -172,7 +171,17 @@ object Dedup {
   /** Non-distinct variant of [[shingles3]]: every 3-gram occurrence, in
     * text order — required by repetition metrics where the duplicate
     * count IS the signal. */
-  def shingles3Raw(th: Column): Column = {
+  def shingles3Raw(th: Column): Column = graft.plans.Shingles3.column(th, distinct = false)
+
+  /** Declarative (HOF) forms — parity witnesses for the native
+    * [[graft.plans.Shingles3]] expression (PolyHashSpec). Built with
+    * zip_with over shifted slices — NOT element_at inside a lambda, which
+    * would re-evaluate the (inlined) th expression per element access
+    * after projection collapse. zip_with pads the shorter side with
+    * nulls; the trailing null partials are filtered off. */
+  def shingles3Decl(th: Column): Column = array_distinct(shingles3RawDecl(th))
+
+  def shingles3RawDecl(th: Column): Column = {
     val s1 = slice(th, lit(2), greatest(size(th) - 1, lit(0)))
     val s2 = slice(th, lit(3), greatest(size(th) - 2, lit(0)))
     val p1 = zip_with(th, s1, (x, y) => pmod(x * 31 + y, lit(HashP)))

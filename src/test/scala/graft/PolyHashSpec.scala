@@ -135,6 +135,18 @@ class PolyHashSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 25.0 && r.getDouble(2) == 0.3333)
   }
 
+  test("native shingles equal the declarative zip_with chain on every document") {
+    import graft.operators.Dedup
+    val withEdges = Tables(spark, Sf0001, "documents").select(col("text"))
+      .union(Seq("", "a", "a b", "a b c", "x x x x").toDF("text"))
+    val th = Dedup.tokHashesSeq(col("text"))
+    val diff = withEdges.select(
+      Dedup.shingles3(th).as("dn"), Dedup.shingles3Decl(th).as("dd"),
+      Dedup.shingles3Raw(th).as("rn"), Dedup.shingles3RawDecl(th).as("rd"))
+      .filter(col("dn") =!= col("dd") || col("rn") =!= col("rd"))
+    assert(diff.count() == 0)
+  }
+
   test("native lexicon counts equal the declarative HOF forms on every document") {
     import graft.enrich.Enrich.LexiconScorer
     val withEdges = Tables(spark, Sf0001, "documents").select(col("text"))
