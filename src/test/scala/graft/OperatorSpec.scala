@@ -106,6 +106,23 @@ class OperatorSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-hostile joins in: ${offenders.mkString(", ")}")
   }
 
+  test("sample_split never puts a near-dup pair across the train/eval boundary") {
+    // The invariant the split exists for: every Jaccard>=0.8 pair (from
+    // the registered all-pairs baseline) must land in ONE split — doc-
+    // level hashing would leak eval docs into training via near-dups.
+    val split = q("sample_split").select(col("doc_id"), col("split"))
+    val leaks = q("q28a_jaccard_pairs").filter(col("jaccard") >= 0.8)
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(leaks.count() == 0, "near-dup pair straddles splits")
+    // and the split is a partition of the corpus with all three classes
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == Tables(spark, Sf0001, "documents").count())
+  }
+
   test("LSH banding recovers >=90% of exact Jaccard>=0.8 pairs (measured recall)") {
     // Theoretical recall at J=0.8 with 4 bands x 2 rows: 1-(1-0.8^2)^4 ≈
     // 0.983. Measure on real data: exact pairs from the all-pairs
