@@ -369,6 +369,64 @@ object Dedup {
            |ORDER BY source, a, b""".stripMargin
       }),
 
+    // Asymmetric shingle CONTAINMENT among the same LSH candidates:
+    // c(a→b) = |A∩B| / |A| catches partial duplication — a short doc
+    // quoted/embedded inside a longer one — which symmetric Jaccard
+    // under-scores (the union grows with the longer doc). Exact integer
+    // permille per direction; like every LSH method here, candidate
+    // generation (MinHash band collision) is part of the declared
+    // semantics — containment-heavy pairs with tiny Jaccard may not
+    // collide, which a dedicated containment sketch would fix at the cost
+    // of a second index.
+    "dedup_containment" -> QueryDef(
+      (s, d) => {
+        val base = tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = base.withColumn("mhs", minhashSig(col("sh")))
+        val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
+        val pairs = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
+          .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
+            Seq("source", "band", "bkey"))
+          .filter(col("a") < col("b"))
+          .select("source", "a", "b").distinct()
+        val shOf = base.select(col("doc_id"), col("sh"))
+        pairs
+          .join(shOf.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+          .join(shOf.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+          .select(col("source"), col("a"), col("b"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+            size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
+          .withColumn("cont_ab_milli", expr("inter * 1000 div na"))
+          .withColumn("cont_ba_milli", expr("inter * 1000 div nb"))
+          .filter(greatest(col("cont_ab_milli"), col("cont_ba_milli")) >= 600)
+          .orderBy("source", "a", "b")
+      },
+      Some {
+        val mhs = (0 until MinHashes).map(i => s"${minhashSql("sh", i)} AS mh$i").mkString(",\n    ")
+        val bandRows = (0 until Bands).map(j =>
+          s"SELECT source, doc_id, sh, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH base AS (SELECT source, doc_id, ${shingles3Sql(tokHashesSeqSql("text"))} AS sh FROM documents),
+           |nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+           |sig AS (SELECT source, doc_id, sh,
+           |    $mhs
+           |  FROM nonempty),
+           |banded AS ($bandRows),
+           |cand AS (SELECT DISTINCT x.source AS source, x.doc_id AS a, y.doc_id AS b,
+           |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+           |    CAST(len(x.sh) AS BIGINT) AS na, CAST(len(y.sh) AS BIGINT) AS nb
+           |  FROM banded x JOIN banded y
+           |    ON x.source = y.source AND x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+           |SELECT source, a, b, inter, na, nb,
+           |  inter * 1000 // na AS cont_ab_milli,
+           |  inter * 1000 // nb AS cont_ba_milli
+           |FROM cand
+           |WHERE greatest(inter * 1000 // na, inter * 1000 // nb) >= 600
+           |ORDER BY source, a, b""".stripMargin
+      },
+      doc = "asymmetric shingle containment (partial-dup / quote detection) over LSH candidates"),
+
     // Transitive near-dup clustering: connected components over the
     // similarity graph (edges = within-source hashed-token Jaccard >= 0.8
     // among MinHash-band collisions — the same LSH candidate generation as
