@@ -53,7 +53,10 @@ object Temporal {
 
   /** Batch sessionization: split each user's event stream at silence gaps
     * > `gapSec`, assign ordinal session ids via a running sum of
-    * new-session flags — the batch analog of SQ5's session_window. */
+    * new-session flags — the batch analog of SQ5's session_window
+    * (equivalence spec'd in StreamingSpec; sole divergence is the exact-
+    * gap boundary, where session_window's exclusive window end starts a
+    * new session and this strict `>` does not). */
   def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapSec * 1000000L

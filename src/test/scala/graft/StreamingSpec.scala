@@ -92,6 +92,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("ai", 2L), ("rust", 1L)))
   }
 
+  test("batch sessionize agrees with streaming session_window on session count and sizes") {
+    // Two independent implementations of the same 30-min gap rule — the
+    // batch window-function sessionizer (Temporal.sessionize) and
+    // Spark's native session_window (SQ5) — must carve identical
+    // sessions per user on the shared fixture. (Boundary note: at a gap
+    // of EXACTLY 30:00 sessionize keeps the session (strict >, oracle-
+    // matched) while session_window starts a new one (window end is
+    // exclusive); the fixture deliberately avoids the exact boundary.)
+    import graft.operators.Temporal
+    val fromBatch = Temporal.sessionize(events.toDF())
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"))
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val fromSessionWindow = Streaming.sessionCounts(events.toDF())
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(fromBatch == fromSessionWindow)
+  }
+
   test("SQ11 stream-stream interval join equals batch join; horizon excludes stale clicks") {
     val clicks = events.filter(_.event_type == "click")
     val buys = events.filter(_.event_type == "buy")
