@@ -301,5 +301,29 @@ object Temporal {
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
              |      FROM b)
              |SELECT day, max(running) AS peak FROM r GROUP BY day ORDER BY day""".stripMargin),
-      doc = "midnight-clipped +1/-1 boundary sweep, parallel by day"))
+      doc = "midnight-clipped +1/-1 boundary sweep, parallel by day"),
+
+    // Q41 — the SQ11 stream-stream interval join, batch-bound: the SAME
+    // Streaming.intervalJoin function (watermarks are no-ops in batch)
+    // under the DuckDB hash gate — purchases pick up every click by the
+    // same user within the preceding hour. Proves the streaming
+    // transform's relation, not just its batch≡stream equivalence spec.
+    "q41_interval_join" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+        graft.streaming.Streaming.intervalJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            cents(col("value")).as("purchase_cents"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  CAST(round(p.value*100) AS BIGINT) AS purchase_cents
+             |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND p.ts >= c.ts
+             | AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+             |ORDER BY click_id, purchase_id""".stripMargin),
+      doc = "SQ11's interval join run batch-bound under the oracle gate"))
 }
