@@ -58,16 +58,27 @@ object Multimodal {
     * oracle mirror (see the `mm_decode_features` query). */
   object StubCodec extends MediaCodec {
     val Dim = 16
+    /** Exact per-dim Long accumulators — the integer "milli-features"
+      * (`features(j) == accMillis(bytes)(j).toFloat / 1000f`). Exposed so
+      * the oracle gate can compare INTEGERS: a `list<float>` result column
+      * is unhashable on the comparison side, and reconstructing the
+      * integer from the float (`round(f*1000)`) is only exact while the
+      * accumulator stays under ~2^23 — sharing the accumulator is exact
+      * unconditionally. Parity with [[decodeBatch]] is spec-asserted. */
+    def accMillis(bytes: Array[Byte]): Array[Long] = {
+      val acc = new Array[Long](Dim)
+      var h = 17L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * 31 + (bytes(i) & 0xff)) % 1000003L
+        acc(i % Dim) += h % 1000L
+        i += 1
+      }
+      acc
+    }
     override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
-        val acc = new Array[Long](Dim)
-        var h = 17L
-        var i = 0
-        while (i < r.bytes.length) {
-          h = (h * 31 + (r.bytes(i) & 0xff)) % 1000003L
-          acc(i % Dim) += h % 1000L
-          i += 1
-        }
+        val acc = accMillis(r.bytes)
         val f = new Array[Float](Dim)
         var j = 0
         while (j < Dim) { f(j) = acc(j).toFloat / 1000f; j += 1 }
@@ -99,6 +110,21 @@ object Multimodal {
       batchSize: Int = DefaultBatchSize): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(g => codec.decodeBatch(g)))
+  }
+
+  /** Integer projection of [[decodeFeatures]] for the oracle gate: one row
+    * per (media_id, dim) carrying the exact pre-division accumulator
+    * (`feat_milli * 1e-3 == features(dim)`). Same batched mapPartitions
+    * shape as [[decodeFeatures]]; exists because a `array<float>` column
+    * cannot be hashed by the comparison harness. The float-list Dataset
+    * API is unchanged — this is gate plumbing, not a second decode. */
+  def decodeFeatureMillis(ds: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[(Long, String, Int, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      val acc = StubCodec.accMillis(r.bytes)
+      acc.indices.map(j => (r.media_id, r.kind, j, acc(j)))
+    }))
   }
 
   /** Resize every image payload; non-images pass through untouched. */
@@ -157,9 +183,9 @@ object Multimodal {
   val defs: Seq[(String, QueryDef)] = Seq(
     "mm_decode_features" -> QueryDef(
       (s, d) => {
-        decodeFeatures(syntheticMedia(s, d)).toDF()
-          .select(col("media_id"), col("kind"), col("features"))
-          .orderBy("media_id")
+        decodeFeatureMillis(syntheticMedia(s, d))
+          .toDF("media_id", "kind", "dim", "feat_milli")
+          .orderBy("media_id", "dim")
       },
       Some("""WITH RECURSIVE pw(i, p31, pinv) AS (
              |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
@@ -197,10 +223,11 @@ object Multimodal {
              |SELECT doc_id AS media_id,
              |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
              |    ELSE 'video' END AS kind,
-             |  list(CAST(sg AS FLOAT) / CAST(1000 AS FLOAT) ORDER BY dim) AS features
-             |FROM fv GROUP BY doc_id ORDER BY media_id""".stripMargin),
+             |  CAST(dim AS INT) AS dim, CAST(sg AS BIGINT) AS feat_milli
+             |FROM fv ORDER BY media_id, dim""".stripMargin),
       doc = "Batched binary-column decode to fixed-dim features via the " +
-        "deterministic stub codec; DuckDB mirror of the full rolling hash"),
+        "deterministic stub codec; DuckDB mirror of the full rolling hash. " +
+        "Gated as exploded exact integers (feat_milli = features*1000)"),
 
     "mm_frame_sample" -> QueryDef(
       (s, d) => {

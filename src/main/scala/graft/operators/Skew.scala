@@ -94,7 +94,7 @@ object Skew {
           SaltedAgg("max_cents", max(cents(col("value"))), max(_)))
           .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
              |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
              |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
@@ -118,7 +118,7 @@ object Skew {
       Some("""WITH dim AS (
              |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS weight
              |  FROM events)
-             |SELECT e.event_type, count(*) AS n, sum(d.weight) AS w_sum
+             |SELECT e.event_type, count(*) AS n, CAST(sum(d.weight) AS BIGINT) AS w_sum
              |FROM events e JOIN dim d USING (event_type)
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
       doc = "Salted join: fact salted in [0,8), dim replicated 8x; " +

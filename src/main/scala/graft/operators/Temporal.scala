@@ -122,7 +122,7 @@ object Temporal {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
              |  FROM f)
              |SELECT user_id, session_idx, min(ts) AS sess_start, max(ts) AS sess_end,
-             |  count(*) AS n_events, sum(cents) AS sum_cents
+             |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM sid GROUP BY user_id, session_idx
              |ORDER BY user_id, session_idx""".stripMargin),
       doc = "gap-based batch sessionization; batch analog of SQ5 session_window"),
@@ -140,9 +140,9 @@ object Temporal {
           .select(col("event_id"), col("user_id"), col("roll_cents"))
           .orderBy("event_id"),
       Some("""SELECT event_id, user_id,
-             |  sum(CAST(round(value*100) AS BIGINT)) OVER (
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
              |    PARTITION BY user_id ORDER BY epoch_us(ts)
-             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS roll_cents
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
              |FROM events ORDER BY event_id""".stripMargin),
       doc = "per-user rolling 1h spend via RANGE frame on event time"),
 

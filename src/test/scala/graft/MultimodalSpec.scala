@@ -41,6 +41,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 500)
   }
 
+  test("decodeFeatureMillis is the exact integer projection of decodeFeatures") {
+    val floats = decodeFeatures(media).collect()
+      .map(f => f.media_id -> f.features).toMap
+    val millis = decodeFeatureMillis(media).collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._3).map(_._4)
+      }
+    assert(millis.keySet == floats.keySet)
+    millis.foreach { case (id, acc) =>
+      assert(acc.length == StubCodec.Dim)
+      acc.zipWithIndex.foreach { case (m, j) =>
+        assert(m.toFloat / 1000f == floats(id)(j),
+          s"media $id dim $j: milli $m vs float ${floats(id)(j)}")
+      }
+    }
+  }
+
   test("resizeImages touches only images and rewrites meta") {
     val out = resizeImages(media, 64, 64).collect()
     out.foreach { r =>
