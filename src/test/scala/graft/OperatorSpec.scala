@@ -123,6 +123,24 @@ class OperatorSpec extends SparkSpec {
     assert(counts.values.sum == Tables(spark, Sf0001, "documents").count())
   }
 
+  test("split-from-materialized-clusters ≡ split from a live clusterDocs run") {
+    // The cluster-once-consume-many contract: writeClusters → parquet →
+    // splitFromClusters must yield byte-identical assignments to running
+    // the clustering inline (what sample_split gates through its memoized
+    // table). A drift here would silently decouple consumers from the
+    // closure the oracle certifies.
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("clusters-spec-").toString
+    Dedup.writeClusters(Tables(spark, Sf0001, "documents"), tmp)
+    val fromTable = Dedup.splitFromClusters(spark.read.parquet(tmp))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val live = Dedup.splitFromClusters(
+        Dedup.clusterDocs(Tables(spark, Sf0001, "documents")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(fromTable == live)
+    assert(fromTable.nonEmpty)
+  }
+
   test("LSH banding recovers >=90% of exact Jaccard>=0.8 pairs (measured recall)") {
     // Theoretical recall at J=0.8 with 4 bands x 2 rows: 1-(1-0.8^2)^4 ≈
     // 0.983. Measure on real data: exact pairs from the all-pairs
