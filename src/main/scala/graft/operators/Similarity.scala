@@ -50,30 +50,38 @@ object Similarity {
       s"list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
 
   // --- random-hyperplane LSH (deterministic, engine-independent) --------
-  // hyperplane(j)(i) = (((1103515245*(j*64+i) + 12345) % 2001) - 1000)/1000
+  // hyperplane: table t, plane j, dim i at k = (t*8+j)*64+i has
+  // coefficient (((1103515245*k + 12345) % 2001) - 1000)/1000.
   // All-integer generation: both engines compute identical planes.
   val LshPlanes = 8
 
-  /** Hyperplane coefficients, precomputed driver-side: plane j, dim i =
-    * (((1103515245*(j*64+i) + 12345) % 2001) - 1000)/1000 — owned by the
-    * native expression so both forms share one array. */
+  /** Number of independent hash tables (see [[graft.plans.LshBucket64]]):
+    * the registered ANN query unions candidates across tables — the
+    * standard LSH recall lever (a neighbor missed by one table's banding
+    * is recovered by another). */
+  val LshTables = graft.plans.LshBucket64.Tables
+
+  /** Hyperplane coefficients, precomputed driver-side, all tables
+    * concatenated — owned by the native expression so both forms share
+    * one array. */
   val planeCoeffs: Array[Double] = graft.plans.LshBucket64.Coeffs
 
-  /** Spark column: LSH bucket id (0..255) of an array<float> embedding —
-    * native codegen expression ([[graft.plans.LshBucket64]]), computed
-    * once per row in every bucketing query; bit-identical to
-    * [[lshBucketDecl]] (spec-asserted). */
-  def lshBucket(v: Column): Column = graft.plans.LshBucket64.column(v)
+  /** Spark column: LSH bucket id (0..255) of an array<float> embedding in
+    * hash table `table` — native codegen expression
+    * ([[graft.plans.LshBucket64]]), computed once per row in every
+    * bucketing query; bit-identical to [[lshBucketDecl]] (spec-asserted). */
+  def lshBucket(v: Column, table: Int = 0): Column = graft.plans.LshBucket64.column(v, table)
 
   /** Declarative (HOF) form of [[lshBucket]] — the parity witness.
     * Per plane: dot = sum(zip_with(v, plane_slice, *)) — zip_with
     * evaluates its array arguments once (no element_at-in-lambda re-eval). */
-  def lshBucketDecl(v: Column): Column = {
+  def lshBucketDecl(v: Column, table: Int = 0): Column = {
     val planes = typedLit(planeCoeffs)
     aggregate(
       transform(sequence(lit(0), lit(LshPlanes - 1)), j => {
         val dot = aggregate(
-          zip_with(v, slice(planes, j * 64 + 1, lit(64)), (x, p) => x.cast("double") * p),
+          zip_with(v, slice(planes, (lit(table * LshPlanes) + j) * 64 + 1, lit(64)),
+            (x, p) => x.cast("double") * p),
           lit(0.0), (acc, t) => acc + t)
         when(dot > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
       }),
@@ -83,21 +91,42 @@ object Similarity {
   /** Multi-probe bucket list: the exact bucket plus each single-bit flip
     * (1 + LshPlanes buckets). Flipping one hyperplane sign recovers
     * neighbors that straddle a plane boundary — the dominant LSH miss
-    * mode — at O(nbits) extra probes, never O(2^nbits). Measured on the
-    * sf0.1 embeddings: recall@5 goes 0.05 → 0.17 while still scanning
-    * only ~(1+8)/256 of the corpus (see AnnRecallSpec). */
+    * mode — at O(nbits) extra probes, never O(2^nbits). */
   def probeBuckets(bucket: Column): Column =
     array((bucket +: (0 until LshPlanes).map(j => bucket.bitwiseXOR(lit(1L << j)))): _*)
 
-  /** DuckDB SQL: the same probe list for bucket expression `b`. */
+  /** 2-bit multi-probe list: exact bucket + all single-bit flips + all
+    * C(8,2)=28 double-bit flips = 37 probes per table. With [[LshTables]]
+    * = 2 tables this is the registered ANN config — measured recall@5
+    * 0.55 at ~30% of the corpus scanned on the sf0.1 embeddings (a
+    * near-random corpus; see AnnRecallSpec's calibration note), vs 0.17
+    * at 7% for 1 table × 1-bit. The recall/scan knobs are (tables,
+    * flip bits); both are O(probes), never O(2^planes). */
+  def probeBuckets2(bucket: Column): Column = {
+    val flips =
+      (0 until LshPlanes).map(j => bucket.bitwiseXOR(lit(1L << j))) ++
+        (for { j <- 0 until LshPlanes; k <- j + 1 until LshPlanes }
+          yield bucket.bitwiseXOR(lit((1L << j) | (1L << k))))
+    array((bucket +: flips): _*)
+  }
+
+  /** DuckDB SQL: the same 1-bit probe list for bucket expression `b`. */
   def probeBucketsSql(b: String): String =
     s"list_prepend($b, list_transform(range(0, $LshPlanes), j -> xor($b, CAST(1 AS BIGINT) << j)))"
 
-  /** DuckDB SQL: same bucket id for embedding expression `v`. */
-  def lshBucketSql(v: String): String =
+  /** DuckDB SQL: the same 2-bit probe list as [[probeBuckets2]]. */
+  def probeBuckets2Sql(b: String): String =
+    s"list_concat(" +
+      s"list_prepend($b, list_transform(range(0, $LshPlanes), j -> xor($b, CAST(1 AS BIGINT) << j))), " +
+      s"flatten(list_transform(range(0, $LshPlanes), j -> " +
+      s"list_transform(range(j + 1, $LshPlanes), k -> " +
+      s"xor(xor($b, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k)))))"
+
+  /** DuckDB SQL: same bucket id for embedding expression `v` in `table`. */
+  def lshBucketSql(v: String, table: Int = 0): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $LshPlanes), j ->
        |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), i ->
-       |      CAST($v[i+1] AS DOUBLE) * CAST(((1103515245*(j*64+i) + 12345) % 2001) - 1000 AS DOUBLE) / 1000.0)),
+       |      CAST($v[i+1] AS DOUBLE) * CAST(((1103515245*((j+${table * LshPlanes})*64+i) + 12345) % 2001) - 1000 AS DOUBLE) / 1000.0)),
        |      (x, y) -> x + y) > 0
        |  THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)""".stripMargin
 
@@ -182,13 +211,19 @@ object Similarity {
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
             normD(col("embedding")).as("cnorm")))
         // cell assignment: nearest centroid by cosine (deterministic
-        // tie-break on centroid id via the max(struct) trick)
+        // tie-break on centroid id via the max(struct) trick). The
+        // arg-max groups by the SCALAR vec_id only — grouping by the
+        // 64-dim vector would hash a 512-byte array as the shuffle key
+        // per partial row; instead the vector rides through exactly one
+        // 8-byte-key rejoin after the cells are decided.
         def assign(df: org.apache.spark.sql.DataFrame, vecCol: String, outPrefix: String) = {
           val sim = dotD(col(vecCol), col("cvec")) / (normD(col(vecCol)) * col("cnorm"))
-          df.crossJoin(cents)
-            .groupBy(col("vec_id"), col(vecCol).as(s"${outPrefix}_vec"))
+          val cells = df.crossJoin(cents)
+            .groupBy(col("vec_id"))
             .agg(max(struct(sim.as("s"), (-col("cent_id")).as("nid"))).as("best"))
-            .select(col("vec_id"), col(s"${outPrefix}_vec"), (-col("best.nid")).as("cell"))
+            .select(col("vec_id"), (-col("best.nid")).as("cell"))
+          df.select(col("vec_id"), col(vecCol).as(s"${outPrefix}_vec"))
+            .join(cells, Seq("vec_id"))
         }
         val assigned = assign(emb.select("vec_id", "embedding"), "embedding", "e")
         val q = assigned.filter(col("vec_id") === 0)
@@ -225,33 +260,45 @@ object Similarity {
               |WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
-    // ANN via random-hyperplane LSH with 1-bit MULTI-PROBE: candidates =
-    // the query's bucket plus each single-bit flip, then exact cosine
-    // rerank. The scale path — a bucket equi-join against an exploded
-    // 9-value probe list; each corpus vector has exactly one bucket so no
-    // candidate is produced twice. Recall guarded by AnnRecallSpec.
+    // ANN via random-hyperplane LSH, 2 independent hash tables × 2-bit
+    // MULTI-PROBE: candidates = union over tables of {exact bucket,
+    // single-bit flips, double-bit flips}, then exact cosine rerank.
+    // Recall@5 measured 0.55 at ~30% of this (near-random) corpus
+    // scanned — gated >= 0.5 in AnnRecallSpec; knobs are (tables, flip
+    // bits). For ONE query vector the optimal plan is what this builds: a
+    // 1-row broadcast carrying the two 37-entry probe lists, membership-
+    // tested per corpus row (zero shuffle; the BNLJ is against a single
+    // broadcast row — allowlisted in the plan gate). A BATCH of queries
+    // would explode probes and bucket-equi-join instead (see sim_knn_join
+    // for that shape).
     "sim_ann_lsh" -> QueryDef(
       (s, d) => {
-        val emb = tbl(s, d, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
+        val emb = tbl(s, d, "embeddings")
+          .withColumn("b0", lshBucket(col("embedding"), 0))
+          .withColumn("b1", lshBucket(col("embedding"), 1))
         val q = broadcast(emb.filter(col("vec_id") === 0)
-          .select(explode(probeBuckets(col("bucket"))).as("qbucket"),
-            col("embedding").as("e0"), normD(col("embedding")).as("n0")))
+          .select(col("embedding").as("e0"), normD(col("embedding")).as("n0"),
+            probeBuckets2(col("b0")).as("p0"), probeBuckets2(col("b1")).as("p1")))
         emb.filter(col("vec_id") =!= 0)
-          .join(q, col("bucket") === col("qbucket"))
-          .select(col("vec_id"), col("label"), col("bucket"),
+          .join(q, array_contains(col("p0"), col("b0")) || array_contains(col("p1"), col("b1")))
+          .select(col("vec_id"), col("label"),
             (dotD(col("embedding"), col("e0")) / (normD(col("embedding")) * col("n0"))).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
-      Some(s"""WITH e AS (SELECT vec_id, label, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
-              |q AS (SELECT bucket AS qbucket, embedding AS e0, ${normSql("embedding")} AS n0 FROM e WHERE vec_id = 0),
-              |p AS (SELECT unnest(${probeBucketsSql("qbucket")}) AS pb FROM q)
-              |SELECT vec_id, label, bucket,
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |    ${lshBucketSql("embedding", 0)} AS b0,
+              |    ${lshBucketSql("embedding", 1)} AS b1 FROM embeddings),
+              |q AS (SELECT embedding AS e0, ${normSql("embedding")} AS n0,
+              |    ${probeBuckets2Sql("b0")} AS p0, ${probeBuckets2Sql("b1")} AS p1
+              |  FROM e WHERE vec_id = 0)
+              |SELECT vec_id, label,
               |  ${dotSql("embedding", "(SELECT e0 FROM q)")}
               |    / (${normSql("embedding")} * (SELECT n0 FROM q)) AS sim
-              |FROM e WHERE vec_id <> 0 AND bucket IN (SELECT pb FROM p)
+              |FROM e WHERE vec_id <> 0 AND (list_contains((SELECT p0 FROM q), b0)
+              |  OR list_contains((SELECT p1 FROM q), b1))
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
-      doc = "Multi-probe LSH ANN: probe = exact bucket + 8 single-bit flips"),
+      doc = "Multi-probe LSH ANN: 2 hash tables x (exact + 1-bit + 2-bit flips) = 74 probes"),
 
     // Batch k-NN self-join: EVERY vector's top-3 same-bucket neighbors by
     // exact cosine — the corpus-wide ANN operation a training pipeline

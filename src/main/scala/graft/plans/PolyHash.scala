@@ -90,10 +90,14 @@ object GraftExtensions {
   val graftDot: FnDef = fn("graft_dot", classOf[DotProd], c => DotProd(c(0), c(1)))
   val graftSumSq: FnDef = fn("graft_sumsq", classOf[SumSq], c => SumSq(c.head))
   val graftLshBucket: FnDef = fn("graft_lsh_bucket", classOf[LshBucket64], c => LshBucket64(c.head))
+  // second independent LSH hash table (planes 8..15); SQL function args
+  // must be expressions, so each table gets its own name rather than a
+  // non-foldable int parameter
+  val graftLshBucket2: FnDef = fn("graft_lsh_bucket2", classOf[LshBucket64], c => LshBucket64(c.head, table = 1))
   val graftShingles: FnDef = fn("graft_shingles", classOf[Shingles3], c => Shingles3(c.head, distinct = true))
 
   val all: Seq[FnDef] = Seq(graftHash, graftSimHash, graftMinHash,
-    graftJaccard, graftDot, graftSumSq, graftLshBucket, graftShingles)
+    graftJaccard, graftDot, graftSumSq, graftLshBucket, graftLshBucket2, graftShingles)
 
   /** Imperative registration for sessions we did not build (e.g. the
     * driver's t1 session calling SparkEntry.entry). */

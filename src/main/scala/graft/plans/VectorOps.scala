@@ -136,8 +136,16 @@ object SumSq {
 /** Random-hyperplane LSH bucket id over a 64-dim embedding — bit-identical
   * to the declarative 8-plane fold ([[graft.operators.Similarity.lshBucketDecl]]):
   * per plane j the dot with the integer-derived coefficients is the same
-  * left-to-right double fold, `dot > 0` sets bit j. */
-case class LshBucket64(child: Expression) extends UnaryExpression {
+  * left-to-right double fold, `dot > 0` sets bit j.
+  *
+  * `table` selects one of [[LshBucket64.Tables]] INDEPENDENT hash tables —
+  * table t uses planes t*8..t*8+7 of the same integer-derived coefficient
+  * stream, so adding a table never changes table 0's buckets. Multiple
+  * tables are the standard LSH recall lever: a near-neighbor missed by one
+  * table's banding is recovered by another (union of candidates). */
+case class LshBucket64(child: Expression, table: Int = 0) extends UnaryExpression {
+  require(table >= 0 && table < LshBucket64.Tables,
+    s"LSH table index $table out of range [0, ${LshBucket64.Tables})")
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable // null ARRAY → null; degenerate arrays → bucket 0
   override def checkInputDataTypes(): TypeCheckResult =
@@ -146,11 +154,11 @@ case class LshBucket64(child: Expression) extends UnaryExpression {
   private def cF = VectorOps.isFloatElem(child.dataType)
 
   protected override def nullSafeEval(input: Any): Any =
-    LshBucket64.bucket(input.asInstanceOf[ArrayData], cF)
+    LshBucket64.bucket(input.asInstanceOf[ArrayData], cF, table)
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = graft.plans.LshBucket64.bucket($arr, $cF);")
+      s"${ev.value} = graft.plans.LshBucket64.bucket($arr, $cF, $table);")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket64 =
     copy(child = newChild)
@@ -159,22 +167,24 @@ case class LshBucket64(child: Expression) extends UnaryExpression {
 object LshBucket64 {
   val Planes = 8
   val Dim = 64
+  val Tables = 2
 
-  /** Hyperplane coefficients: plane j, dim i at k = j*64+i is
-    * (((1103515245*k + 12345) % 2001) - 1000)/1000 — all-integer
-    * generation, identical in the DuckDB oracle fragment
-    * ([[graft.operators.Similarity.lshBucketSql]]). */
+  /** Hyperplane coefficients: table t, plane j, dim i at k = (t*8+j)*64+i
+    * is (((1103515245*k + 12345) % 2001) - 1000)/1000 — all-integer
+    * generation over one continuous stream, identical in the DuckDB
+    * oracle fragment ([[graft.operators.Similarity.lshBucketSql]]). */
   val Coeffs: Array[Double] =
-    Array.tabulate(Planes * Dim)(k =>
+    Array.tabulate(Tables * Planes * Dim)(k =>
       (((1103515245L * k + 12345L) % 2001L) - 1000L).toDouble / 1000.0)
 
-  def bucket(v: ArrayData, vF: Boolean): Long = {
+  def bucket(v: ArrayData, vF: Boolean, table: Int): Long = {
     if (v.numElements() != Dim) return 0L
     var i = 0
     while (i < Dim) { // a null element nulls every plane's dot → bucket 0
       if (v.isNullAt(i)) return 0L
       i += 1
     }
+    val off = table * Planes * Dim
     var b = 0L
     var j = 0
     while (j < Planes) {
@@ -182,7 +192,7 @@ object LshBucket64 {
       var k = 0
       while (k < Dim) {
         val x = if (vF) v.getFloat(k).toDouble else v.getDouble(k)
-        acc += x * Coeffs(j * Dim + k)
+        acc += x * Coeffs(off + j * Dim + k)
         k += 1
       }
       if (acc > 0) b += (1L << j)
@@ -191,5 +201,6 @@ object LshBucket64 {
     b
   }
 
-  def column(c: Column): Column = GraftShim.column(LshBucket64(GraftShim.expression(c)))
+  def column(c: Column, table: Int = 0): Column =
+    GraftShim.column(LshBucket64(GraftShim.expression(c), table))
 }

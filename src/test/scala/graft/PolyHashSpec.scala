@@ -171,9 +171,24 @@ class PolyHashSpec extends SparkSpec {
       Similarity.normD(col("a")).as("nn"),
       Similarity.normDDecl(col("a")).as("nd"),
       Similarity.lshBucket(col("a")).as("bn"),
-      Similarity.lshBucketDecl(col("a")).as("bd"))
-      .filter(col("dn") =!= col("dd") || col("nn") =!= col("nd") || col("bn") =!= col("bd"))
+      Similarity.lshBucketDecl(col("a")).as("bd"),
+      Similarity.lshBucket(col("a"), 1).as("bn1"),
+      Similarity.lshBucketDecl(col("a"), 1).as("bd1"))
+      .filter(col("dn") =!= col("dd") || col("nn") =!= col("nd") ||
+        col("bn") =!= col("bd") || col("bn1") =!= col("bd1"))
     assert(diff.count() == 0)
+  }
+
+  test("the two LSH hash tables are genuinely independent bucketings") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, Sf0001, "embeddings")
+      .select(Similarity.lshBucket(col("embedding"), 0).as("b0"),
+        Similarity.lshBucket(col("embedding"), 1).as("b1"))
+    // If table 1 accidentally reused table 0's planes the columns would be
+    // identical; independent tables agree only by chance (~1/256 per row).
+    val n = emb.count()
+    val agree = emb.filter(col("b0") === col("b1")).count()
+    assert(agree < n / 16, s"tables correlate: $agree/$n rows share a bucket id")
   }
 
   test("native vector-op edge cases match HOF null/shape semantics") {
