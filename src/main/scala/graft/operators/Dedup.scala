@@ -427,6 +427,35 @@ object Dedup {
       },
       doc = "asymmetric shingle containment (partial-dup / quote detection) over LSH candidates"),
 
+    // Containment with a DEDICATED index — prefix-filtered, EXACT recall.
+    // The MinHash-banded variant above inherits Jaccard-banding recall: a
+    // short doc quoted inside a long one has high containment but tiny
+    // Jaccard, so its bands rarely collide (ContainmentSpec plants such a
+    // pair and shows the bands miss it). The prefix filter has no such
+    // gap: if max-direction containment >= 600 permille, the SHORTER
+    // side's |2n/5|+1 first shingles (in any fixed global order) must
+    // intersect the other doc's set — pigeonhole, so candidate recall is
+    // exactly 1 and the oracle is the PLAIN all-pairs containment SQL.
+    "dedup_containment_exact" -> QueryDef(
+      (s, d) => containmentExact(tbl(s, d, "documents")),
+      Some {
+        s"""WITH base AS (SELECT source, doc_id, ${shingles3Sql(tokHashesSeqSql("text"))} AS sh FROM documents),
+           |nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+           |cand AS (SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b,
+           |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+           |    CAST(len(x.sh) AS BIGINT) AS na, CAST(len(y.sh) AS BIGINT) AS nb
+           |  FROM nonempty x JOIN nonempty y
+           |    ON x.source = y.source AND x.doc_id < y.doc_id)
+           |SELECT source, a, b, inter, na, nb,
+           |  inter * 1000 // na AS cont_ab_milli,
+           |  inter * 1000 // nb AS cont_ba_milli
+           |FROM cand
+           |WHERE greatest(inter * 1000 // na, inter * 1000 // nb) >= 600
+           |ORDER BY source, a, b""".stripMargin
+      },
+      doc = "EXACT-recall containment via prefix-filtered inverted shingle index; " +
+        "oracle is the plain all-pairs containment (no banding in the semantics)"),
+
     // Transitive near-dup clustering: connected components over the
     // similarity graph (edges = within-source hashed-token Jaccard >= 0.8
     // among MinHash-band collisions — the same LSH candidate generation as
@@ -599,6 +628,70 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Exact-recall containment via prefix-filtered inverted index
+  // ------------------------------------------------------------------
+
+  /** Containment join with EXACT candidate recall (prefix filtering, the
+    * set-similarity-join classic): emit (a, b) with
+    * max(c(a→b), c(b→a)) >= `thresholdMilli` permille, where
+    * c(a→b) = |A∩B| / |A| over distinct 3-shingles.
+    *
+    * Why not MinHash bands: banding recall decays with symmetric Jaccard,
+    * and a short-doc-quoted-in-long pair has c ≈ 1 but J ≈ |A|/|B| → 0.
+    * Prefix filter instead: order every doc's shingles by one fixed
+    * global order and probe only the first k_a = floor((1000-t)/1000 ·
+    * n_a) + 1 of them against a full inverted index. If no probe hits,
+    * the intersection is confined to the remaining n_a - k_a shingles, so
+    * c(a→b) < t — a MISSED pair is arithmetically impossible, for any
+    * global order (pigeonhole).
+    *
+    * Scale shape: the global order is ASCENDING document frequency (ties
+    * by shingle value), so prefixes hold each doc's rarest shingles and
+    * the probe side of the (source, shingle) equi-join lands on the
+    * SHORTEST posting lists — the hot keys (stopword shingles) sit in the
+    * index but are almost never probed. Costs: one df aggregation, one
+    * per-doc top-k window (bounded by shingle count per doc), one
+    * posting-list equi-join, then exact verification once per DISTINCT
+    * candidate pair. Everything shuffles on compact scalar keys. */
+  def containmentExact(raw: org.apache.spark.sql.DataFrame,
+      thresholdMilli: Int = 600): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = raw
+      .select(col("source"), col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = base.select(col("source"), col("doc_id"),
+      size(col("sh")).cast("long").as("n"), explode(col("sh")).as("shingle"))
+    val dfreq = exploded.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    // prefix length: the smallest k with n - k < ceil(t/1000 · n), i.e.
+    // k = floor((1000-t)·n / 1000) + 1 — exact integer arithmetic
+    val prefix = exploded.join(dfreq, Seq("source", "shingle"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"), col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+      .filter(col("rnk") <= expr(s"n * ${1000 - thresholdMilli} div 1000 + 1"))
+      .select(col("source"), col("doc_id").as("p"), col("shingle"))
+    val cand = prefix
+      .join(exploded.select(col("source"), col("doc_id").as("q"), col("shingle")),
+        Seq("source", "shingle"))
+      .filter(col("p") =!= col("q"))
+      .select(col("source"), least(col("p"), col("q")).as("a"),
+        greatest(col("p"), col("q")).as("b"))
+      .distinct()
+    val shOf = base.select(col("doc_id"), col("sh"))
+    cand
+      .join(shOf.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+      .join(shOf.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+      .select(col("source"), col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
+      .withColumn("cont_ab_milli", expr("inter * 1000 div na"))
+      .withColumn("cont_ba_milli", expr("inter * 1000 div nb"))
+      .filter(greatest(col("cont_ab_milli"), col("cont_ba_milli")) >= thresholdMilli)
+      .orderBy("source", "a", "b")
   }
 
   // ------------------------------------------------------------------
