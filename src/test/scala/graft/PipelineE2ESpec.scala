@@ -43,6 +43,52 @@ class PipelineE2ESpec extends SparkSpec {
     assert(byPost("p3")._3, "long post must be summarized")
   }
 
+  test("responses.json-shaped replay: captured extractor output → topicGen → anti-join → TTL table") {
+    // Mirrors the reference's checked-in `responses.json` (root of the
+    // repo; schema models/openai_models.go:3-5 — {"topics": [{title,
+    // topic, category, url}]}): a CAPTURED extraction response replayed
+    // through the topic pipeline in place of the live model, exactly how
+    // the reference replays its recorded OpenAI output. The fixture is
+    // synthetic but shape-identical, including the edge rows the pipeline
+    // exists to handle: an empty-url extraction, a url emitted twice, and
+    // a url already present in the stored snapshot.
+    val raw = spark.read.option("multiLine", true)
+      .json("src/test/resources/responses_fixture.json")
+    // exact reference shape: one `topics` array of 4-string-field objects
+    assert(raw.schema.fieldNames.toSeq == Seq("topics"))
+    val captured = raw.select(explode(col("topics")).as("t"))
+      .select(col("t.title").as("title"), col("t.topic").as("topic"),
+        col("t.category").as("category"), col("t.url").as("url"))
+      .as[Topic].collect()
+    assert(captured.length == 30)
+
+    // replay extractor: answers each headline batch from the captured
+    // responses, keyed by title — the fixture IS the model output
+    val byTitle = captured.map(t => t.title -> t).toMap
+    val replay = new graft.enrich.Enrich.TopicExtractor {
+      override def extractBatch(hs: Seq[Models.Headline]): Seq[Topic] =
+        hs.map(h => byTitle(h.title))
+    }
+    val headlines = captured.toSeq.map(t => Models.Headline(t.title, t.url)).toDS()
+    val stored = Seq(Topic("seen", "seen", "Sports",
+      "https://news.example.com/articles/stored")).toDS()
+
+    val out = Pipelines.topicGen(headlines, stored, replay)
+    val table = Files.createTempDirectory("graft_topics_").toFile.getAbsolutePath + "/topics"
+    Sources.upsertWithTtl(out.toDF(), table, "url")
+    val cur = Sources.readCurrent(spark, table, "url").as[Topic].collect()
+
+    // 30 captured − 1 empty-url − 1 in-batch url dup − 1 already stored
+    assert(cur.length == 27)
+    assert(!cur.exists(_.url == ""), "empty-url extraction must be dropped")
+    assert(!cur.exists(_.url.endsWith("/stored")), "anti-join must drop stored urls")
+    val dupSurvivor = cur.filter(_.url.endsWith("/dup"))
+    assert(dupSurvivor.length == 1 &&
+      dupSurvivor.head.title.startsWith("Aardvark"), "url dedup keeps first by title")
+    // replayed rows arrive verbatim: no mutation between capture and table
+    cur.foreach(t => assert(byTitle(t.title) == t))
+  }
+
   test("wire-level streaming: posts → toWire 'topic' files → fromWire stream → score (K1/T1/T2)") {
     val dir = Files.createTempDirectory("graft_wire_").toFile.getAbsolutePath
     val topicDir = s"$dir/topic"; val ckpt = s"$dir/ckpt"; val table = s"$dir/results"
