@@ -130,6 +130,67 @@ object Similarity {
        |      (x, y) -> x + y) > 0
        |  THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)""".stripMargin
 
+  // --- materialized IVF index: assign once, probe many times ------------
+
+  /** Write a persistent IVF index for an embeddings relation: the cell
+    * assignment (sim_ann_ivf's deterministic rule — centroids are vec_id
+    * 1..16, nearest by exact cosine, ties to the smaller centroid id)
+    * hive-partitioned by `cell`, plus the 16-row centroid table. The
+    * vector analog of the persistent LSH band index
+    * ([[Dedup.incrementalNearDup]]): at 100 TB the corpus is assigned
+    * ONCE, and every probe afterwards is a partition-pruned scan of
+    * nprobe/nlist of the data — the index write is the only full pass.
+    * Norms are precomputed into the index so probes don't recompute them. */
+  def writeIvfIndex(emb: DataFrame, indexDir: String): Unit = {
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        normD(col("embedding")).as("cnorm"))
+    val sim = dotD(col("embedding"), col("cvec")) / (normD(col("embedding")) * col("cnorm"))
+    val cells = emb.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(sim.as("s"), (-col("cent_id")).as("nid"))).as("best"))
+      .select(col("vec_id"), (-col("best.nid")).as("cell"))
+    emb.join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normD(col("embedding")).as("nrm"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/cells")
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: rerank exactly within the query's
+    * `nprobe` nearest cells and return the top-k by (cosine desc, vec_id).
+    * Cell selection reads the 16-row centroid table driver-side (bounded
+    * O(nlist), like the band index's ≤64-pair prune set) and replicates
+    * [[dotD]]'s left-to-right fold bit-for-bit, so the chosen cells — and
+    * therefore the result — match the all-in-plan sim_ann_ivf query. The
+    * cell list becomes a static `isin` predicate, so the scan shows
+    * PartitionFilters and reads only the probed directories (IvfIndexSpec
+    * asserts via the scan's numFiles metric). */
+  def ivfProbe(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      nprobe: Int = 4, k: Int = 5, excludeVecId: Option[Long] = None): DataFrame = {
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qnorm = math.sqrt(fold(queryVec, queryVec))
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cent_id"), col("cvec"), col("cnorm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val probeCells = cents
+      .map { case (id, cvec, cnorm) => (fold(queryVec, cvec) / (qnorm * cnorm), id) }
+      .sortBy { case (csim, id) => (-csim, id) }
+      .take(nprobe).map(_._2)
+    val idx = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probeCells: _*))
+    val excluded = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    excluded
+      .select(col("vec_id"), col("label"), col("cell"),
+        (dotD(col("embedding"), typedLit(queryVec)) / (col("nrm") * lit(qnorm))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against one query vector (the baseline). */
   def cosineTopK(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
     val emb = tbl(s, d, "embeddings")
