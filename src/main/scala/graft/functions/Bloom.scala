@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Broadcast-literal Bloom filter over a LONG key column — the shuffle-free
+  * prefilter shape for set membership at 100 TB: the filter rides into every
+  * task as one array literal (m/8 bytes), the probe is pure column
+  * arithmetic inside whole-stage codegen, and the corpus side is never
+  * shuffled just to be tested. False positives are possible (callers verify
+  * survivors exactly — see text_decontam_bloom); false negatives are not.
+  *
+  * Hash discipline: the bit positions are computed by ONE column expression
+  * ([[positions]]) used both to BUILD the filter (a Spark job over the key
+  * set, collected bounded — the caller guards the bound) and to PROBE it,
+  * so there is no driver-side reimplementation of xxhash64 that could
+  * drift from Spark's.
+  */
+object Bloom {
+
+  /** k bit positions of key `g` in a filter of `mBits` bits (mBits a power
+    * of two). Classic double hashing (Kirsch–Mitzenmauer): h1 + i·h2 with
+    * h2 forced odd so the stride is full-period in the pow2 space. xxhash64
+    * never overflows/throws (safe under ANSI mode) and is codegen'd. */
+  def positions(g: Column, mBits: Int, k: Int): Seq[Column] = {
+    val m = lit(mBits.toLong)
+    val h1 = pmod(xxhash64(g), m)
+    val h2 = pmod(xxhash64(g, lit(1L)), m) * 2L + 1L
+    (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, m))
+  }
+
+  /** An immutable built filter: `words` is the bitset as 64-bit words. */
+  final case class Filter(words: Array[Long], mBits: Int, k: Int) {
+    /** Standard FPP estimate for n inserted keys. */
+    def fpp(n: Long): Double = math.pow(1.0 - math.exp(-k.toDouble * n / mBits), k)
+  }
+
+  private def nextPow2(x: Long): Int = {
+    var m = 1L << 10
+    while (m < x) m <<= 1
+    require(m <= (1L << 30), s"bloom bitset of $x bits exceeds the 2^30 literal budget")
+    m.toInt
+  }
+
+  /** Build a filter over the distinct values of `keys(keyCol)` (long).
+    * Runs two bounded Spark jobs: a distinct count (sizing + the cap
+    * check) and a distinct-positions collect. `maxKeys` is the caller's
+    * boundedness contract — building a bloom over an UNBOUNDED key set is
+    * a driver OOM at scale, so refuse loudly instead. */
+  def build(keys: DataFrame, keyCol: String, maxKeys: Long,
+      bitsPerKey: Int = 16, k: Int = 5): Filter = {
+    val n = keys.select(keyCol).distinct().count()
+    require(n <= maxKeys,
+      s"Bloom.build over $n distinct keys exceeds the $maxKeys-key bound: a bloom " +
+        "prefilter is for BOUNDED key sets (eval/benchmark corpora); use the " +
+        "shuffle equi-join path (text_contamination) for corpus-sized sets")
+    val mBits = nextPow2(math.max(1L, n) * bitsPerKey)
+    val words = new Array[Long]((mBits + 63) / 64)
+    keys.select(explode(array(positions(col(keyCol), mBits, k): _*)).as("p"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p >>> 6).toInt) |= 1L << (p & 63)
+      }
+    Filter(words, mBits, k)
+  }
+
+  /** Membership probe — k AND'ed bit tests against the array literal.
+    * typedLit embeds ONE ArrayData constant (not a 16k-element CreateArray),
+    * so codegen references a single object. */
+  def mightContain(g: Column, f: Filter): Column = {
+    val bits = typedLit(f.words)
+    positions(g, f.mBits, f.k).map { p =>
+      val word = element_at(bits, call_function("div", p, lit(64L)).cast("int") + 1)
+      word.bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+  }
+}

@@ -130,6 +130,12 @@ object Similarity {
        |      (x, y) -> x + y) > 0
        |  THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)""".stripMargin
 
+  /** dedup_semantic duplicate threshold: cosine-to-centroid at or above
+    * this marks a cell member as a semantic duplicate of the cell
+    * representative. Declared BEFORE `defs`: the oracle SQL interpolates
+    * it at object init. */
+  val SemDedupTheta = 0.9
+
   // --- materialized IVF index: assign once, probe many times ------------
 
   /** Write a persistent IVF index for an embeddings relation: the cell
@@ -429,6 +435,61 @@ object Similarity {
              |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
              |    FROM embeddings))
              |ORDER BY vec_id""".stripMargin),
-      doc = "embedding QA stats under exact integer quantization")
+      doc = "embedding QA stats under exact integer quantization"),
+
+    // Semantic dedup (SemDeDup shape, Abbas et al. 2023: cluster the
+    // embedding space, drop within-cluster semantic duplicates keeping one
+    // representative). Clustering = the deterministic IVF cell rule
+    // (centroids vec_id 1..16, nearest by exact cosine, ties to the
+    // smaller id — same rule as sim_ann_ivf/writeIvfIndex). Within a cell,
+    // members whose cosine-to-centroid clears the threshold are semantic
+    // duplicates of the cell REPRESENTATIVE (max cosine, tie to lowest id)
+    // and are dropped; sub-threshold members are merely "same region" and
+    // kept. Centroid-anchored (O(n·nlist)) rather than pairwise
+    // (O(n²/nlist) per cell): at 100 TB the assignment is the only full
+    // pass, exactly the materialized-IVF shape — no pairwise verify stage
+    // at all, which is what makes semantic dedup cheaper than MinHash on
+    // embedded corpora. keep ∈ {0,1} rides on every row so downstream
+    // filters are a pure predicate.
+    "dedup_semantic" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val cents = broadcast(emb.filter(col("vec_id").between(1, 16))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+            normD(col("embedding")).as("cnorm")))
+        val sim = dotD(col("embedding"), col("cvec")) / (normD(col("embedding")) * col("cnorm"))
+        val assigned = emb.crossJoin(cents)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(sim.as("s"), (-col("cent_id")).as("nid"))).as("best"))
+          .select(col("vec_id"), (-col("best.nid")).as("cell"), col("best.s").as("csim"))
+        val reps = assigned.groupBy("cell")
+          .agg(max(struct(col("csim").as("s"), (-col("vec_id")).as("nid"))).as("r"))
+          .select(col("cell"), (-col("r.nid")).as("rep_id"))
+        assigned.join(reps, Seq("cell"))
+          .withColumn("keep",
+            when(col("vec_id") === col("rep_id") || col("csim") < SemDedupTheta, 1L)
+              .otherwise(0L))
+          .select(col("vec_id"), col("cell"), col("csim"), col("rep_id"), col("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec, ${normSql("embedding")} AS cnorm
+              |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+              |assigned AS (
+              |  SELECT vec_id, -(b).nid AS cell, (b).s AS csim FROM (
+              |    SELECT e.vec_id,
+              |      max(struct_pack(s := ${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm),
+              |                      nid := -c.cent_id)) AS b
+              |    FROM embeddings e CROSS JOIN cents c
+              |    GROUP BY e.vec_id)),
+              |reps AS (
+              |  SELECT cell, -(r).nid AS rep_id FROM (
+              |    SELECT cell, max(struct_pack(s := csim, nid := -vec_id)) AS r
+              |    FROM assigned GROUP BY cell))
+              |SELECT a.vec_id, a.cell, a.csim, r.rep_id,
+              |  CAST(CASE WHEN a.vec_id = r.rep_id OR a.csim < $SemDedupTheta THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM assigned a JOIN reps r USING (cell)
+              |ORDER BY a.vec_id""".stripMargin),
+      doc = "SemDeDup-style centroid-anchored semantic dedup: IVF cells + " +
+        s"cos-to-centroid >= $SemDedupTheta drops to the cell representative")
   )
 }

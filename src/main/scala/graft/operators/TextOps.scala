@@ -18,6 +18,12 @@ object TextOps {
 
   /** Stopword list used across queries (fixed, tiny — broadcast-literal). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "it")
+
+  /** text_chunk window geometry: tokens per chunk / stride between chunk
+    * starts — 16-token overlap at these defaults. Declared BEFORE `defs`:
+    * the oracle SQL interpolates them at object init. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
   private def stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Per-language marker words for the n-gram/function-word language-ID
@@ -28,6 +34,19 @@ object TextOps {
     "de" -> Seq("hash", "key", "window", "group"),
     "fr" -> Seq("merge", "sort", "stream", "value"),
     "zh" -> Seq("spark", "join", "scan", "column"))
+
+  /** Shared decontamination oracle: text_contamination (shuffle equi-join)
+    * and text_decontam_bloom (bloom prefilter + exact verify) declare the
+    * SAME semantics, so both gate against this one SQL text — the bloom
+    * path's false positives must be invisible in the output. */
+  private lazy val decontamOracleSql: String =
+    s"""WITH sh AS (SELECT doc_id, ${Dedup.shingles3Sql(Dedup.tokHashesSeqSql("text"))} AS sh FROM documents),
+       |bench AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+       |corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared,
+       |  MIN(b.bench_id) AS first_bench
+       |FROM corpus c JOIN bench b ON c.g = b.g
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -214,13 +233,42 @@ object TextOps {
           .agg(countDistinct(col("g")).as("n_shared"), min(col("bench_id")).as("first_bench"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH sh AS (SELECT doc_id, ${Dedup.shingles3Sql(Dedup.tokHashesSeqSql("text"))} AS sh FROM documents),
-              |bench AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
-              |corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
-              |SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared,
-              |  MIN(b.bench_id) AS first_bench
-              |FROM corpus c JOIN bench b ON c.g = b.g
-              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+      Some(decontamOracleSql)),
+
+    // Bloom-prefiltered decontamination — the broadcast-filter variant of
+    // text_contamination for when the eval set is BOUNDED (the real-world
+    // case: benchmarks are fixed-size; the corpus is not). The filter is
+    // built once from the eval shingles (two bounded Spark jobs, guarded
+    // by spark.graft.bloom.maxEvalShingles), rides into every task as one
+    // array literal, and the corpus side is tested by pure column
+    // arithmetic inside codegen — NO shuffle of corpus shingles that
+    // merely miss. Survivors (true hits + bloom false positives) then take
+    // the exact equi-join against the broadcast eval relation, so the
+    // OUTPUT is exactly text_contamination's — false positives cost only
+    // wasted join probes, never wrong rows. Contrast with
+    // text_contamination, which must shuffle because ITS stand-in eval set
+    // grows with the corpus; here the guard makes boundedness a contract.
+    "text_decontam_bloom" -> QueryDef(
+      (s, d) => {
+        import Dedup.{shingles3, tokHashesSeq}
+        import graft.functions.Bloom
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        val cap = s.conf.get("spark.graft.bloom.maxEvalShingles", "50000000").toLong
+        val bloom = Bloom.build(bench, "g", maxKeys = cap)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .filter(Bloom.mightContain(col("g"), bloom))
+        corpus.join(broadcast(bench), Seq("g"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_shared"), min(col("bench_id")).as("first_bench"))
+          .orderBy("doc_id")
+      },
+      Some(decontamOracleSql),
+      doc = "bloom prefilter (bounded eval set, broadcast bitset literal) + " +
+        "exact verify join; output is identical to text_contamination"),
 
     // Repetition-based quality rules (Gopher-style): per doc, the
     // duplicate-token fraction, the top-token dominance fraction, and the
@@ -544,6 +592,73 @@ object TextOps {
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, ${strHashSql("text")} AS fp,
               |  ${strHashSql("lower(trim(text))")} AS fp_norm
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking: split every document into overlapping
+    // token windows (64 tokens, stride 48 → 16-token overlap) — the
+    // packing primitive that turns curated documents into training /
+    // retrieval units. Pure per-row array arithmetic (sequence of starts →
+    // posexplode → slice), embarrassingly parallel, no shuffle before the
+    // final ORDER BY; the chunk text is proven by PolyHash, not shipped.
+    // A doc shorter than one window yields exactly one (partial) chunk.
+    "text_chunk" -> QueryDef(
+      (s, d) => {
+        val (win, stride) = (ChunkTokens, ChunkStride)
+        tbl(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), col("tk"),
+            posexplode(sequence(lit(0), size(col("tk")) - 1, lit(stride))))
+          .select(col("doc_id"),
+            col("pos").cast("long").as("chunk_id"),
+            col("col").cast("long").as("start_tok"),
+            least(lit(win), size(col("tk")) - col("col")).cast("long").as("n_tok"),
+            strHash(array_join(slice(col("tk"), col("col") + 1, lit(win)), " ")).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), $ChunkStride)) AS start FROM t)
+              |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+              |  CAST(start AS BIGINT) AS start_tok,
+              |  CAST(least($ChunkTokens, len(tk) - start) AS BIGINT) AS n_tok,
+              |  ${strHashSql(s"array_to_string(list_slice(tk, start + 1, start + $ChunkTokens), ' ')")} AS chunk_hash
+              |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+      doc = s"overlapping $ChunkTokens-token windows, stride $ChunkStride; chunk text proven by hash"),
+
+    // Unigram-LM quality scoring: score each document by how "typical" its
+    // tokens are under the corpus's own unigram distribution — the log-free
+    // integer-exact stand-in for KenLM-style perplexity filtering (the
+    // text_tfidf precedent: no transcendental whose last ulp could differ
+    // between engines). freq_ppb = corpus-count(token) × 1e9 div
+    // corpus-total; per doc we emit the mean and min token frequency and
+    // the rare-token count (corpus count ≤ 2 — hapax/dis legomena, the
+    // OCR-garbage signal). Scale shape: one explode, a vocab-sized count
+    // relation equi-joined back on the token (AQE broadcasts a real
+    // vocabulary), one per-doc aggregation. NB freq_ppb needs cnt ≤ ~9e9;
+    // at a larger corpus scale the same query ships with ppm scaling.
+    "text_unigram_lm" -> QueryDef(
+      (s, d) => {
+        val toksRel = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val cnts = toksRel.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val total = cnts.agg(sum(col("cnt")).as("total_tok"))
+        toksRel.join(cnts, Seq("token")).crossJoin(broadcast(total))
+          .withColumn("freq_ppb", expr("cnt * 1000000000 div total_tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            expr("sum(freq_ppb) div count(1)").as("mean_freq_ppb"),
+            min(col("freq_ppb")).as("min_freq_ppb"),
+            sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("rare_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+             |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tok FROM cnts)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(cnt * 1000000000 // total_tok) // count(*) AS BIGINT) AS mean_freq_ppb,
+             |  CAST(min(cnt * 1000000000 // total_tok) AS BIGINT) AS min_freq_ppb,
+             |  CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tok
+             |FROM toks JOIN cnts USING (token) CROSS JOIN total
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "log-free unigram-LM scoring: exact integer token-frequency stats per doc")
   )
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.Bloom
+import graft.operators.Dedup.{shingles3, tokHashesSeq}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the corpus-curation operators added for the
+  * training-data mandate: bloom-prefiltered decontamination, context-window
+  * chunking, centroid-anchored semantic dedup, unigram-LM scoring. Value
+  * parity vs DuckDB is the oracle gate's job; these prove the properties
+  * the operators exist for. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("bloom decontamination ≡ exact contamination (false negatives impossible, false positives verified away)") {
+    val exact = q("text_contamination").collect().map(_.toSeq).toSet
+    val bloom = q("text_decontam_bloom").collect().map(_.toSeq).toSet
+    assert(bloom == exact, "bloom-prefiltered output must be byte-identical to the exact join")
+    assert(exact.nonEmpty, "stand-in eval slice must actually contaminate")
+  }
+
+  test("bloom prefilter passes a small superset: every true hit survives, measured fp rate < 1%") {
+    val sh = Tables(spark, Sf0001, "documents")
+      .select(col("doc_id"), explode(shingles3(tokHashesSeq(col("text")))).as("g"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0).select("g").distinct()
+    val f = Bloom.build(bench, "g", maxKeys = 1000000)
+    val total = corpus.count()
+    val passed = corpus.filter(Bloom.mightContain(col("g"), f)).count()
+    val trueHits = corpus.join(bench, Seq("g"), "left_semi").count()
+    val truePassed = corpus.join(bench, Seq("g"), "left_semi")
+      .filter(Bloom.mightContain(col("g"), f)).count()
+    assert(truePassed == trueHits, "a bloom filter can NEVER drop an inserted key's match")
+    val fp = (passed - trueHits).toDouble / math.max(1, total - trueHits)
+    assert(fp < 0.01, s"measured false-positive rate $fp (expected ~${f.fpp(trueHits)})")
+  }
+
+  test("bloom build refuses an unbounded key set (the 100 TB driver-OOM guard)") {
+    val e = intercept[IllegalArgumentException] {
+      Bloom.build(Tables(spark, Sf0001, "documents").select(col("doc_id").as("g")), "g", maxKeys = 10)
+    }
+    assert(e.getMessage.contains("text_contamination"), "guard must point to the shuffle path")
+  }
+
+  test("text_chunk tiles every document: stride-aligned starts, full coverage to the last token, window-clipped lengths") {
+    import graft.operators.TextOps.{ChunkStride, ChunkTokens}
+    val chunks = q("text_chunk")
+      .select("doc_id", "chunk_id", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    val nTok = Tables(spark, Sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.map(_._1).toSet == nTok.keySet, "every document is chunked")
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2).toSeq
+      assert(sorted.map(_._2) == sorted.indices.map(_.toLong), s"doc $doc chunk_ids not dense")
+      assert(sorted.map(_._3) == sorted.indices.map(_.toLong * ChunkStride), s"doc $doc starts off-stride")
+      sorted.foreach { case (_, _, st, len) =>
+        assert(len == math.min(ChunkTokens.toLong, n - st), s"doc $doc bad window clip")
+      }
+      assert(sorted.last._3 + sorted.last._4 == n, s"doc $doc last chunk must end at the last token")
+      assert(sorted.last._3 < n, s"doc $doc has a chunk starting past the end")
+    }
+  }
+
+  test("dedup_semantic: exactly one kept representative per cell; drops exactly the above-threshold non-reps; centroids anchor their own cells") {
+    import graft.operators.Similarity.SemDedupTheta
+    val rows = q("dedup_semantic")
+      .select("vec_id", "cell", "csim", "rep_id", "keep")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val reps = members.filter(m => m._1 == m._4)
+      assert(reps.length == 1, s"cell $cell must have one representative")
+      assert(reps.head._5 == 1L, s"cell $cell representative must be kept")
+      members.foreach { case (vid, _, csim, repId, keep) =>
+        if (vid != repId)
+          assert((keep == 0L) == (csim >= SemDedupTheta),
+            s"cell $cell member $vid: keep=$keep at csim=$csim")
+      }
+    }
+    (1L to 16L).foreach { c =>
+      val self = rows.find(_._1 == c).get
+      assert(self._2 == c, s"centroid $c must assign to its own cell")
+      assert(math.abs(self._3 - 1.0) < 1e-9, s"centroid $c cosine to itself must be 1")
+    }
+  }
+
+  test("text_unigram_lm on a planted corpus: hapax-only doc is all-rare, repeated-token doc is not") {
+    val d = java.nio.file.Files.createTempDirectory("graft_lm_").toFile.getAbsolutePath
+    Seq((1L, "x x x x"), (2L, "u1 u2 u3 u4"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("text_unigram_lm")(spark, d)
+      .select("doc_id", "n_tok", "mean_freq_ppb", "min_freq_ppb", "rare_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // total 8 tokens: 'x' count 4 → 500M ppb; each u_i count 1 → 125M ppb
+    assert(out(0) == ((1L, 4L, 500000000L, 500000000L, 0L)))
+    assert(out(1) == ((2L, 4L, 125000000L, 125000000L, 4L)))
+  }
+}

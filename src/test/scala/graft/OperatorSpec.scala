@@ -94,7 +94,9 @@ class OperatorSpec extends SparkSpec {
       "sim_ann_ivf",     // fixed 8-centroid literal side
       "sim_ann_lsh",     // broadcast single query-vector row
       "dedup_embed_cosine",
+      "dedup_semantic",  // crossJoin(broadcast(16-row fixed centroid list))
       "text_tfidf",      // crossJoin(broadcast(1-row countDistinct scalar))
+      "text_unigram_lm", // crossJoin(broadcast(1-row corpus-total scalar))
       "q37_range_join",  // range containment vs broadcast 5-row tier dim
       "sample_mixture_plan") // crossJoin(broadcast(1-row total-budget scalar))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
