@@ -57,6 +57,27 @@ object Streaming {
     df.withColumn("branch",
       when(length(col("text")) > threshold, "summary").otherwise("direct"))
 
+  /** Decontamination gate on ingest — the streaming form of
+    * text_decontam_bloom: drop any document sharing a 3-gram shingle with
+    * a BOUNDED eval set, tested per row against a broadcast Bloom filter
+    * (built once at stream definition; eval sets are fixed artifacts).
+    * Stateless projection+filter — no stream join, no state store, binds
+    * identically to batch and readStream (CorpusOpsSpec asserts the
+    * equivalence).
+    *
+    * Semantics are CONSERVATIVE: a contaminated doc is never kept (bloom
+    * false negatives are impossible), but ~fpp of clean docs are dropped
+    * as collateral (false-positive shingle hits; ~0.05% at the default 16
+    * bits/key). The right trade for training-data hygiene on ingest —
+    * batch re-certification (text_decontam_bloom's exact verify join) can
+    * recover the collateral offline if it matters. */
+  def decontamGate(docs: DataFrame, bloom: graft.functions.Bloom.Filter,
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.Dedup.{shingles3, tokHashesSeq}
+    docs.filter(!exists(shingles3(tokHashesSeq(col(textCol))),
+      g => graft.functions.Bloom.mightContain(g, bloom)))
+  }
+
   /** SQ3 — tumbling 1 h counts per event_type, 24 h watermark (the
     * reference TTL horizon); late rows beyond the watermark are dropped. */
   def tumblingCounts(df: DataFrame, tsCol: String = "ts",

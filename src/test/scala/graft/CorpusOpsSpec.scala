@@ -2,7 +2,12 @@ package graft
 
 import graft.functions.Bloom
 import graft.operators.Dedup.{shingles3, tokHashesSeq}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Top-level so Spark derives an Encoder without an outer pointer. */
+case class CorpusDoc(doc_id: Long, text: String)
 
 /** Semantic invariants of the corpus-curation operators added for the
   * training-data mandate: bloom-prefiltered decontamination, context-window
@@ -86,6 +91,29 @@ class CorpusOpsSpec extends SparkSpec {
       assert(self._2 == c, s"centroid $c must assign to its own cell")
       assert(math.abs(self._3 - 1.0) < 1e-9, s"centroid $c cosine to itself must be 1")
     }
+  }
+
+  test("streaming decontamGate ≡ batch gate; a planted contaminated doc never passes") {
+    import graft.streaming.Streaming
+    val eval = Seq(CorpusDoc(100L, "alpha beta gamma delta epsilon")).toDF()
+    val bloom = Bloom.build(
+      eval.select(explode(shingles3(tokHashesSeq(col("text")))).as("g")), "g", maxKeys = 1000)
+    val docs = Seq(
+      CorpusDoc(1L, "totally unrelated text about spark plans"),
+      CorpusDoc(2L, "prefix words then alpha beta gamma quoted verbatim"), // shares a 3-gram
+      CorpusDoc(3L, "another clean document with plenty of tokens"))
+    val batch = Streaming.decontamGate(docs.toDF(), bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!batch.contains(2L), "doc sharing an eval 3-gram must be dropped")
+    assert(batch.contains(1L) && batch.contains(3L), "clean docs pass (fpp ~0 on this set)")
+    val ms = MemoryStream[CorpusDoc](spark)
+    ms.addData(docs)
+    val q = Streaming.decontamGate(ms.toDF(), bloom).writeStream
+      .format("memory").queryName("decontam_gate").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("decontam_gate").select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, "the gate must bind identically to batch and stream")
   }
 
   test("text_unigram_lm on a planted corpus: hapax-only doc is all-rare, repeated-token doc is not") {
