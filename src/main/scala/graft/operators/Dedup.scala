@@ -579,16 +579,40 @@ object Dedup {
       .join(tkOf.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
       .filter(jaccard(col("ta"), col("tb")) >= 0.8)
       .select("a", "b")
-    // Iterate ONLY over vertices that have an edge: isolated docs (the
-    // overwhelming majority of a 100 TB corpus) can never change label,
-    // so keeping them in the loop would shuffle the whole corpus every
-    // round. They rejoin as singleton clusters at the end.
-    //
-    // Each vertex also gets a flagged SELF-loop, which buys one round =
-    // exactly TWO shuffles: min(lb) over the closed neighborhood is the
-    // new label, and the self row carries the vertex's previous label —
-    // so convergence detection needs no second join against the prior
-    // state (a third shuffle per round in the naive formulation).
+    val labels = propagateMin(pairs, mat)
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation to convergence over an undirected edge list
+    * `pairs(a, b)` — the iterative core shared by [[clusterDocs]] (corpus
+    * closure) and [[mergeClusters]] (batch-sized affected graph). Returns
+    * (doc_id, label) for every vertex APPEARING IN AN EDGE; isolated
+    * vertices are the caller's business (they can never change label).
+    *
+    * Iterates ONLY over vertices that have an edge: isolated docs (the
+    * overwhelming majority of a 100 TB corpus) can never change label,
+    * so keeping them in the loop would shuffle the whole corpus every
+    * round.
+    *
+    * Each vertex also gets a flagged SELF-loop, which buys one round =
+    * exactly TWO shuffles: min(lb) over the closed neighborhood is the
+    * new label, and the self row carries the vertex's previous label —
+    * so convergence detection needs no second join against the prior
+    * state (a third shuffle per round in the naive formulation).
+    *
+    * Loops to convergence — the dedup_cluster oracle's recursive CTE
+    * computes the UNBOUNDED closure, so a round cap would diverge on long
+    * chains. Each round combines neighbor-min propagation with POINTER
+    * JUMPING (label := min(label, label(label))), so chains converge in
+    * O(log eccentricity) rounds, not O(eccentricity) — a 10k-link drift
+    * chain needs ~14 rounds, not 10k sequential jobs. The cap is a pure
+    * runaway guard and exits LOUDLY. */
+  private def propagateMin(pairs: org.apache.spark.sql.DataFrame,
+      mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val undirected = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .withColumn("self", lit(false))
     val edges = mat(undirected
@@ -596,13 +620,6 @@ object Dedup {
         .select(col("a"), col("a").as("b"), lit(true).as("self"))))
     var labels = mat(edges.filter(col("self"))
       .select(col("a").as("doc_id"), col("b").as("label")))
-    // Loop to convergence — the oracle's recursive CTE computes the
-    // UNBOUNDED closure, so a round cap would diverge on long chains.
-    // Each round combines neighbor-min propagation with POINTER
-    // JUMPING (label := min(label, label(label))), so chains converge
-    // in O(log eccentricity) rounds, not O(eccentricity) — a
-    // 10k-link drift chain needs ~14 rounds, not 10k sequential
-    // jobs. The cap is a pure runaway guard and exits LOUDLY.
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 64) {
@@ -624,10 +641,7 @@ object Dedup {
       System.err.println(s"[dedup_cluster] WARNING: iteration cap hit with $changed labels " +
         "still changing — clusters may be unconverged (pathological component shape)")
     edges.unpersist(blocking = false)
-    docs.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
-      .orderBy("doc_id")
+    labels
   }
 
   // ------------------------------------------------------------------
@@ -805,22 +819,14 @@ object Dedup {
     val spark = batch.sparkSession
     val bandsDir = s"$indexDir/bands"
     val sigsDir = s"$indexDir/sigs"
-    // Resolve the filesystem FROM the path: indexDir may live on a scheme
-    // other than fs.defaultFS (s3a vs hdfs vs file) on a real cluster.
-    def readOrEmpty(dir: String, schemaDdl: String) = {
-      // `batch` is the partition column of the per-micro-batch
-      // subdirectories; a REPLAYED batch must not probe against its own
-      // previously written rows (they would near-dup-match the very docs
-      // being re-decided and drop both members of a kept similar pair),
-      // so the current batch id is excluded from the stored view.
-      if (graft.sources.Sources.fsExists(spark, dir))
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch BIGINT"))
-          .parquet(dir).filter(col("batch") =!= batchId).drop("batch")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-    }
-    val storedBands = readOrEmpty(bandsDir, "band INT, bkey STRING, doc_id BIGINT, kb INT")
-    val storedSigs = readOrEmpty(sigsDir, "doc_id BIGINT, tk ARRAY<BIGINT>")
+    // A REPLAYED batch must not probe against its own previously written
+    // rows (they would near-dup-match the very docs being re-decided and
+    // drop both members of a kept similar pair), so the current batch id
+    // is excluded from the stored view.
+    val storedBands = readIndexTable(spark, bandsDir,
+      "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = Some(batchId))
+    val storedSigs = readIndexTable(spark, sigsDir,
+      "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = Some(batchId))
 
     // Persist the signed/banded batch: it feeds the probe-pair collect,
     // both candidate joins, and the index write below — without the cache
@@ -882,5 +888,126 @@ object Dedup {
     banded.unpersist()
     withSig.unpersist()
     keptOut
+  }
+
+  /** Read one table of the persistent band index, tolerating a not-yet-
+    * created directory (first batch) and optionally excluding one batch
+    * partition (replay safety — see [[incrementalNearDup]]). The
+    * filesystem is resolved FROM the path: indexDir may live on a scheme
+    * other than fs.defaultFS (s3a vs hdfs vs file) on a real cluster. */
+  private def readIndexTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schemaDdl: String, excludeBatch: Option[Long]): org.apache.spark.sql.DataFrame =
+    if (graft.sources.Sources.fsExists(spark, dir)) {
+      val df = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch BIGINT"))
+        .parquet(dir)
+      excludeBatch.fold(df)(b => df.filter(col("batch") =!= b)).drop("batch")
+    } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
+  /** Index an arriving batch into the persistent band index WITHOUT any
+    * dedup decision — the companion write for pipelines that RETAIN
+    * near-duplicates and track them as clusters ([[mergeClusters]])
+    * rather than dropping them on ingest ([[incrementalNearDup]]).
+    * Same format and idempotence contract: only `batch=$batchId`
+    * subdirectories are written, mode=overwrite, so checkpoint replays
+    * rewrite the same paths. */
+  def indexBatch(batch: org.apache.spark.sql.DataFrame, indexDir: String,
+      batchId: Long): Unit = {
+    val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
+      .withColumn("mhs", minhashSig(col("tk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandExplode(withSig, "mhs", Seq("doc_id"))
+      .withColumn("kb", kbOf(col("bkey")))
+      .select("bkey", "doc_id", "band", "kb")
+      .write.partitionBy("band", "kb")
+      .mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+    withSig.select("doc_id", "tk")
+      .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+    withSig.unpersist()
+  }
+
+  /** Merge an ARRIVING batch into a materialized (doc_id, cluster) table
+    * ([[writeClusters]] output) without re-clustering the corpus — the
+    * incremental closure maintenance a 100 TB pipeline needs when it
+    * RETAINS near-duplicates and tracks their clusters across ingest
+    * cycles.
+    *
+    * Candidates come from the persistent band index (partition-pruned
+    * probe, same as [[incrementalNearDup]]); verified edges are Jaccard >=
+    * `threshold` on the token-hash sets. The closure update runs on the
+    * AFFECTED MICRO-GRAPH only: old edge endpoints collapse to their
+    * CLUSTER LABEL (valid because a label is the min doc_id of its
+    * component and old-old edges cannot change by adding documents), so
+    * the graph that iterates is batch-sized — new doc ids + touched
+    * cluster labels — never the corpus. The corpus-sized table is touched
+    * by exactly ONE broadcast-join relabel pass (the relabel map is
+    * bounded by the batch's edge count), plus a union of the new rows.
+    *
+    * Equivalence: on a single-source corpus (the band index is source-
+    * agnostic; [[clusterDocs]] scopes candidates by source) the result is
+    * IDENTICAL to re-running clusterDocs on the full corpus — both runs
+    * band every doc the same way, so they discover the same candidate
+    * edges, verify with the same Jaccard, and take the same closure
+    * (ClusterMergeSpec asserts this). `batch` must carry doc_ids not
+    * already present in `clusters`, and must itself be indexed
+    * ([[indexBatch]]) before the NEXT merge cycle probes it.
+    *
+    * Returns the updated (doc_id, cluster) table. */
+  def mergeClusters(clusters: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, indexDir: String,
+      threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val spark = batch.sparkSession
+    val storedBands = readIndexTable(spark, s"$indexDir/bands",
+      "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = None)
+    val storedSigs = readIndexTable(spark, s"$indexDir/sigs",
+      "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = None)
+    val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
+      .withColumn("mhs", minhashSig(col("tk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
+      .withColumn("kb", kbOf(col("bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSigs = withSig.select(col("doc_id"), col("tk"))
+    // static partition prune: <= Bands*KbBuckets pairs, O(1) to collect
+    val probePairs = banded.select("band", "kb").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val edgesOld = banded
+      .join(storedBands.filter(bandPrunePredicate(probePairs))
+        .select(col("band"), col("bkey"), col("doc_id").as("old_id")),
+        Seq("band", "bkey"))
+      .select("doc_id", "old_id").distinct()
+      .join(newSigs, Seq("doc_id"))
+      .join(storedSigs.select(col("doc_id").as("old_id"), col("tk").as("tko")), Seq("old_id"))
+      .filter(jaccard(col("tk"), col("tko")) >= threshold)
+      .select(col("doc_id"), col("old_id"))
+    val edgesNew = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .join(newSigs.select(col("doc_id").as("a"), col("tk").as("ta")), Seq("a"))
+      .join(newSigs.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
+      .filter(jaccard(col("ta"), col("tb")) >= threshold)
+      .select("a", "b")
+    // collapse old endpoints to their cluster label -> batch-sized graph
+    val micro = edgesNew.union(
+      edgesOld.join(clusters.select(col("doc_id").as("old_id"), col("cluster")), Seq("old_id"))
+        .select(col("doc_id").as("a"), col("cluster").as("b")))
+    val labels = propagateMin(micro, df => df.localCheckpoint(true))
+    val newRows = batch.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    // relabel map: touched cluster labels whose merged min moved
+    val relabel = labels
+      .join(clusters.select(col("cluster").as("doc_id")).distinct(), Seq("doc_id"))
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id").as("cluster"), col("label").as("new_cluster"))
+    val updatedOld = clusters
+      .join(broadcast(relabel), Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("new_cluster"), col("cluster")).as("cluster"))
+    val out = updatedOld.union(newRows)
+    banded.unpersist(blocking = false)
+    withSig.unpersist(blocking = false)
+    out
   }
 }

@@ -616,6 +616,27 @@ object Relational {
              |SELECT tier, CAST(count(*) AS BIGINT) AS n, CAST(sum(v_cents) AS BIGINT) AS sum_cents
              |FROM ev JOIN tiers ON v_cents >= lo_cents AND v_cents < hi_cents
              |GROUP BY tier ORDER BY tier""".stripMargin),
-      doc = "range-containment join against a broadcast tier dim")
+      doc = "range-containment join against a broadcast tier dim"),
+
+    // Q42 — approx_percentile (single-pass mergeable quantile sketch, the
+    // q12/HLL++ companion): per event_type, approximate p50/p90/p99 of the
+    // exact integer cents. The 100 TB shape for percentiles — q31's exact
+    // per-group sort only works because its group count is bounded; a
+    // sketch is the only single-pass answer over an unbounded stream of
+    // groups. Declared rows-only (sketch internals are engine-specific);
+    // the ±accuracy contract vs the exact percentile is spec-asserted
+    // (OperatorSpec), the q12 precedent.
+    "q42_approx_quantile" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .withColumn("v_cents", cents(col("value")))
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("v_cents"), lit(0.5), lit(10000)).as("p50_c"),
+          percentile_approx(col("v_cents"), lit(0.9), lit(10000)).as("p90_c"),
+          percentile_approx(col("v_cents"), lit(0.99), lit(10000)).as("p99_c"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None,
+      doc = "approx_percentile sketch; accuracy vs exact validated in ScalaTest, not DuckDB")
   )
 }

@@ -669,6 +669,37 @@ object TextOps {
              |  CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tok
              |FROM toks JOIN cnts USING (token) CROSS JOIN total
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "log-free unigram-LM scoring: exact integer token-frequency stats per doc")
+      doc = "log-free unigram-LM scoring: exact integer token-frequency stats per doc"),
+
+    // Canonical text normalization — the first pass of every curation
+    // pipeline (and the reason fp_norm exists in text_fingerprint):
+    // lowercase → strip non-alphanumerics → collapse whitespace runs →
+    // trim. Emits the normalized text's hash (the content key exact dedup
+    // should group on), plus before/after char and token counts so the
+    // aggressiveness of the scrub is observable. Pure per-row regex —
+    // embarrassingly parallel, regex kept to a dialect-neutral class so
+    // Java (Spark) and RE2 (DuckDB) agree byte-for-byte.
+    "text_normalize" -> QueryDef(
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_raw"),
+            length(norm).cast("long").as("n_chars_norm"),
+            size(split(norm, " ")).cast("long").as("n_tok_norm"),
+            strHash(norm).as("norm_hash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(text) AS BIGINT) AS n_chars_raw,
+              |  CAST(len(norm) AS BIGINT) AS n_chars_norm,
+              |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok_norm,
+              |  ${strHashSql("norm")} AS norm_hash
+              |FROM (SELECT doc_id, text,
+              |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      doc = "canonical lowercase/strip/collapse normalization; result proven by hash")
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental cluster maintenance ([[Dedup.mergeClusters]]): an arriving
+  * batch merges into a materialized cluster table via the persistent band
+  * index — new members join clusters, bridging docs MERGE clusters, and
+  * the result matches a full re-cluster exactly. */
+class ClusterMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text").withColumn("source", lit("src0"))
+
+  private def clusterMap(df: DataFrame): Map[Long, Long] =
+    df.select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+
+  // deterministic token vocab: x and y overlap at J=32/48≈0.667 (below the
+  // 0.8 edge threshold → separate clusters); the bridge b = x ∪ y has
+  // J(b,x)=J(b,y)=40/48≈0.833 (above it → merges both). The "w" prefix is
+  // chosen so the MinHash BANDS of (b,x) AND (b,y) actually collide —
+  // banding at J=0.83 is a ~98% event per pair, and the tokens are the
+  // dice; verified by simulating the exact PolyHash+MinHash pipeline.
+  private def toks(from: Int, until: Int): String =
+    (from until until).map(i => s"w$i").mkString(" ")
+  private val x = toks(0, 40)
+  private val y = toks(8, 48)
+  private val bridge = toks(0, 48)
+
+  test("a bridging arrival merges two existing clusters through the affected micro-graph") {
+    val corpus0 = docsDF(Seq(
+      1L -> x, 2L -> (x + " extraA extraB"),            // cluster {1,2}
+      3L -> y, 4L -> (y + " extraC extraD"),            // cluster {3,4}
+      5L -> toks(1000, 1040)))                          // singleton
+    val clusters0 = clusterMap(Dedup.clusterDocs(corpus0))
+    assert(clusters0 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L),
+      s"precondition: two 2-doc clusters + a singleton, got $clusters0")
+
+    val idx = java.nio.file.Files.createTempDirectory("merge-idx-").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    val batch = docsDF(Seq(10L -> bridge, 11L -> toks(2000, 2040)))
+    val merged = clusterMap(Dedup.mergeClusters(clusters0.toSeq.toDF("doc_id", "cluster"), batch, idx))
+    assert(merged == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, // clusters {1,2} and {3,4} merged via 10
+      10L -> 1L,                              // the bridge joins the merged component
+      5L -> 5L, 11L -> 11L),                  // untouched singleton + new singleton
+      s"merge result: $merged")
+  }
+
+  test("mergeClusters ≡ full re-cluster on a single-source real corpus slice") {
+    val all = Tables(spark, Sf0001, "documents")
+      .filter(col("source") === "src0").select("doc_id", "text", "source")
+    val ids = all.select("doc_id").as[Long].collect().sorted
+    val batchIds = ids.takeRight(8).toSet
+    val corpus0 = all.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+    val batch = all.filter(col("doc_id").isin(batchIds.toSeq: _*))
+    val idx = java.nio.file.Files.createTempDirectory("merge-eq-").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    val merged = clusterMap(
+      Dedup.mergeClusters(Dedup.clusterDocs(corpus0), batch, idx))
+    val full = clusterMap(Dedup.clusterDocs(all))
+    assert(merged == full,
+      "incremental merge must equal the full closure: " +
+        s"diff=${(merged.toSet diff full.toSet) ++ (full.toSet diff merged.toSet)}")
+  }
+}

@@ -41,6 +41,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q42 approx_percentile lands within a ±2%-rank window of the exact order statistic") {
+    // percentile_approx returns an actual data value near the target rank;
+    // comparing VALUES against the interpolating exact percentile is the
+    // wrong metric at tail quantiles (p99 of ~300 points interpolates far
+    // from any element). The sketch contract is on RANK: the returned
+    // element's position must sit within ±(2% of n + 1) of ceil(p·n).
+    val ap = q("q42_approx_quantile").collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byType = Tables(spark, Sf0001, "events")
+      .withColumn("v_cents", round(col("value") * 100).cast("long"))
+      .select("event_type", "v_cents").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    assert(ap.keySet == byType.keySet)
+    byType.foreach { case (k, vs) =>
+      val n = vs.length
+      val slack = math.max(1, n / 50)
+      Seq(0.5, 0.9, 0.99).zip(ap(k)).foreach { case (p, a) =>
+        val target = math.ceil(p * n).toInt - 1
+        val lo = vs(math.max(0, target - slack))
+        val hi = vs(math.min(n - 1, target + slack))
+        assert(a >= lo && a <= hi, s"$k p$p: approx $a outside rank window [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
   test("minhash-LSH dedup converges: re-running on the kept set only shrinks it") {
     // Keep-first LSH is not strictly idempotent (a dropped doc may have
     // been another bucket's min, exposing new comparisons on re-run), but
