@@ -456,6 +456,56 @@ object Dedup {
       doc = "EXACT-recall containment via prefix-filtered inverted shingle index; " +
         "oracle is the plain all-pairs containment (no banding in the semantics)"),
 
+    // Cross-corpus near-dup join: find documents of corpus B (stand-in:
+    // odd doc_ids — "the new crawl") that near-duplicate documents of
+    // corpus A (even doc_ids — "the existing training set"). THE batch
+    // curation question at 100 TB: before folding a crawl in, which of
+    // its documents already exist? Same LSH band machinery as
+    // dedup_minhash_lsh but ASYMMETRIC: bands of both corpora equi-join
+    // on (band, bkey), so the shuffle carries band keys — never an
+    // all-pairs compare across corpora — and each side scales
+    // independently (index A once, probe with every new B — the batch
+    // analog of incrementalNearDup's persistent index).
+    "dedup_cross_corpus" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), tokHashes(col("text")).as("tk"))
+          .withColumn("mhs", minhashSig(col("tk")))
+        val bandedAll = bandExplode(docs, "mhs", Seq("doc_id"))
+        val a = bandedAll.filter(col("doc_id") % 2 === 0).withColumnRenamed("doc_id", "a")
+        val b = bandedAll.filter(col("doc_id") % 2 === 1).withColumnRenamed("doc_id", "b")
+        val cand = a.join(b, Seq("band", "bkey")).select("a", "b").distinct()
+        val tkOf = docs.select(col("doc_id"), col("tk"))
+        cand
+          .join(tkOf.select(col("doc_id").as("a"), col("tk").as("ta")), Seq("a"))
+          .join(tkOf.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
+          .withColumn("jaccard", jaccard(col("ta"), col("tb")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a"), col("b"), col("jaccard"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val mhs = (0 until MinHashes).map(i => s"${minhashSql("tk", i)} AS mh$i").mkString(",\n    ")
+        val bandRows = (0 until Bands).map(j =>
+          s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT doc_id, ${tokHashesSql("text")} AS tk FROM documents),
+           |sig AS (SELECT doc_id,
+           |    $mhs
+           |  FROM t),
+           |banded AS ($bandRows),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.bkey = y.bkey
+           |   AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1)
+           |SELECT a, b, jaccard FROM (
+           |  SELECT c.a, c.b, ${jaccardSql("x.tk", "y.tk")} AS jaccard
+           |  FROM cand c JOIN t x ON x.doc_id = c.a JOIN t y ON y.doc_id = c.b)
+           |WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin
+      },
+      doc = "asymmetric cross-corpus near-dup join (new crawl vs training set) " +
+        "via the LSH band equi-join — never all-pairs across corpora"),
+
     // Transitive near-dup clustering: connected components over the
     // similarity graph (edges = within-source hashed-token Jaccard >= 0.8
     // among MinHash-band collisions — the same LSH candidate generation as

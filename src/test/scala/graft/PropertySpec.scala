@@ -33,6 +33,17 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Bloom filter never yields a false negative for arbitrary long key sets") {
+    import graft.functions.Bloom
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.listOf(Gen.long)
+    check(Prop.forAll(gen) { keys =>
+      val df = keys.toDF("g")
+      val f = Bloom.build(df, "g", maxKeys = 100000)
+      df.filter(Bloom.mightContain(col("g"), f)).count() == keys.size
+    }, minOk = 10) // each trial is several Spark jobs
+  }
+
   test("exact dedup is idempotent on arbitrary small corpora") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 9L), Gen.alphaStr.map(_.take(8))))
     check(Prop.forAll(gen) { rows =>
