@@ -999,9 +999,15 @@ object Dedup {
     * IDENTICAL to re-running clusterDocs on the full corpus — both runs
     * band every doc the same way, so they discover the same candidate
     * edges, verify with the same Jaccard, and take the same closure
-    * (ClusterMergeSpec asserts this). `batch` must carry doc_ids not
-    * already present in `clusters`, and must itself be indexed
+    * (ClusterMergeSpec asserts this). `batch` must itself be indexed
     * ([[indexBatch]]) before the NEXT merge cycle probes it.
+    *
+    * IDEMPOTENT under replay (the library's delivery contract —
+    * at-least-once sources + idempotent consumers): doc_ids already
+    * present in `clusters` are dropped from the batch up front via an
+    * anti-join on the 8-byte key, so re-merging a delivered batch is a
+    * no-op rather than a row-duplicating corruption. The anti-join is
+    * corpus-sized but key-only — the same cost class as the relabel pass.
     *
     * Returns the updated (doc_id, cluster) table. */
   def mergeClusters(clusters: org.apache.spark.sql.DataFrame,
@@ -1012,7 +1018,8 @@ object Dedup {
       "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = None)
     val storedSigs = readIndexTable(spark, s"$indexDir/sigs",
       "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = None)
-    val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
+    val fresh = batch.join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val withSig = fresh.select(col("doc_id"), tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
@@ -1044,7 +1051,7 @@ object Dedup {
       edgesOld.join(clusters.select(col("doc_id").as("old_id"), col("cluster")), Seq("old_id"))
         .select(col("doc_id").as("a"), col("cluster").as("b")))
     val labels = propagateMin(micro, df => df.localCheckpoint(true))
-    val newRows = batch.select(col("doc_id"))
+    val newRows = fresh.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     // relabel map: touched cluster labels whose merged min moved

@@ -49,6 +49,19 @@ class ClusterMergeSpec extends SparkSpec {
       s"merge result: $merged")
   }
 
+  test("re-merging an already-delivered batch is a no-op (at-least-once replay safety)") {
+    val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
+    val idx = java.nio.file.Files.createTempDirectory("merge-replay-").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    val clusters0 = Dedup.clusterDocs(corpus0)
+    val batch = docsDF(Seq(10L -> bridge))
+    val once = clusterMap(Dedup.mergeClusters(clusters0, batch, idx))
+    val merged1 = once.toSeq.toDF("doc_id", "cluster")
+    val twice = Dedup.mergeClusters(merged1, batch, idx)
+    assert(twice.count() == once.size, "replay must not duplicate rows")
+    assert(clusterMap(twice) == once, "replay must not change any assignment")
+  }
+
   test("mergeClusters ≡ full re-cluster on a single-source real corpus slice") {
     val all = Tables(spark, Sf0001, "documents")
       .filter(col("source") === "src0").select("doc_id", "text", "source")
