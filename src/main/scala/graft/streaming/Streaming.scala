@@ -269,6 +269,59 @@ object Streaming {
         kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
       }
 
+  /** Streaming cluster maintenance — the retain-and-track counterpart of
+    * [[nearDupIngest]]: each micro-batch merges into the near-dup cluster
+    * table ([[graft.operators.Dedup.mergeClusters]], closure update on a
+    * batch-sized micro-graph) and then indexes itself
+    * ([[graft.operators.Dedup.indexBatch]]) so later batches can probe it.
+    *
+    * The cluster table is stored as VERSIONED FULL SNAPSHOTS
+    * (`clustersDir/batch=N`): each batch reads the latest snapshot below
+    * its own id and overwrites only its own version path, so a replayed
+    * micro-batch (at-least-once sources) rewrites the same snapshot from
+    * the same input — idempotent end to end (mergeClusters additionally
+    * drops already-present doc_ids, so even a replay AGAINST its own
+    * output is a no-op). Snapshot-per-batch trades write amplification
+    * (O(corpus) per micro-batch) for dead-simple atomicity and replay;
+    * a production deployment at 100 TB ingest cadence would swap the
+    * storage for a merge-on-read table format (the merge DELTA — new rows
+    * + the bounded relabel map — is what mergeClusters actually computes)
+    * while keeping this exact dataflow. */
+  def clusterIngest(stream: DataFrame, indexDir: String, clustersDir: String,
+      checkpoint: String, threshold: Double = 0.8,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val spark = batch.sparkSession
+        val prior = latestClusterSnapshot(spark, clustersDir, belowBatch = batchId)
+          .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))
+        val merged = Dedup.mergeClusters(prior, batch, indexDir, threshold)
+        merged.write.mode("overwrite").parquet(s"$clustersDir/batch=$batchId")
+        Dedup.indexBatch(batch, indexDir, batchId)
+      }
+
+  /** Latest cluster snapshot strictly below `belowBatch` (None = any).
+    * Listing is one filesystem call over the versioned dirs — O(#batches),
+    * driver-side, the same bounded-metadata class as checkpoint logs. */
+  def latestClusterSnapshot(spark: SparkSession, clustersDir: String,
+      belowBatch: Long = Long.MaxValue): Option[DataFrame] =
+    if (!graft.sources.Sources.fsExists(spark, clustersDir)) None
+    else {
+      val versions = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT, batch BIGINT"))
+        .parquet(clustersDir)
+      val latest = versions.filter(org.apache.spark.sql.functions.col("batch") < belowBatch)
+        .agg(org.apache.spark.sql.functions.max("batch")).collect()(0)
+      if (latest.isNullAt(0)) None
+      else Some(versions
+        .filter(org.apache.spark.sql.functions.col("batch") === latest.getLong(0))
+        .drop("batch"))
+    }
+
   /** Start a memory-sink query (testing aid; complete/update modes). */
   def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

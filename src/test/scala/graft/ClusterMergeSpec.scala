@@ -62,6 +62,33 @@ class ClusterMergeSpec extends SparkSpec {
     assert(clusterMap(twice) == once, "replay must not change any assignment")
   }
 
+  test("streaming clusterIngest maintains the cluster table across micro-batches ≡ batch closure") {
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_cling_").toFile.getAbsolutePath
+    val ms = MemoryStream[CorpusDoc](spark)
+    def runOnce(): Unit = {
+      val q = Streaming.clusterIngest(
+        ms.toDF().withColumn("source", lit("src0")),
+        s"$root/index", s"$root/clusters", s"$root/ckpt",
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 0: two near-dup pairs + a singleton; batch 1: a doc that
+    // bridges the two clusters, plus a novel singleton
+    val b0 = Seq(CorpusDoc(1L, x), CorpusDoc(2L, x + " extraA extraB"),
+      CorpusDoc(3L, y), CorpusDoc(4L, y + " extraC extraD"), CorpusDoc(5L, toks(1000, 1040)))
+    val b1 = Seq(CorpusDoc(10L, bridge), CorpusDoc(11L, toks(2000, 2040)))
+    ms.addData(b0); runOnce()
+    ms.addData(b1); runOnce()
+    val streamed = clusterMap(Streaming.latestClusterSnapshot(spark, s"$root/clusters").get)
+    val full = clusterMap(Dedup.clusterDocs(docsDF(
+      (b0 ++ b1).map(d => d.doc_id -> d.text))))
+    assert(streamed == full, s"streamed $streamed vs batch $full")
+    assert(streamed(10L) == 1L && streamed(3L) == 1L, "bridge must merge the two clusters")
+  }
+
   test("mergeClusters ≡ full re-cluster on a single-source real corpus slice") {
     val all = Tables(spark, Sf0001, "documents")
       .filter(col("source") === "src0").select("doc_id", "text", "source")
