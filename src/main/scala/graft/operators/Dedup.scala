@@ -955,6 +955,46 @@ object Dedup {
     } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
 
+  /** Compact the persistent band index: rewrite every `batch=N`
+    * subdirectory of `bands/` and `sigs/` into a single reserved
+    * `batch=-1` partition (negative ids never collide with real batch
+    * ids, which Structured Streaming assigns from 0). Streaming-cadence
+    * ingest accumulates one directory tree per micro-batch — thousands of
+    * small files per day — and every probe's partition discovery pays for
+    * all of them; compaction collapses the metadata back to one tree
+    * while preserving the (band, kb) partitioning the probes prune on.
+    *
+    * NOT crash-atomic and NOT replay-safe: run at a maintenance point
+    * where (a) no ingest is active and (b) every written batch's
+    * checkpoint is committed — after compaction a replayed batch would
+    * find its own rows under batch=-1 and self-match (the hazard the
+    * per-batch exclusion exists for). The swap sequence (write new →
+    * rename old aside → rename new in → delete old) leaves a recoverable
+    * `*.old` tree if interrupted after the first rename. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    def swap(sub: String, write: String => Unit): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      if (!fs.exists(cur)) return
+      val neu = new org.apache.hadoop.fs.Path(s"$indexDir/$sub.new")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/$sub.old")
+      fs.delete(neu, true); fs.delete(old, true)
+      write(s"$indexDir/$sub.new/batch=-1")
+      require(fs.rename(cur, old), s"compactIndex: could not move $cur aside")
+      require(fs.rename(neu, cur), s"compactIndex: could not activate $neu")
+      fs.delete(old, true)
+    }
+    // Each swap WRITES the compacted copy before renaming anything, so the
+    // plan always reads from intact source dirs — no lineage hazard.
+    val bands = readIndexTable(spark, s"$indexDir/bands",
+      "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = None)
+    val sigs = readIndexTable(spark, s"$indexDir/sigs",
+      "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = None)
+    swap("bands", dir => bands.write.partitionBy("band", "kb").parquet(dir))
+    swap("sigs", dir => sigs.write.parquet(dir))
+  }
+
   /** Index an arriving batch into the persistent band index WITHOUT any
     * dedup decision — the companion write for pipelines that RETAIN
     * near-duplicates and track them as clusters ([[mergeClusters]])

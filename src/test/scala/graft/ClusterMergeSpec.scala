@@ -89,6 +89,24 @@ class ClusterMergeSpec extends SparkSpec {
     assert(streamed(10L) == 1L && streamed(3L) == 1L, "bridge must merge the two clusters")
   }
 
+  test("compactIndex collapses per-batch dirs into batch=-1 and preserves probe results") {
+    val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
+    val corpus1 = docsDF(Seq(3L -> y, 4L -> (y + " extraC extraD")))
+    val idx = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    Dedup.indexBatch(corpus1, idx, batchId = 1L)
+    val clusters0 = Dedup.clusterDocs(corpus0.union(corpus1)).localCheckpoint(true)
+    val probe = docsDF(Seq(10L -> bridge, 11L -> toks(2000, 2040)))
+    val before = clusterMap(Dedup.mergeClusters(clusters0, probe, idx))
+    Dedup.compactIndex(spark, idx)
+    val after = clusterMap(Dedup.mergeClusters(clusters0, probe, idx))
+    assert(after == before, "probe decisions must be unchanged by compaction")
+    val batchDirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(batchDirs == Seq("batch=-1"), s"expected one compacted partition, got $batchDirs")
+    assert(!new java.io.File(s"$idx/bands.old").exists(), "old tree must be cleaned up")
+  }
+
   test("mergeClusters ≡ full re-cluster on a single-source real corpus slice") {
     val all = Tables(spark, Sf0001, "documents")
       .filter(col("source") === "src0").select("doc_id", "text", "source")
