@@ -89,6 +89,19 @@ class ClusterMergeSpec extends SparkSpec {
     assert(streamed(10L) == 1L && streamed(3L) == 1L, "bridge must merge the two clusters")
   }
 
+  test("mergeClusters plan: no cartesian/BNLJ anywhere; the corpus relabel pass broadcasts") {
+    // mergeClusters is a library function, not a registered query — the
+    // OperatorSpec cartesian gate never sees it, so gate its plan here.
+    val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
+    val idx = java.nio.file.Files.createTempDirectory("merge-plan-").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    val merged = Dedup.mergeClusters(Dedup.clusterDocs(corpus0), docsDF(Seq(10L -> bridge)), idx)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in merge plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in merge plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "the bounded relabel map must broadcast")
+  }
+
   test("compactIndex collapses per-batch dirs into batch=-1 and preserves probe results") {
     val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
     val corpus1 = docsDF(Seq(3L -> y, 4L -> (y + " extraC extraD")))

@@ -42,6 +42,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fp < 0.01, s"measured false-positive rate $fp (expected ~${f.fpp(trueHits)})")
   }
 
+  test("text_decontam_bloom plan: the bit-test filter prunes BELOW the broadcast verify join") {
+    val plan = SparkEntry.queries("text_decontam_bloom")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val probeIdx = plan.indexOf("xxhash64")
+    assert(joinIdx >= 0, s"verify join must be a broadcast hash join:\n${plan.take(4000)}")
+    // plan trees print children below parents: the bloom probe appearing
+    // after the join line means it executes before (below) the join.
+    assert(probeIdx > joinIdx, "bloom probe must filter the corpus side before the join")
+  }
+
   test("bloom build refuses an unbounded key set (the 100 TB driver-OOM guard)") {
     val e = intercept[IllegalArgumentException] {
       Bloom.build(Tables(spark, Sf0001, "documents").select(col("doc_id").as("g")), "g", maxKeys = 10)
