@@ -56,12 +56,15 @@ object Bloom {
         "shuffle equi-join path (text_contamination) for corpus-sized sets")
     val mBits = nextPow2(math.max(1L, n) * bitsPerKey)
     val words = new Array[Long]((mBits + 63) / 64)
+    // Distributed OR-reduction: positions fold into (word, mask) and
+    // bit_or-aggregate BEFORE the collect, so the driver receives at most
+    // one row per SET WORD (≤ mBits/64) — never the k·n raw positions.
     keys.select(explode(array(positions(col(keyCol), mBits, k): _*)).as("p"))
-      .distinct().collect()
-      .foreach { r =>
-        val p = r.getLong(0)
-        words((p >>> 6).toInt) |= 1L << (p & 63)
-      }
+      .select(call_function("div", col("p"), lit(64L)).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int")).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("m"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
     Filter(words, mBits, k)
   }
 
