@@ -68,10 +68,20 @@ object Bloom {
     Filter(words, mBits, k)
   }
 
-  /** Membership probe — k AND'ed bit tests against the array literal.
-    * typedLit embeds ONE ArrayData constant (not a 16k-element CreateArray),
-    * so codegen references a single object. */
-  def mightContain(g: Column, f: Filter): Column = {
+  /** Membership probe — native codegen expression
+    * ([[graft.plans.BloomContains]]): both hashes computed once, bit tests
+    * short-circuit, bitset referenced as one object. Runs once per
+    * exploded corpus shingle in the decontamination paths — the reason it
+    * is native. [[mightContainDecl]] is the parity witness. */
+  def mightContain(g: Column, f: Filter): Column =
+    graft.plans.BloomContains.column(g, f.words, f.mBits, f.k)
+
+  /** Declarative (built-ins only) form of [[mightContain]] — k AND'ed bit
+    * tests against the array literal (typedLit embeds ONE ArrayData
+    * constant, not a 16k-element CreateArray). Kept as the parity witness
+    * for the native expression AND as the build-side definition: the same
+    * [[positions]] expression feeds [[build]]'s bit_or aggregation. */
+  def mightContainDecl(g: Column, f: Filter): Column = {
     val bits = typedLit(f.words)
     positions(g, f.mBits, f.k).map { p =>
       val word = element_at(bits, call_function("div", p, lit(64L)).cast("int") + 1)

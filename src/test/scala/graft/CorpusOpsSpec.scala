@@ -46,11 +46,21 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = SparkEntry.queries("text_decontam_bloom")(spark, Sf0001)
       .queryExecution.executedPlan.toString
     val joinIdx = plan.indexOf("BroadcastHashJoin")
-    val probeIdx = plan.indexOf("xxhash64")
+    val probeIdx = plan.indexOf("bloomcontains")
     assert(joinIdx >= 0, s"verify join must be a broadcast hash join:\n${plan.take(4000)}")
     // plan trees print children below parents: the bloom probe appearing
     // after the join line means it executes before (below) the join.
     assert(probeIdx > joinIdx, "bloom probe must filter the corpus side before the join")
+  }
+
+  test("native bloom probe ≡ declarative bit tests on every corpus shingle (hit and miss)") {
+    val sh = Tables(spark, Sf0001, "documents")
+      .select(explode(shingles3(tokHashesSeq(col("text")))).as("g"))
+    val f = Bloom.build(sh.filter(col("g") % 3 === 0), "g", maxKeys = 1000000)
+    val diff = sh.select(Bloom.mightContain(col("g"), f).as("native"),
+      Bloom.mightContainDecl(col("g"), f).as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(diff.count() == 0)
   }
 
   test("bloom build refuses an unbounded key set (the 100 TB driver-OOM guard)") {
