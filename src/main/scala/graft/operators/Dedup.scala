@@ -567,7 +567,96 @@ object Dedup {
            |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
            |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
            |WHERE cosine >= 0.4 ORDER BY bucket, a, b""".stripMargin
-      })
+      }),
+
+    // The capstone: one per-document curation VERDICT table — what a
+    // training-data pipeline actually ships downstream. Composes the
+    // library's own decisions under a single oracle: exact-dup
+    // canonicality (dedup_exact's keep-first), near-dup cluster +
+    // leakage-safe split (the memoized cluster table — same closure the
+    // sample_split oracle certifies), benchmark contamination
+    // (text_contamination's shingle join), Gopher repetition quality
+    // (text_repetition's thresholds), and the final keep decision.
+    // Every join is doc_id- or shingle-keyed; nothing here adds a new
+    // shuffle shape — the point is that the primitives COMPOSE.
+    "corpus_manifest" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val fp = docs.select(col("source"), col("doc_id"),
+          strHash(lower(trim(col("text")))).as("fp"))
+        val canon = fp.groupBy("source", "fp").agg(min("doc_id").as("keep_id"))
+        val exact = fp.join(canon, Seq("source", "fp"))
+          .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("canonical"))
+        val clusterSplit = splitFromClusters(clustersTable(s, d))
+          .select(col("doc_id"), col("cluster"), col("split"))
+        val sh = docs.select(col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
+        val bench = sh.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+        val contamIds = sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(bench, Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("hit", lit(true))
+        val tokStats = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(sum(col("cnt")).as("n_tok"),
+            count(lit(1)).as("n_dist"), max(col("cnt")).as("top_cnt"))
+          .withColumn("quality_keep",
+            expr("(n_tok - n_dist) * 1000 div n_tok <= 500 AND top_cnt * 1000 div n_tok <= 100"))
+        docs.select(col("doc_id"),
+            when(col("doc_id") % 97 === 0, "eval").otherwise("corpus").as("role"))
+          .join(exact, Seq("doc_id"))
+          .join(clusterSplit, Seq("doc_id"))
+          .join(tokStats.select("doc_id", "n_tok", "quality_keep"), Seq("doc_id"))
+          .join(contamIds, Seq("doc_id"), "left_outer")
+          .withColumn("contaminated", coalesce(col("hit"), lit(false)))
+          .withColumn("keep", col("canonical") && col("quality_keep") &&
+            !col("contaminated") && col("role") === "corpus")
+          .select(col("doc_id"), col("role"), col("canonical"), col("cluster"),
+            col("split"), col("n_tok"), col("quality_keep"), col("contaminated"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $clusterCteSql,
+              |fp AS (SELECT source, doc_id, ${strHashSql("lower(trim(text))")} AS fp FROM documents),
+              |canon AS (SELECT source, fp, MIN(doc_id) AS keep_id FROM fp GROUP BY source, fp),
+              |exact AS (SELECT fp.doc_id, (fp.doc_id = canon.keep_id) AS canonical
+              |          FROM fp JOIN canon ON fp.source = canon.source AND fp.fp = canon.fp),
+              |sh AS (SELECT doc_id, ${shingles3Sql(tokHashesSeqSql("text"))} AS sh FROM documents),
+              |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+              |contam AS (SELECT DISTINCT c.doc_id
+              |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0) c
+              |  JOIN bench USING (g)),
+              |cnts AS (SELECT doc_id, token, count(*) cnt
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+              |  GROUP BY doc_id, token),
+              |tst AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) n_tok,
+              |    CAST(count(*) AS BIGINT) n_dist, CAST(max(cnt) AS BIGINT) top_cnt
+              |  FROM cnts GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CASE WHEN d.doc_id % 97 = 0 THEN 'eval' ELSE 'corpus' END AS role,
+              |  e.canonical AS canonical,
+              |  CAST(cl.cluster AS BIGINT) AS cluster,
+              |  CASE WHEN ((cl.cluster * 104729 + 12345) % 1000003) % 100 < 80 THEN 'train'
+              |       WHEN ((cl.cluster * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
+              |       ELSE 'test' END AS split,
+              |  t.n_tok AS n_tok,
+              |  ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= 500
+              |    AND t.top_cnt * 1000 // t.n_tok <= 100) AS quality_keep,
+              |  (contam.doc_id IS NOT NULL) AS contaminated,
+              |  (e.canonical
+              |    AND ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= 500
+              |         AND t.top_cnt * 1000 // t.n_tok <= 100)
+              |    AND contam.doc_id IS NULL AND d.doc_id % 97 <> 0) AS keep
+              |FROM documents d
+              |JOIN exact e ON e.doc_id = d.doc_id
+              |JOIN clusters cl ON cl.doc_id = d.doc_id
+              |JOIN tst t ON t.doc_id = d.doc_id
+              |LEFT JOIN contam ON contam.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      doc = "per-document curation verdict: exact canonicality + near-dup " +
+        "cluster/split + contamination + repetition quality + final keep — " +
+        "the library's primitives composed under one oracle")
   )
 
   /** Shared oracle fragment: the full LSH-candidate + Jaccard-edge +
