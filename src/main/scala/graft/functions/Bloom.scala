@@ -49,7 +49,11 @@ object Bloom {
     * a driver OOM at scale, so refuse loudly instead. */
   def build(keys: DataFrame, keyCol: String, maxKeys: Long,
       bitsPerKey: Int = 16, k: Int = 5): Filter = {
-    val n = keys.select(keyCol).distinct().count()
+    // Distinct ONCE, reused by the count guard and the position job —
+    // callers commonly pass one row per (doc, key) and the duplicate
+    // factor would otherwise be paid through the position shuffle.
+    val ks = keys.select(keyCol).distinct()
+    val n = ks.count()
     require(n <= maxKeys,
       s"Bloom.build over $n distinct keys exceeds the $maxKeys-key bound: a bloom " +
         "prefilter is for BOUNDED key sets (eval/benchmark corpora); use the " +
@@ -59,7 +63,7 @@ object Bloom {
     // Distributed OR-reduction: positions fold into (word, mask) and
     // bit_or-aggregate BEFORE the collect, so the driver receives at most
     // one row per SET WORD (≤ mBits/64) — never the k·n raw positions.
-    keys.select(explode(array(positions(col(keyCol), mBits, k): _*)).as("p"))
+    ks.select(explode(array(positions(col(keyCol), mBits, k): _*)).as("p"))
       .select(call_function("div", col("p"), lit(64L)).cast("int").as("w"),
         call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int")).as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("m"))

@@ -118,13 +118,16 @@ object Multimodal {
     * shape as [[decodeFeatures]]; exists because a `array<float>` column
     * cannot be hashed by the comparison harness. The float-list Dataset
     * API is unchanged — this is gate plumbing, not a second decode. */
-  def decodeFeatureMillis(ds: Dataset[MediaRecord],
-      batchSize: Int = DefaultBatchSize): Dataset[(Long, String, Int, Long)] = {
+  def decodeFeatureMillis(ds: Dataset[MediaRecord]): Dataset[(Long, String, Int, Long)] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+    // Per-record pass, no grouped() façade: the integer projection calls
+    // the stub accumulator directly (the BATCHED decode boundary lives in
+    // decodeFeatures; MultimodalSpec asserts this projection ==
+    // decodeFeatures' floats * 1000 exactly).
+    ds.mapPartitions(_.flatMap { r =>
       val acc = StubCodec.accMillis(r.bytes)
       acc.indices.map(j => (r.media_id, r.kind, j, acc(j)))
-    }))
+    })
   }
 
   /** Resize every image payload; non-images pass through untouched. */

@@ -881,12 +881,29 @@ object Dedup {
   /** Process-lifetime memo of [[writeClusters]] keyed by corpus dir: the
     * first consumer in a session pays the clustering and writes the
     * table under a PER-PROCESS temp root; later consumers (and repeat
-    * bench runs) scan the parquet. The root is process-scoped precisely
-    * so no table ever outlives the code that wrote it — a fresh JVM
-    * always re-clusters once. */
+    * bench runs) scan the parquet. ASSUMES the corpus under a dir is
+    * immutable for the life of the process (true of the read-only
+    * testdata; the general contract for a corpus snapshot dir) — a
+    * pipeline that regenerates a dir in-process must call
+    * [[invalidateClustersMemo]] first or the memo serves the old
+    * closure. The temp root is removed by a JVM shutdown hook, so the
+    * tables never outlive the process that wrote them. */
   private val clustersWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val clustersRoot =
-    java.nio.file.Files.createTempDirectory("graft-clusters-").toString
+  private lazy val clustersRoot = {
+    val root = java.nio.file.Files.createTempDirectory("graft-clusters-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+
+  /** Drop the memoized cluster table for `dir` (or all dirs) — required
+    * before re-reading a corpus dir whose CONTENT changed in-process. */
+  def invalidateClustersMemo(dir: String = null): Unit =
+    if (dir == null) clustersWritten.clear() else { clustersWritten.remove(dir); () }
   def clustersTable(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val path = clustersWritten.computeIfAbsent(dir, { d =>
       val out = s"$clustersRoot/${Integer.toHexString(d.hashCode)}"
@@ -1033,10 +1050,19 @@ object Dedup {
     * created directory (first batch) and optionally excluding one batch
     * partition (replay safety — see [[incrementalNearDup]]). The
     * filesystem is resolved FROM the path: indexDir may live on a scheme
-    * other than fs.defaultFS (s3a vs hdfs vs file) on a real cluster. */
+    * other than fs.defaultFS (s3a vs hdfs vs file) on a real cluster.
+    *
+    * Refuses a mid-swap tree: a `<dir>.old` left by an interrupted
+    * [[compactIndex]] means the live dir may be missing or partial —
+    * reading it as "empty index" would silently keep every near-dup, so
+    * fail loudly and point at the recovery (re-run compactIndex). */
   private def readIndexTable(spark: org.apache.spark.sql.SparkSession, dir: String,
       schemaDdl: String, excludeBatch: Option[Long]): org.apache.spark.sql.DataFrame =
-    if (graft.sources.Sources.fsExists(spark, dir)) {
+    if (graft.sources.Sources.fsExists(spark, s"$dir.old"))
+      throw new IllegalStateException(
+        s"$dir.old exists: an index compaction was interrupted mid-swap. " +
+          "Re-run Dedup.compactIndex on this index to roll back/complete before reading.")
+    else if (graft.sources.Sources.fsExists(spark, dir)) {
       val df = spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch BIGINT"))
         .parquet(dir)
@@ -1058,11 +1084,27 @@ object Dedup {
     * checkpoint is committed — after compaction a replayed batch would
     * find its own rows under batch=-1 and self-match (the hazard the
     * per-batch exclusion exists for). The swap sequence (write new →
-    * rename old aside → rename new in → delete old) leaves a recoverable
-    * `*.old` tree if interrupted after the first rename. */
+    * rename old aside → rename new in → delete old) leaves a `*.old`
+    * tree if interrupted after the first rename; a RE-RUN detects it and
+    * rolls the original back into place before compacting again, and
+    * index READS refuse a mid-swap tree ([[readIndexTable]]) so a crash
+    * can never be misread as an empty index. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    // Crash recovery FIRST: a bands.old/sigs.old without its live dir is
+    // an interrupted swap — restore the original before doing anything.
+    // With BOTH present the swap had completed and only the final delete
+    // was lost — finish the cleanup.
+    Seq("bands", "sigs").foreach { sub =>
+      val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/$sub.old")
+      if (fs.exists(old)) {
+        if (!fs.exists(cur))
+          require(fs.rename(old, cur), s"compactIndex: could not roll back $old")
+        else fs.delete(old, true)
+      }
+    }
     def swap(sub: String, write: String => Unit): Unit = {
       val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
       if (!fs.exists(cur)) return
@@ -1141,8 +1183,16 @@ object Dedup {
     * Returns the updated (doc_id, cluster) table. */
   def mergeClusters(clusters: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, indexDir: String,
-      threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+      threshold: Double = 0.8,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val spark = batch.sparkSession
+    // Same lineage-durability choice as clusterDocs: localCheckpoint
+    // blocks are lost with an executor; pass a reliable checkpointDir on
+    // a real cluster so a lost executor recomputes instead of failing
+    // the micro-batch.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (checkpointDir.isDefined) _.checkpoint() else _.localCheckpoint(true)
     val storedBands = readIndexTable(spark, s"$indexDir/bands",
       "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = None)
     val storedSigs = readIndexTable(spark, s"$indexDir/sigs",
@@ -1179,7 +1229,7 @@ object Dedup {
     val micro = edgesNew.union(
       edgesOld.join(clusters.select(col("doc_id").as("old_id"), col("cluster")), Seq("old_id"))
         .select(col("doc_id").as("a"), col("cluster").as("b")))
-    val labels = propagateMin(micro, df => df.localCheckpoint(true))
+    val labels = propagateMin(micro, mat)
     val newRows = fresh.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))

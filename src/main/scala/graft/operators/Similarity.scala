@@ -88,13 +88,6 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Multi-probe bucket list: the exact bucket plus each single-bit flip
-    * (1 + LshPlanes buckets). Flipping one hyperplane sign recovers
-    * neighbors that straddle a plane boundary — the dominant LSH miss
-    * mode — at O(nbits) extra probes, never O(2^nbits). */
-  def probeBuckets(bucket: Column): Column =
-    array((bucket +: (0 until LshPlanes).map(j => bucket.bitwiseXOR(lit(1L << j)))): _*)
-
   /** 2-bit multi-probe list: exact bucket + all single-bit flips + all
     * C(8,2)=28 double-bit flips = 37 probes per table. With [[LshTables]]
     * = 2 tables this is the registered ANN config — measured recall@5
@@ -109,10 +102,6 @@ object Similarity {
           yield bucket.bitwiseXOR(lit((1L << j) | (1L << k))))
     array((bucket +: flips): _*)
   }
-
-  /** DuckDB SQL: the same 1-bit probe list for bucket expression `b`. */
-  def probeBucketsSql(b: String): String =
-    s"list_prepend($b, list_transform(range(0, $LshPlanes), j -> xor($b, CAST(1 AS BIGINT) << j)))"
 
   /** DuckDB SQL: the same 2-bit probe list as [[probeBuckets2]]. */
   def probeBuckets2Sql(b: String): String =

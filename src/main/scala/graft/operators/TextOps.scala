@@ -35,10 +35,22 @@ object TextOps {
     "fr" -> Seq("merge", "sort", "stream", "value"),
     "zh" -> Seq("spark", "join", "scan", "column"))
 
-  /** Process-lifetime memo of the eval-set bloom filter per corpus dir
-    * (see text_decontam_bloom: eval sets are fixed artifacts). */
+  /** Process-lifetime memo of the eval-set bloom filter, keyed by
+    * (corpus dir, shingle cap) — see text_decontam_bloom: eval sets are
+    * fixed artifacts, and the corpus under a dir is ASSUMED immutable for
+    * the process (the cluster-table memo's contract, Dedup.clustersTable).
+    * Regenerating a dir in-process requires [[invalidateBloomMemo]], or
+    * the stale filter could bloom-drop shingles that only the NEW eval
+    * set contains — the one way the "output ≡ text_contamination"
+    * guarantee can be broken from outside. */
   private val bloomMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Bloom.Filter]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), graft.functions.Bloom.Filter]()
+
+  /** Drop the memoized eval filter for `dir` (or all dirs) — required
+    * before re-reading a corpus dir whose content changed in-process. */
+  def invalidateBloomMemo(dir: String = null): Unit =
+    if (dir == null) bloomMemo.clear()
+    else bloomMemo.keySet.removeIf(_._1 == dir): Unit
 
   /** Shared decontamination oracle: text_contamination (shuffle equi-join)
     * and text_decontam_bloom (bloom prefilter + exact verify) declare the
@@ -267,7 +279,7 @@ object TextOps {
         // bitset (two bounded Spark jobs) per invocation would dominate
         // the query at small scale and is pure waste at any scale. The
         // same cluster-once shape as Dedup.clustersTable.
-        val bloom = bloomMemo.computeIfAbsent(d, _ => Bloom.build(bench, "g", maxKeys = cap))
+        val bloom = bloomMemo.computeIfAbsent((d, cap), _ => Bloom.build(bench, "g", maxKeys = cap))
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
           .select(col("doc_id"), explode(col("sh")).as("g"))
           .filter(Bloom.mightContain(col("g"), bloom))

@@ -289,7 +289,8 @@ object Streaming {
     * while keeping this exact dataflow. */
   def clusterIngest(stream: DataFrame, indexDir: String, clustersDir: String,
       checkpoint: String, threshold: Double = 0.8,
-      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = DefaultTrigger,
+      reliableCheckpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -299,7 +300,9 @@ object Streaming {
         val prior = latestClusterSnapshot(spark, clustersDir, belowBatch = batchId)
           .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))
-        val merged = Dedup.mergeClusters(prior, batch, indexDir, threshold)
+        // reliableCheckpointDir: pass on a real cluster so a lost executor
+        // mid-propagation recomputes instead of failing the micro-batch.
+        val merged = Dedup.mergeClusters(prior, batch, indexDir, threshold, reliableCheckpointDir)
         merged.write.mode("overwrite").parquet(s"$clustersDir/batch=$batchId")
         Dedup.indexBatch(batch, indexDir, batchId)
       }

@@ -120,6 +120,23 @@ class ClusterMergeSpec extends SparkSpec {
     assert(!new java.io.File(s"$idx/bands.old").exists(), "old tree must be cleaned up")
   }
 
+  test("interrupted compaction reads loudly and a compactIndex re-run recovers the index") {
+    val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_crash_").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    val clusters0 = Dedup.clusterDocs(corpus0).localCheckpoint(true)
+    val probe = docsDF(Seq(10L -> bridge))
+    val expected = clusterMap(Dedup.mergeClusters(clusters0, probe, idx))
+    // simulate a crash between compactIndex's two renames: live dir gone,
+    // .old left behind
+    assert(new java.io.File(s"$idx/bands").renameTo(new java.io.File(s"$idx/bands.old")))
+    val e = intercept[IllegalStateException] { Dedup.mergeClusters(clusters0, probe, idx) }
+    assert(e.getMessage.contains("compactIndex"), "mid-swap index must not read as empty")
+    Dedup.compactIndex(spark, idx) // rolls the original back, then compacts
+    assert(clusterMap(Dedup.mergeClusters(clusters0, probe, idx)) == expected,
+      "post-recovery probe must match the pre-crash decision")
+  }
+
   test("mergeClusters ≡ full re-cluster on a single-source real corpus slice") {
     val all = Tables(spark, Sf0001, "documents")
       .filter(col("source") === "src0").select("doc_id", "text", "source")

@@ -63,6 +63,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native bloom probe matches the declarative witness on NULL keys too") {
+    // Spark hash expressions SKIP null children (xxhash64(NULL) = seed),
+    // so a null key has well-defined positions; the native expression
+    // must return the same boolean, never NULL (which a filter would
+    // silently treat as false — a false negative vs the witness).
+    val f = Bloom.build(Seq(1L, 2L).toDF("g"), "g", maxKeys = 10)
+    val rows = Seq(Option(1L), Option(3L), Option.empty[Long]).toDF("g")
+      .select(Bloom.mightContain(col("g"), f).as("native"),
+        Bloom.mightContainDecl(col("g"), f).as("decl")).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0), "native probe must never be NULL")
+      assert(r.getBoolean(0) == r.getBoolean(1), s"parity broken: $r")
+    }
+  }
+
   test("bloom build refuses an unbounded key set (the 100 TB driver-OOM guard)") {
     val e = intercept[IllegalArgumentException] {
       Bloom.build(Tables(spark, Sf0001, "documents").select(col("doc_id").as("g")), "g", maxKeys = 10)
