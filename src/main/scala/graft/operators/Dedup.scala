@@ -214,6 +214,11 @@ object Dedup {
     s"round(CAST(len(list_filter(list_distinct($a), jv -> list_contains($b, jv))) AS DOUBLE) / " +
       s"(len($a) + len($b) - len(list_filter(list_distinct($a), jv -> list_contains($b, jv)))), 4)"
 
+  /** dedup_substring window length (tokens). Declared BEFORE `defs`: the
+    * oracle SQL interpolates it at object init. Any verbatim repeat of at
+    * least this many tokens contains at least one repeated window. */
+  val SubstringWindow = 16
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Exact dedup via content fingerprint: hash-groupBy on the normalized
@@ -568,6 +573,52 @@ object Dedup {
            |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
            |WHERE cosine >= 0.4 ORDER BY bucket, a, b""".stripMargin
       }),
+
+    // Exact repeated-passage detection — the fixed-window approximation
+    // of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): every 16-token
+    // window's rolling hash, grouped corpus-wide; a window appearing in
+    // >= 2 DISTINCT documents is a verbatim cross-document passage (the
+    // licensing-boilerplate / syndicated-article signal document-level
+    // near-dup misses when the rest of the docs differ). A true suffix
+    // array finds variable-length repeats but is inherently sequential;
+    // fixed windows keep it one explode + one hash aggregation — any
+    // repeat of >= 16 tokens necessarily contains a repeated window, so
+    // recall at passage scale is exact. Window hashes are 8-byte keys:
+    // the shuffle never carries text.
+    "dedup_substring" -> QueryDef(
+      (s, d) => {
+        val w = SubstringWindow
+        val th = tokHashesSeq(col("text"))
+        val windows = tbl(s, d, "documents")
+          .select(col("doc_id"), th.as("th"))
+          .filter(size(col("th")) >= w)
+          .select(col("doc_id"), col("th"),
+            posexplode(sequence(lit(0), size(col("th")) - w, lit(1))))
+          .select(col("doc_id"),
+            aggregate(slice(col("th"), col("col") + 1, lit(w)),
+              lit(0L), (h, x) => pmod(h * 31 + x, lit(HashP))).as("win_hash"))
+        windows.groupBy("win_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("win_hash")
+      },
+      Some(s"""WITH th AS (SELECT doc_id, ${tokHashesSeqSql("text")} AS th FROM documents),
+              |w AS (SELECT doc_id,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_slice(th, i + 1, i + $SubstringWindow)),
+              |      (h, x) -> (h*31 + x) % $HashP) AS win_hash
+              |  FROM (SELECT doc_id, th, unnest(range(0, len(th) - $SubstringWindow + 1)) AS i
+              |        FROM th WHERE len(th) >= $SubstringWindow))
+              |SELECT win_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS BIGINT) AS n_occ,
+              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              |FROM w GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+              |ORDER BY win_hash""".stripMargin),
+      doc = s"exact cross-document repeated passages: $SubstringWindow-token " +
+        "rolling-hash windows grouped corpus-wide (fixed-window suffix-array approximation)"),
 
     // The capstone: one per-document curation VERDICT table — what a
     // training-data pipeline actually ships downstream. Composes the

@@ -152,6 +152,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(streamed == batch, "the gate must bind identically to batch and stream")
   }
 
+  test("dedup_substring finds a planted verbatim 16-token passage and nothing else") {
+    import graft.operators.Dedup.SubstringWindow
+    val passage = (0 until SubstringWindow).map(i => s"p$i").mkString(" ")
+    val d = java.nio.file.Files.createTempDirectory("graft_sub_").toFile.getAbsolutePath
+    Seq(
+      1L -> s"intro words before $passage tail segment one",
+      2L -> s"a different opening here $passage and another ending",
+      3L -> (2000 until 2020).map(i => s"u$i").mkString(" ")) // unique, no repeats
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("dedup_substring")(spark, d)
+      .select("n_docs", "n_occ", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "the shared passage must produce at least one repeated window")
+    rows.foreach { case (nDocs, nOcc, first, last) =>
+      assert(nDocs == 2L && nOcc == 2L && first == 1L && last == 2L,
+        s"only docs 1 and 2 share passages: ($nDocs, $nOcc, $first, $last)")
+    }
+  }
+
   test("text_unigram_lm on a planted corpus: hapax-only doc is all-rare, repeated-token doc is not") {
     val d = java.nio.file.Files.createTempDirectory("graft_lm_").toFile.getAbsolutePath
     Seq((1L, "x x x x"), (2L, "u1 u2 u3 u4"))
