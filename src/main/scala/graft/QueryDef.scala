@@ -28,6 +28,19 @@ object Qh {
   /** Modulus for the deterministic polynomial token hash (prime ~1e6). */
   val HashP = 1000003L
 
+  /** Gopher-style repetition-quality thresholds, exact integer permille:
+    * a document passes when its duplicate-token mass (n_tok - n_distinct)
+    * is at most [[GopherDupMilli]]‰ of n_tok AND its most frequent token
+    * is at most [[GopherTopMilli]]‰ of n_tok. Declared here (dependency-
+    * free object) and interpolated by BOTH text_repetition and
+    * corpus_manifest — Spark exprs and oracle texts alike — so the two
+    * queries can never drift apart on a threshold change. Kept in Qh, not
+    * TextOps/Dedup, because those objects' `defs` reference each other's
+    * helpers: a constant living in either would be read mid-init (as 0)
+    * by the other, silently corrupting the interpolated oracle SQL. */
+  val GopherDupMilli = 500L
+  val GopherTopMilli = 100L
+
   def tbl(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
   /** Exact integer cents of a 2-decimal money column. */

@@ -42,13 +42,25 @@ object Bloom {
     m.toInt
   }
 
+  /** The fpp-optimal probe count for a bits-per-key budget:
+    * k* = (m/n)·ln 2, rounded (k* = 11 at the default 16 bits/key, for a
+    * per-key fpp of ~4.6e-4 vs ~1.4e-3 at k=5). Callers sizing for a
+    * per-DOCUMENT false-positive budget must remember the probe side
+    * compounds: a doc with S probed keys collides with probability
+    * 1-(1-fpp)^S, so per-doc hygiene at S≈1000 needs bitsPerKey ≈ 32
+    * (k*=22, fpp ≈ 2e-7), not a bigger k at 16 bits. */
+  def optimalK(bitsPerKey: Int): Int =
+    math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt)
+
   /** Build a filter over the distinct values of `keys(keyCol)` (long).
     * Runs two bounded Spark jobs: a distinct count (sizing + the cap
     * check) and a distinct-positions collect. `maxKeys` is the caller's
     * boundedness contract — building a bloom over an UNBOUNDED key set is
-    * a driver OOM at scale, so refuse loudly instead. */
+    * a driver OOM at scale, so refuse loudly instead. `k` defaults to
+    * [[optimalK]] for the chosen bitsPerKey. */
   def build(keys: DataFrame, keyCol: String, maxKeys: Long,
-      bitsPerKey: Int = 16, k: Int = 5): Filter = {
+      bitsPerKey: Int = 16, k: Int = -1): Filter = {
+    val kEff = if (k > 0) k else optimalK(bitsPerKey)
     // Distinct ONCE, reused by the count guard and the position job —
     // callers commonly pass one row per (doc, key) and the duplicate
     // factor would otherwise be paid through the position shuffle.
@@ -63,13 +75,13 @@ object Bloom {
     // Distributed OR-reduction: positions fold into (word, mask) and
     // bit_or-aggregate BEFORE the collect, so the driver receives at most
     // one row per SET WORD (≤ mBits/64) — never the k·n raw positions.
-    ks.select(explode(array(positions(col(keyCol), mBits, k): _*)).as("p"))
+    ks.select(explode(array(positions(col(keyCol), mBits, kEff): _*)).as("p"))
       .select(call_function("div", col("p"), lit(64L)).cast("int").as("w"),
         call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int")).as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("m"))
       .collect()
       .foreach(r => words(r.getInt(0)) = r.getLong(1))
-    Filter(words, mBits, k)
+    Filter(words, mBits, kEff)
   }
 
   /** Membership probe — native codegen expression

@@ -654,7 +654,8 @@ object Dedup {
           .groupBy("doc_id").agg(sum(col("cnt")).as("n_tok"),
             count(lit(1)).as("n_dist"), max(col("cnt")).as("top_cnt"))
           .withColumn("quality_keep",
-            expr("(n_tok - n_dist) * 1000 div n_tok <= 500 AND top_cnt * 1000 div n_tok <= 100"))
+            expr(s"(n_tok - n_dist) * 1000 div n_tok <= $GopherDupMilli" +
+              s" AND top_cnt * 1000 div n_tok <= $GopherTopMilli"))
         docs.select(col("doc_id"),
             when(col("doc_id") % 97 === 0, "eval").otherwise("corpus").as("role"))
           .join(exact, Seq("doc_id"))
@@ -692,12 +693,12 @@ object Dedup {
               |       WHEN ((cl.cluster * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
               |       ELSE 'test' END AS split,
               |  t.n_tok AS n_tok,
-              |  ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= 500
-              |    AND t.top_cnt * 1000 // t.n_tok <= 100) AS quality_keep,
+              |  ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= $GopherDupMilli
+              |    AND t.top_cnt * 1000 // t.n_tok <= $GopherTopMilli) AS quality_keep,
               |  (contam.doc_id IS NOT NULL) AS contaminated,
               |  (e.canonical
-              |    AND ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= 500
-              |         AND t.top_cnt * 1000 // t.n_tok <= 100)
+              |    AND ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= $GopherDupMilli
+              |         AND t.top_cnt * 1000 // t.n_tok <= $GopherTopMilli)
               |    AND contam.doc_id IS NULL AND d.doc_id % 97 <> 0) AS keep
               |FROM documents d
               |JOIN exact e ON e.doc_id = d.doc_id
@@ -955,9 +956,16 @@ object Dedup {
     * before re-reading a corpus dir whose CONTENT changed in-process. */
   def invalidateClustersMemo(dir: String = null): Unit =
     if (dir == null) clustersWritten.clear() else { clustersWritten.remove(dir); () }
+
+  /** Subdir allocator for [[clustersTable]]: a process-unique counter, NOT
+    * a hash of the corpus dir — 32-bit String.hashCode collides trivially
+    * ("Aa"/"BB"), and two colliding corpus dirs sharing one parquet path
+    * would silently serve cluster assignments from whichever corpus wrote
+    * last. computeIfAbsent guarantees one allocation per distinct dir. */
+  private val clustersSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   def clustersTable(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val path = clustersWritten.computeIfAbsent(dir, { d =>
-      val out = s"$clustersRoot/${Integer.toHexString(d.hashCode)}"
+      val out = s"$clustersRoot/c${clustersSeq.getAndIncrement()}"
       writeClusters(graft.Qh.tbl(spark, d, "documents"), out)
       out
     })
@@ -995,7 +1003,7 @@ object Dedup {
     * exact-id equality to MinHash-LSH near-dup.
     *
     * The index is two parquet tables under `indexDir`:
-    *   - `bands/batch=N/`: (band, bkey, doc_id) — the LSH posting lists;
+    *   - `bands/batch=N/`: (band, bkey, doc_id, source) — LSH posting lists;
     *   - `sigs/batch=N/`:  (doc_id, tk)        — token-hash sets for verify.
     * Each call writes ONLY its own `batch=$batchId` subdirectories with
     * mode=overwrite, so a replayed micro-batch (checkpoint recovery)
@@ -1005,8 +1013,13 @@ object Dedup {
     * INDEX FORMAT: `bands/` is hive-partitioned by (band, kb) — an index
     * written by an engine version without the kb partition column is NOT
     * readable here (mixed partition depths fail discovery, and flat rows
-    * would read kb=NULL and silently miss every probe). Rebuild such an
-    * index by replaying ingest into a fresh indexDir.
+    * would read kb=NULL and silently miss every probe). Bands also carry a
+    * `source` data column ([[mergeClusters]] scopes edges by it; this
+    * function's probes deliberately do not — dedup-on-ingest is
+    * corpus-wide, matching dedup_minhash_lsh); a batch without a `source`
+    * column indexes under source "". [[readIndexTable]] refuses an index
+    * missing a declared column — rebuild old-format indexes by replaying
+    * ingest into a fresh indexDir.
     *
     * A new doc is dropped if it Jaccard-matches (>= threshold) any stored
     * doc sharing a band key, or the minimum-id doc of one of its band
@@ -1031,7 +1044,7 @@ object Dedup {
     // drop both members of a kept similar pair), so the current batch id
     // is excluded from the stored view.
     val storedBands = readIndexTable(spark, bandsDir,
-      "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = Some(batchId))
+      "band INT, bkey STRING, doc_id BIGINT, source STRING, kb INT", excludeBatch = Some(batchId))
     val storedSigs = readIndexTable(spark, sigsDir,
       "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = Some(batchId))
 
@@ -1039,10 +1052,12 @@ object Dedup {
     // both candidate joins, and the index write below — without the cache
     // each consumer would recompute tokHashes+MinHash+band-explode over
     // the arriving documents (4x the signature cost per micro-batch).
-    val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
+    val srcCol = if (batch.columns.contains("source")) col("source") else lit("")
+    val withSig = batch.select(col("doc_id"), srcCol.as("source"),
+        tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
+    val banded = bandExplode(withSig, "mhs", Seq("doc_id", "source"))
       .withColumn("kb", kbOf(col("bkey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSigs = withSig.select(col("doc_id"), col("tk"))
@@ -1087,7 +1102,7 @@ object Dedup {
     val keptOut = kept.localCheckpoint(true)
     val keptIds = keptOut.select("doc_id")
     banded.join(keptIds, Seq("doc_id"))
-      .select("bkey", "doc_id", "band", "kb")
+      .select("bkey", "doc_id", "source", "band", "kb")
       .write.partitionBy("band", "kb")
       .mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
     newSigs.join(keptIds, Seq("doc_id"))
@@ -1106,7 +1121,14 @@ object Dedup {
     * Refuses a mid-swap tree: a `<dir>.old` left by an interrupted
     * [[compactIndex]] means the live dir may be missing or partial —
     * reading it as "empty index" would silently keep every near-dup, so
-    * fail loudly and point at the recovery (re-run compactIndex). */
+    * fail loudly and point at the recovery (re-run compactIndex).
+    *
+    * Also refuses an index whose files lack a DECLARED column (an index
+    * written by an older engine version, e.g. bands without `source`):
+    * Spark would fill the missing column with NULL row-by-row, and a
+    * NULL source silently fails every source-scoped equi-join — probes
+    * would miss the whole stored corpus. Fail loudly instead; the
+    * recovery is replaying ingest into a fresh indexDir. */
   private def readIndexTable(spark: org.apache.spark.sql.SparkSession, dir: String,
       schemaDdl: String, excludeBatch: Option[Long]): org.apache.spark.sql.DataFrame =
     if (graft.sources.Sources.fsExists(spark, s"$dir.old"))
@@ -1114,6 +1136,14 @@ object Dedup {
         s"$dir.old exists: an index compaction was interrupted mid-swap. " +
           "Re-run Dedup.compactIndex on this index to roll back/complete before reading.")
     else if (graft.sources.Sources.fsExists(spark, dir)) {
+      val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      val onDisk = spark.read.parquet(dir).schema.fieldNames.toSet
+      val missing = declared.fieldNames.filterNot(onDisk.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"$dir is an old-format index missing column(s) ${missing.mkString(", ")}; " +
+            "reading it would silently miss probes. Rebuild by replaying ingest " +
+            "into a fresh indexDir.")
       val df = spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch BIGINT"))
         .parquet(dir)
@@ -1170,7 +1200,7 @@ object Dedup {
     // Each swap WRITES the compacted copy before renaming anything, so the
     // plan always reads from intact source dirs — no lineage hazard.
     val bands = readIndexTable(spark, s"$indexDir/bands",
-      "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = None)
+      "band INT, bkey STRING, doc_id BIGINT, source STRING, kb INT", excludeBatch = None)
     val sigs = readIndexTable(spark, s"$indexDir/sigs",
       "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = None)
     swap("bands", dir => bands.write.partitionBy("band", "kb").parquet(dir))
@@ -1186,12 +1216,14 @@ object Dedup {
     * rewrite the same paths. */
   def indexBatch(batch: org.apache.spark.sql.DataFrame, indexDir: String,
       batchId: Long): Unit = {
-    val withSig = batch.select(col("doc_id"), tokHashes(col("text")).as("tk"))
+    val srcCol = if (batch.columns.contains("source")) col("source") else lit("")
+    val withSig = batch.select(col("doc_id"), srcCol.as("source"),
+        tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandExplode(withSig, "mhs", Seq("doc_id"))
+    bandExplode(withSig, "mhs", Seq("doc_id", "source"))
       .withColumn("kb", kbOf(col("bkey")))
-      .select("bkey", "doc_id", "band", "kb")
+      .select("bkey", "doc_id", "source", "band", "kb")
       .write.partitionBy("band", "kb")
       .mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
     withSig.select("doc_id", "tk")
@@ -1216,13 +1248,16 @@ object Dedup {
     * by exactly ONE broadcast-join relabel pass (the relabel map is
     * bounded by the batch's edge count), plus a union of the new rows.
     *
-    * Equivalence: on a single-source corpus (the band index is source-
-    * agnostic; [[clusterDocs]] scopes candidates by source) the result is
-    * IDENTICAL to re-running clusterDocs on the full corpus — both runs
-    * band every doc the same way, so they discover the same candidate
-    * edges, verify with the same Jaccard, and take the same closure
-    * (ClusterMergeSpec asserts this). `batch` must itself be indexed
-    * ([[indexBatch]]) before the NEXT merge cycle probes it.
+    * Equivalence: the result is IDENTICAL to re-running [[clusterDocs]]
+    * on the full corpus, multi-source included — the band index carries
+    * each doc's `source` and candidate edges here are scoped by it
+    * exactly as clusterDocs scopes its self-join, so both runs discover
+    * the same edges, verify with the same Jaccard, and take the same
+    * closure (ClusterMergeSpec asserts this, including a planted
+    * cross-source near-dup pair that must NOT merge). A batch without a
+    * `source` column is treated as source "" (the single-source case).
+    * `batch` must itself be indexed ([[indexBatch]]) before the NEXT
+    * merge cycle probes it.
     *
     * IDEMPOTENT under replay (the library's delivery contract —
     * at-least-once sources + idempotent consumers): doc_ids already
@@ -1230,6 +1265,9 @@ object Dedup {
     * anti-join on the 8-byte key, so re-merging a delivered batch is a
     * no-op rather than a row-duplicating corruption. The anti-join is
     * corpus-sized but key-only — the same cost class as the relabel pass.
+    * Duplicate doc_id rows WITHIN one batch (possible under at-least-once
+    * delivery) collapse to one row before the anti-join for the same
+    * reason.
     *
     * Returns the updated (doc_id, cluster) table. */
   def mergeClusters(clusters: org.apache.spark.sql.DataFrame,
@@ -1245,31 +1283,41 @@ object Dedup {
     val mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       if (checkpointDir.isDefined) _.checkpoint() else _.localCheckpoint(true)
     val storedBands = readIndexTable(spark, s"$indexDir/bands",
-      "band INT, bkey STRING, doc_id BIGINT, kb INT", excludeBatch = None)
+      "band INT, bkey STRING, doc_id BIGINT, source STRING, kb INT", excludeBatch = None)
     val storedSigs = readIndexTable(spark, s"$indexDir/sigs",
       "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = None)
-    val fresh = batch.join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val withSig = fresh.select(col("doc_id"), tokHashes(col("text")).as("tk"))
+    // At-least-once delivery can duplicate a doc_id WITHIN one batch;
+    // collapse before the anti-join or both copies pass as "fresh" and
+    // the output table gains duplicate rows.
+    val srcCol = if (batch.columns.contains("source")) col("source") else lit("")
+    val fresh = batch.select(col("doc_id"), srcCol.as("source"), col("text"))
+      .dropDuplicates("doc_id")
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val withSig = fresh.select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandExplode(withSig, "mhs", Seq("doc_id"))
+    val banded = bandExplode(withSig, "mhs", Seq("doc_id", "source"))
       .withColumn("kb", kbOf(col("bkey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSigs = withSig.select(col("doc_id"), col("tk"))
     // static partition prune: <= Bands*KbBuckets pairs, O(1) to collect
     val probePairs = banded.select("band", "kb").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // Edges scope by source on BOTH probes — the closure must match what
+    // clusterDocs would compute on the union corpus, and clusterDocs only
+    // pairs docs within one source.
     val edgesOld = banded
       .join(storedBands.filter(bandPrunePredicate(probePairs))
-        .select(col("band"), col("bkey"), col("doc_id").as("old_id")),
-        Seq("band", "bkey"))
+        .select(col("band"), col("bkey"), col("source"), col("doc_id").as("old_id")),
+        Seq("band", "bkey", "source"))
       .select("doc_id", "old_id").distinct()
       .join(newSigs, Seq("doc_id"))
       .join(storedSigs.select(col("doc_id").as("old_id"), col("tk").as("tko")), Seq("old_id"))
       .filter(jaccard(col("tk"), col("tko")) >= threshold)
       .select(col("doc_id"), col("old_id"))
-    val edgesNew = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
-      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
+    val edgesNew = banded.select(col("band"), col("bkey"), col("source"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("source"), col("doc_id").as("b")),
+        Seq("band", "bkey", "source"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
       .join(newSigs.select(col("doc_id").as("a"), col("tk").as("ta")), Seq("a"))

@@ -318,7 +318,8 @@ object TextOps {
           .withColumn("top_milli", expr("top_cnt * 1000 div n_tok"))
           .withColumn("dup_3g_milli", expr("(n_3g - nd_3g) * 1000 div greatest(n_3g, 1)"))
           .withColumn("keep",
-            when(col("dup_tok_milli") <= 500 && col("top_milli") <= 100, 1L).otherwise(0L))
+            when(col("dup_tok_milli") <= GopherDupMilli && col("top_milli") <= GopherTopMilli, 1L)
+              .otherwise(0L))
           .select(col("doc_id"), col("n_tok"), col("n_dist"), col("top_cnt"),
             col("dup_tok_milli"), col("top_milli"), col("dup_3g_milli"), col("keep"))
           .orderBy("doc_id")
@@ -336,8 +337,8 @@ object TextOps {
               |  (n_tok - n_dist) * 1000 // n_tok AS dup_tok_milli,
               |  top_cnt * 1000 // n_tok AS top_milli,
               |  (n_3g - nd_3g) * 1000 // greatest(n_3g, 1) AS dup_3g_milli,
-              |  CAST(CASE WHEN (n_tok - n_dist) * 1000 // n_tok <= 500
-              |         AND top_cnt * 1000 // n_tok <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |  CAST(CASE WHEN (n_tok - n_dist) * 1000 // n_tok <= $GopherDupMilli
+              |         AND top_cnt * 1000 // n_tok <= $GopherTopMilli THEN 1 ELSE 0 END AS BIGINT) AS keep
               |FROM t JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin),
       doc = "Gopher-style repetition filters in exact integer permille"),
 

@@ -66,11 +66,17 @@ object Streaming {
     * equivalence).
     *
     * Semantics are CONSERVATIVE: a contaminated doc is never kept (bloom
-    * false negatives are impossible), but ~fpp of clean docs are dropped
-    * as collateral (false-positive shingle hits; ~0.05% at the default 16
-    * bits/key). The right trade for training-data hygiene on ingest —
-    * batch re-certification (text_decontam_bloom's exact verify join) can
-    * recover the collateral offline if it matters. */
+    * false negatives are impossible), but clean docs are dropped as
+    * collateral on false-positive shingle hits — and the per-DOC drop
+    * probability COMPOUNDS over the doc's shingles: 1-(1-fpp)^S for S
+    * probed shingles, where fpp is per-shingle (~4.6e-4 at the default
+    * 16 bits/key with the fpp-optimal k=11 — see [[graft.functions.Bloom
+    * .optimalK]]). A 1000-shingle clean doc is therefore dropped with
+    * ~37% probability at 16 bits/key; gate deployments that cannot
+    * tolerate that must size the filter for the per-doc budget
+    * (bitsPerKey ≈ 32 → fpp ≈ 2e-7 → per-1000-shingle drop ≈ 0.02%), or
+    * run the batch path (text_decontam_bloom's exact verify join), which
+    * recovers all collateral offline regardless of fpp. */
   def decontamGate(docs: DataFrame, bloom: graft.functions.Bloom.Filter,
       textCol: String = "text"): DataFrame = {
     import graft.operators.Dedup.{shingles3, tokHashesSeq}

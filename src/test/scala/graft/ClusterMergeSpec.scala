@@ -137,6 +137,54 @@ class ClusterMergeSpec extends SparkSpec {
       "post-recovery probe must match the pre-crash decision")
   }
 
+  test("multi-source: merge ≡ full closure; a cross-source near-dup pair must NOT merge") {
+    // Identical text planted in BOTH sources: bands collide for the pair
+    // (same signature), so only source scoping keeps them apart — exactly
+    // the silent cross-source merge the source-agnostic index produced.
+    val corpus0 = Seq((1L, x, "src0"), (2L, x + " extraA extraB", "src0"),
+      (20L, x, "src1")).toDF("doc_id", "text", "source")
+    val clusters0 = Dedup.clusterDocs(corpus0)
+    assert(clusterMap(clusters0) == Map(1L -> 1L, 2L -> 1L, 20L -> 20L),
+      "precondition: identical text across sources must not pre-merge")
+    val idx = java.nio.file.Files.createTempDirectory("merge-msrc-").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    // The arrival near-dups BOTH sources' texts; it may only join src1's.
+    val batch = Seq((10L, x + " extraA extraB", "src1")).toDF("doc_id", "text", "source")
+    val merged = clusterMap(Dedup.mergeClusters(clusters0, batch, idx))
+    val full = clusterMap(Dedup.clusterDocs(corpus0.unionByName(batch)))
+    assert(merged == full, s"merge $merged must equal full closure $full")
+    assert(merged(10L) == 10L && merged(20L) == 10L && merged(1L) == 1L && merged(2L) == 1L,
+      s"10 must merge with 20 (src1) and never with {1,2} (src0): $merged")
+  }
+
+  test("duplicate doc_id rows WITHIN one batch collapse to a single output row") {
+    val corpus0 = docsDF(Seq(1L -> x, 5L -> toks(1000, 1040)))
+    val idx = java.nio.file.Files.createTempDirectory("merge-dupb-").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    // at-least-once delivery duplicates doc 10 inside the same micro-batch
+    val batch = docsDF(Seq(10L -> bridge, 10L -> bridge, 11L -> toks(2000, 2040)))
+    val merged = Dedup.mergeClusters(Dedup.clusterDocs(corpus0), batch, idx)
+    val perId = merged.groupBy("doc_id").count().filter(col("count") > 1).collect()
+    assert(perId.isEmpty, s"duplicated batch rows leaked into the table: ${perId.mkString}")
+    assert(merged.count() == 4, "corpus {1,5} + batch {10,11} = 4 rows")
+  }
+
+  test("an old-format index (bands without `source`) reads loudly, not as NULL-source rows") {
+    // Hand-write a pre-source-column bands tree: Spark would fill the
+    // missing column with NULLs and every source-scoped probe would miss
+    // the whole stored corpus — the read must refuse instead.
+    val idx = java.nio.file.Files.createTempDirectory("merge-oldfmt-").toString
+    Seq(("k0", 1L, 0, 0)).toDF("bkey", "doc_id", "band", "kb")
+      .write.partitionBy("band", "kb").parquet(s"$idx/bands/batch=0")
+    Seq((1L, Seq(1L, 2L))).toDF("doc_id", "tk")
+      .write.parquet(s"$idx/sigs/batch=0")
+    val e = intercept[IllegalStateException] {
+      Dedup.mergeClusters(Seq.empty[(Long, Long)].toDF("doc_id", "cluster"),
+        docsDF(Seq(10L -> bridge)), idx).collect()
+    }
+    assert(e.getMessage.contains("source"), s"must name the missing column: ${e.getMessage}")
+  }
+
   test("mergeClusters ≡ full re-cluster on a single-source real corpus slice") {
     val all = Tables(spark, Sf0001, "documents")
       .filter(col("source") === "src0").select("doc_id", "text", "source")

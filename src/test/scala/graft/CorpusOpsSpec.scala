@@ -171,6 +171,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("clustersTable memo: corpus dirs with colliding String.hashCode get distinct tables") {
+    // "Aa" and "BB" hash identically, so two dirs differing only in that
+    // suffix collide on the full path's 32-bit hashCode — the regression
+    // where a hash-derived memo subdir served one corpus's clusters for
+    // the other.
+    val root = java.nio.file.Files.createTempDirectory("graft_memo_").toFile.getAbsolutePath
+    val dirA = s"$root/Aa"; val dirB = s"$root/BB"
+    assert(dirA.hashCode == dirB.hashCode, "fixture must actually collide")
+    Seq(1L -> "some tokens here", 2L -> "other tokens there")
+      .toDF("doc_id", "text").withColumn("source", lit("src0"))
+      .write.parquet(s"$dirA/documents.parquet")
+    Seq(7L -> "entirely different corpus", 8L -> "with different doc ids")
+      .toDF("doc_id", "text").withColumn("source", lit("src0"))
+      .write.parquet(s"$dirB/documents.parquet")
+    val idsA = graft.operators.Dedup.clustersTable(spark, dirA)
+      .select("doc_id").as[Long].collect().toSet
+    val idsB = graft.operators.Dedup.clustersTable(spark, dirB)
+      .select("doc_id").as[Long].collect().toSet
+    assert(idsA == Set(1L, 2L), s"dir A must serve its own corpus, got $idsA")
+    assert(idsB == Set(7L, 8L), s"dir B must serve its own corpus, got $idsB")
+  }
+
   test("text_unigram_lm on a planted corpus: hapax-only doc is all-rare, repeated-token doc is not") {
     val d = java.nio.file.Files.createTempDirectory("graft_lm_").toFile.getAbsolutePath
     Seq((1L, "x x x x"), (2L, "u1 u2 u3 u4"))
