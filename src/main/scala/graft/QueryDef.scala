@@ -28,6 +28,18 @@ object Qh {
   /** Modulus for the deterministic polynomial token hash (prime ~1e6). */
   val HashP = 1000003L
 
+  /** Modulus for WINDOW rolling hashes (dedup_substring family): the
+    * largest prime P with 31·(P−1) + maxTokenHash < 2^63−1, so the
+    * rolling fold `h·31 + x mod P` stays exact in signed 64-bit in BOTH
+    * engines — ANSI Spark throws on long overflow and DuckDB BIGINT
+    * errors too, so "unreduced 64-bit wraparound" is not portable; a
+    * ~2^58 prime is the largest exactly-mirrorable state. Collision
+    * precision: for W total windows corpus-wide, expected cross-window
+    * collisions ≈ W²/2P — ~1.7e8 on a 10^13-window (100 TB) corpus,
+    * i.e. a ~2e-5 false-positive rate, vs ~certainty at the ~20-bit
+    * [[HashP]] this replaced. */
+  val WinHashP = 297528130221057283L
+
   /** Gopher-style repetition-quality thresholds, exact integer permille:
     * a document passes when its duplicate-token mass (n_tok - n_distinct)
     * is at most [[GopherDupMilli]]‰ of n_tok AND its most frequent token

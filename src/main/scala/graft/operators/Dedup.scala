@@ -585,31 +585,23 @@ object Dedup {
     // fixed windows keep it one explode + one hash aggregation — any
     // repeat of >= 16 tokens necessarily contains a repeated window, so
     // recall at passage scale is exact. Window hashes are 8-byte keys:
-    // the shuffle never carries text.
+    // the shuffle never carries text. Hashing is mod [[Qh.WinHashP]]
+    // (~2^58): precision is collision-bounded at ~2e-5 false positives
+    // on a 10^13-window corpus (see the constant's doc) — the ~20-bit
+    // HashP this replaced was collision-DOMINATED at that scale.
     "dedup_substring" -> QueryDef(
-      (s, d) => {
-        val w = SubstringWindow
-        val th = tokHashesSeq(col("text"))
-        val windows = tbl(s, d, "documents")
-          .select(col("doc_id"), th.as("th"))
-          .filter(size(col("th")) >= w)
-          .select(col("doc_id"), col("th"),
-            posexplode(sequence(lit(0), size(col("th")) - w, lit(1))))
-          .select(col("doc_id"),
-            aggregate(slice(col("th"), col("col") + 1, lit(w)),
-              lit(0L), (h, x) => pmod(h * 31 + x, lit(HashP))).as("win_hash"))
-        windows.groupBy("win_hash")
+      (s, d) =>
+        substringWindows(tbl(s, d, "documents")).groupBy("win_hash")
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
           .filter(col("n_docs") >= 2)
-          .orderBy("win_hash")
-      },
+          .orderBy("win_hash"),
       Some(s"""WITH th AS (SELECT doc_id, ${tokHashesSeqSql("text")} AS th FROM documents),
               |w AS (SELECT doc_id,
               |    list_reduce(list_prepend(CAST(0 AS BIGINT),
               |      list_slice(th, i + 1, i + $SubstringWindow)),
-              |      (h, x) -> (h*31 + x) % $HashP) AS win_hash
+              |      (h, x) -> (h*31 + x) % $WinHashP) AS win_hash
               |  FROM (SELECT doc_id, th, unnest(range(0, len(th) - $SubstringWindow + 1)) AS i
               |        FROM th WHERE len(th) >= $SubstringWindow))
               |SELECT win_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -619,6 +611,40 @@ object Dedup {
               |ORDER BY win_hash""".stripMargin),
       doc = s"exact cross-document repeated passages: $SubstringWindow-token " +
         "rolling-hash windows grouped corpus-wide (fixed-window suffix-array approximation)"),
+
+    // The REMOVAL half of Lee et al.'s substring dedup: map the repeated
+    // windows back to per-document token positions and merge overlapping
+    // or touching windows into maximal [start_tok, end_tok) spans — the
+    // rows a curation pipeline feeds to [[cutSpans]] to excise the
+    // boilerplate instead of dropping whole documents. Island detection
+    // over each doc's hit positions: with equal W-token windows, a new
+    // span starts exactly when the gap from the previous hit exceeds W;
+    // a running sum of the break flags numbers the islands. Exact integer
+    // arithmetic end to end; the only shuffles are the corpus-wide
+    // win_hash aggregation (8-byte keys) and a doc_id-partitioned window
+    // whose per-partition size is bounded by document length.
+    "dedup_substring_spans" -> QueryDef(
+      (s, d) => substringSpans(tbl(s, d, "documents")),
+      Some(s"""WITH th AS (SELECT doc_id, ${tokHashesSeqSql("text")} AS th FROM documents),
+              |w AS (SELECT doc_id, i AS pos,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_slice(th, i + 1, i + $SubstringWindow)),
+              |      (h, x) -> (h*31 + x) % $WinHashP) AS win_hash
+              |  FROM (SELECT doc_id, th, unnest(range(0, len(th) - $SubstringWindow + 1)) AS i
+              |        FROM th WHERE len(th) >= $SubstringWindow)),
+              |rep AS (SELECT win_hash FROM w GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2),
+              |hits AS (SELECT doc_id, pos FROM w WHERE win_hash IN (SELECT win_hash FROM rep)),
+              |isl AS (SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      <= $SubstringWindow THEN 0 ELSE 1 END AS brk FROM hits),
+              |grp AS (SELECT doc_id, pos,
+              |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+              |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+              |  CAST(MAX(pos) + $SubstringWindow AS BIGINT) AS end_tok,
+              |  CAST(COUNT(*) AS BIGINT) AS n_windows
+              |FROM grp GROUP BY doc_id, island ORDER BY doc_id, start_tok""".stripMargin),
+      doc = "maximal per-document token spans of cross-document repeated passages " +
+        "(the cut list for substring removal)"),
 
     // The capstone: one per-document curation VERDICT table — what a
     // training-data pipeline actually ships downstream. Composes the
@@ -710,6 +736,86 @@ object Dedup {
         "cluster/split + contamination + repetition quality + final keep — " +
         "the library's primitives composed under one oracle")
   )
+
+  // ------------------------------------------------------------------
+  // Substring dedup: repeated-window detection, span extraction, removal
+  // ------------------------------------------------------------------
+
+  /** Every [[SubstringWindow]]-token window of every document as
+    * (doc_id, pos, win_hash): pos is the 0-based start token index and
+    * win_hash the window's rolling hash mod [[graft.Qh.WinHashP]]
+    * (~2^58 — see the constant for the exact cross-engine-arithmetic
+    * rationale and the collision bound). Shared scan for dedup_substring
+    * (corpus-wide hash aggregation) and [[substringSpans]] (position
+    * mapping); the downstream shuffles carry only 8-byte hashes and
+    * integer positions, never text. */
+  def substringWindows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = SubstringWindow
+    val th = tokHashesSeq(col("text"))
+    docs.select(col("doc_id"), th.as("th"))
+      .filter(size(col("th")) >= w)
+      .select(col("doc_id"), col("th"),
+        posexplode(sequence(lit(0), size(col("th")) - w, lit(1))))
+      .select(col("doc_id"), col("col").as("pos"),
+        aggregate(slice(col("th"), col("col") + 1, lit(w)),
+          lit(0L), (h, x) => pmod(h * 31 + x, lit(WinHashP))).as("win_hash"))
+  }
+
+  /** Maximal per-document token spans of cross-document repeated
+    * passages: (doc_id, start_tok, end_tok, n_windows), end exclusive —
+    * the cut list [[cutSpans]] applies (Lee et al. 2022 remove the
+    * repeated spans; dedup_substring only DETECTS them). Windows whose
+    * hash occurs in >= 2 distinct docs map back to positions; per doc,
+    * overlapping-or-touching windows (gap <= window length) merge via
+    * island numbering — a lag-based break flag and its running sum, two
+    * analytic functions over one doc_id-partitioned sort whose partition
+    * size is bounded by document length. */
+  def substringSpans(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = SubstringWindow
+    val wins = substringWindows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeated = wins.groupBy("win_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("win_hash")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val out = wins.join(repeated, Seq("win_hash"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= w, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + w).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_tok", "end_tok", "n_windows")
+      .orderBy("doc_id", "start_tok")
+    wins.unpersist(blocking = false)
+    out
+  }
+
+  /** Apply a span cut list ([[substringSpans]] schema) to the corpus:
+    * tokens at positions [start_tok, end_tok) are removed and the
+    * remainder re-joined — documents keep their unique prose and lose
+    * only the repeated passage, the operation that (per Lee et al.)
+    * beats whole-document dropping on perplexity. Spans arrive grouped
+    * per doc (collect_list after a doc_id shuffle — bounded by spans per
+    * document, never corpus-sized) and the filter itself is a
+    * higher-order function over the token array: no explode, no second
+    * shuffle over tokens. Docs without spans pass through verbatim via
+    * the left join. */
+  def cutSpans(docs: org.apache.spark.sql.DataFrame,
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok").as("s"), col("end_tok").as("e"))).as("spans"))
+    docs.join(sp, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("spans").isNull, col("text")).otherwise(
+          array_join(
+            filter(split(col("text"), " "), (t, i) =>
+              !exists(col("spans"), sr => i >= sr("s") && i < sr("e"))),
+            " ")))
+      .drop("spans")
+  }
 
   /** Shared oracle fragment: the full LSH-candidate + Jaccard-edge +
     * recursive-closure clustering as a CTE list ending in

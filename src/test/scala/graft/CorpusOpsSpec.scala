@@ -171,6 +171,38 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("substringSpans merges a planted 20-token shared passage into one maximal span; cutSpans removes it") {
+    import graft.operators.Dedup
+    import Dedup.SubstringWindow
+    // A 20-token passage shared verbatim by docs 1 and 2 at DIFFERENT
+    // offsets (3 vs 5 tokens of unique prefix). 20 tokens = 5 repeated
+    // 16-token windows per doc (starts p..p+4), which must merge into
+    // exactly ONE [p, p+20) span each.
+    val passage = (0 until SubstringWindow + 4).map(i => s"p$i").mkString(" ")
+    val pre1 = "alpha beta gamma"; val pre2 = "one two three four five"
+    val post1 = "tail one two"; val post2 = "closing words"
+    val docs = Seq(
+      1L -> s"$pre1 $passage $post1",
+      2L -> s"$pre2 $passage $post2",
+      3L -> (3000 until 3030).map(i => s"u$i").mkString(" ")) // unique doc
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+    val got = spans.select("doc_id", "start_tok", "end_tok", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 23L, 5L), (2L, 5L, 25L, 5L)),
+      s"one maximal span per doc at its own offset, got $got")
+
+    // The cut corpus must keep every unique token and contain no
+    // repeated window at all.
+    val cut = Dedup.cutSpans(docs, spans)
+    val byId = cut.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(byId(1L) == s"$pre1 $post1" && byId(2L) == s"$pre2 $post2",
+      s"cut must excise exactly the passage: $byId")
+    assert(byId(3L).startsWith("u3000"), "span-free docs pass through verbatim")
+    assert(Dedup.substringSpans(cut).count() == 0,
+      "after the cut, no cross-document repeated window may remain")
+  }
+
   test("clustersTable memo: corpus dirs with colliding String.hashCode get distinct tables") {
     // "Aa" and "BB" hash identically, so two dirs differing only in that
     // suffix collide on the full path's 32-bit hashCode — the regression
