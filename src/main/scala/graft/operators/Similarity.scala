@@ -127,24 +127,82 @@ object Similarity {
 
   // --- materialized IVF index: assign once, probe many times ------------
 
-  /** Write a persistent IVF index for an embeddings relation: the cell
-    * assignment (sim_ann_ivf's deterministic rule — centroids are vec_id
-    * 1..16, nearest by exact cosine, ties to the smaller centroid id)
-    * hive-partitioned by `cell`, plus the 16-row centroid table. The
-    * vector analog of the persistent LSH band index
-    * ([[Dedup.incrementalNearDup]]): at 100 TB the corpus is assigned
-    * ONCE, and every probe afterwards is a partition-pruned scan of
-    * nprobe/nlist of the data — the index write is the only full pass.
-    * Norms are precomputed into the index so probes don't recompute them. */
-  def writeIvfIndex(emb: DataFrame, indexDir: String): Unit = {
-    val cents = emb.filter(col("vec_id").between(1, 16))
+  /** Seed centroids — the fixed deterministic rule sim_ann_ivf declares:
+    * the corpus vectors with vec_id 1..nlist, tie-breaks to the smaller
+    * centroid id downstream. */
+  private def seedCentroids(emb: DataFrame, nlist: Int): DataFrame =
+    emb.filter(col("vec_id").between(1, nlist))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         normD(col("embedding")).as("cnorm"))
+
+  /** Nearest-centroid cell per vector: exact cosine arg-max against the
+    * broadcast centroid table, ties to the smaller cent_id (max(struct)
+    * with negated id). Groups on the SCALAR vec_id — the vector never
+    * becomes a shuffle key. */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val sim = dotD(col("embedding"), col("cvec")) / (normD(col("embedding")) * col("cnorm"))
-    val cells = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .groupBy(col("vec_id"))
       .agg(max(struct(sim.as("s"), (-col("cent_id")).as("nid"))).as("best"))
       .select(col("vec_id"), (-col("best.nid")).as("cell"))
+  }
+
+  /** Deterministic Lloyd's k-means over the embedding column — real IVF
+    * training instead of the fixed vec_id 1..nlist seeds. Every choice is
+    * reproducible across runs and cluster layouts:
+    *   - init = the existing fixed seeding rule (vec_id 1..nlist);
+    *   - a FIXED iteration count, no convergence-threshold float compare;
+    *   - assignment ties break to the smaller centroid id;
+    *   - the mean is computed over micro-quantized integers
+    *     (round(v·1e6) per dimension, summed as longs): long addition is
+    *     order-independent, so the centroid update cannot drift with
+    *     partitioning, unlike a float sum whose result depends on
+    *     aggregation order.
+    * Cells that lose all members keep their previous centroid. Per
+    * round: one broadcast assign + one (cell, dim)-keyed integer
+    * aggregation (nlist·dim rows out). At 100 TB, train on a sample —
+    * the assignment pass in [[writeIvfIndex]] is what touches the full
+    * corpus, exactly once. */
+  def trainCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 5): DataFrame = {
+    var cents = seedCentroids(emb, nlist).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val cells = assignCells(emb, cents)
+      val means = emb.join(cells, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .select(col("cell"), col("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("cell", "pos")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * 1e6)).cast("float").as("v"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x("v")).as("nvec"))
+      cents = cents
+        .join(means.select(col("cell").as("cent_id"), col("nvec")), Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("nvec"), col("cvec")).as("cvec"))
+        .select(col("cent_id"), col("cvec"), normD(col("cvec")).as("cnorm"))
+        .localCheckpoint(true) // nlist rows; truncate the per-round lineage
+    }
+    cents
+  }
+
+  /** Write a persistent IVF index for an embeddings relation: the cell
+    * assignment hive-partitioned by `cell`, plus the nlist-row centroid
+    * table. Centroids are the fixed vec_id 1..nlist seeds (sim_ann_ivf's
+    * rule — the default, bit-compatible with the in-plan query) or, with
+    * `trainIters` > 0, [[trainCentroids]]' k-means refinement of those
+    * seeds (same index format; AnnRecallSpec shows equal-or-better probe
+    * recall at the same nprobe). The vector analog of the persistent LSH
+    * band index ([[Dedup.incrementalNearDup]]): at 100 TB the corpus is
+    * assigned ONCE, and every probe afterwards is a partition-pruned scan
+    * of nprobe/nlist of the data — the index write is the only full pass.
+    * Norms are precomputed into the index so probes don't recompute them. */
+  def writeIvfIndex(emb: DataFrame, indexDir: String, nlist: Int = 16,
+      trainIters: Int = 0): Unit = {
+    val cents = if (trainIters > 0) trainCentroids(emb, nlist, trainIters)
+                else seedCentroids(emb, nlist)
+    val cells = assignCells(emb, cents)
     emb.join(cells, Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"), col("cell"))

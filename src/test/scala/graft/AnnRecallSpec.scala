@@ -122,6 +122,38 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF nprobe=4/16 must prune: avg $avgCands candidates of ${vecs.length}")
   }
 
+  /** Recall@5 and avg candidate count of an IVF configuration given its
+    * centroid vectors (JVM replica of assignCells' cosine arg-max with
+    * the same smaller-id tie-break). */
+  private def ivfRecall(cents: Array[Array[Float]], nprobe: Int): (Double, Double) = {
+    val cnorms = cents.map(nrm)
+    def centSims(q: Int): Array[Double] =
+      cents.indices.toArray.map(c => dot(vecs(q), cents(c)) / (norms(q) * cnorms(c)))
+    val assign: Array[Int] = vecs.indices.map { i =>
+      val s = centSims(i)
+      s.indices.maxBy(c => (s(c), -(c + 1).toDouble))
+    }.toArray
+    val byCell = vecs.indices.groupBy(assign(_))
+    recallOf { q =>
+      val s = centSims(q)
+      s.indices.sortBy(c => (-s(c), c)).take(nprobe).flatMap(byCell.getOrElse(_, Nil))
+    }
+  }
+
+  test("trained IVF centroids: recall@5 at nprobe=4 >= the fixed-seed recall, still pruning") {
+    val fixed = (1 to 16).map(vecs(_)).toArray // seeds ARE corpus vectors 1..16
+    val trained = Similarity.trainCentroids(Tables(spark, Sf01, "embeddings"))
+      .select("cent_id", "cvec").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val (recallFixed, _) = ivfRecall(fixed, nprobe = 4)
+    val (recallTrained, candsTrained) = ivfRecall(trained, nprobe = 4)
+    info(f"fixed=$recallFixed%.3f trained=$recallTrained%.3f avgCands=$candsTrained%.0f/${vecs.length}")
+    assert(recallTrained >= recallFixed,
+      f"k-means must not lose recall at equal nprobe: trained=$recallTrained%.3f < fixed=$recallFixed%.3f")
+    assert(candsTrained <= vecs.length * 0.50,
+      s"trained IVF must still prune: avg $candsTrained of ${vecs.length}")
+  }
+
   test("bridge: JVM replica matches the registered sim_ann_lsh and sim_cosine_topk for q=0") {
     val ids = corpus.map(_._1)
     val brute = bruteTopK(0).map(ids(_))

@@ -48,6 +48,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(cellDirs > 4, s"index must span more than nprobe cells, got $cellDirs")
   }
 
+  test("trained index (k-means centroids) keeps the format and probes stay partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_km_").toFile.getAbsolutePath
+    Similarity.writeIvfIndex(Tables(spark, Sf0001, "embeddings"), dir, trainIters = 3)
+    val idx = spark.read.parquet(s"$dir/cells")
+    assert(idx.columns.toSet == Set("vec_id", "label", "embedding", "nrm", "cell"),
+      "trained index must keep the exact cells schema")
+    assert(spark.read.parquet(s"$dir/centroids").columns.toSet ==
+      Set("cent_id", "cvec", "cnorm"), "trained index must keep the centroid schema")
+    assert(idx.count() == Tables(spark, Sf0001, "embeddings").count())
+    val qvec = Tables(spark, Sf0001, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val probe = Similarity.ivfProbe(spark, dir, qvec, nprobe = 4, k = 5)
+    assert(probe.collect().length == 5)
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "trained-index probes must still partition-prune")
+    // training is deterministic: a second run writes byte-identical centroids
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_km2_").toFile.getAbsolutePath
+    Similarity.writeIvfIndex(Tables(spark, Sf0001, "embeddings"), dir2, trainIters = 3)
+    val c1 = spark.read.parquet(s"$dir/centroids").orderBy("cent_id")
+      .as[(Long, Array[Float], Double)].collect().toSeq
+    val c2 = spark.read.parquet(s"$dir2/centroids").orderBy("cent_id")
+      .as[(Long, Array[Float], Double)].collect().toSeq
+    assert(c1.map(_._1) == c2.map(_._1) &&
+      c1.zip(c2).forall { case (a, b) => a._2.sameElements(b._2) && a._3 == b._3 },
+      "k-means training must be bit-deterministic across runs")
+  }
+
   test("index write partitions by cell and carries precomputed norms") {
     val idx = spark.read.parquet(s"$indexDir/cells")
     assert(idx.columns.toSet == Set("vec_id", "label", "embedding", "nrm", "cell"))
