@@ -189,9 +189,13 @@ object Dedup {
     filter(p2, x => x.isNotNull)
   }
 
+  // list_extract, not brackets: identical in DuckDB (both 1-based), and
+  // the spelling also runs verbatim in spark.sql (element_at via the
+  // DuckCompat alias — Spark brackets are 0-based, list_extract is not).
   def shingles3RawSql(th: String): String =
     s"list_transform(range(1, greatest(len($th) - 1, 1)), i -> " +
-      s"((($th[i]*31 + $th[i+1]) % $HashP)*31 + $th[i+2]) % $HashP)"
+      s"(((list_extract($th, i)*31 + list_extract($th, i+1)) % $HashP)*31 " +
+      s"+ list_extract($th, i+2)) % $HashP)"
 
   /** Exact Jaccard of two pre-distinct array columns — native codegen
     * expression (see [[graft.plans.JaccardSim]]; runs per candidate pair,

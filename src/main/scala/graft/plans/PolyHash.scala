@@ -97,7 +97,8 @@ object GraftExtensions {
   val graftShingles: FnDef = fn("graft_shingles", classOf[Shingles3], c => Shingles3(c.head, distinct = true))
 
   val all: Seq[FnDef] = Seq(graftHash, graftSimHash, graftMinHash,
-    graftJaccard, graftDot, graftSumSq, graftLshBucket, graftLshBucket2, graftShingles)
+    graftJaccard, graftDot, graftSumSq, graftLshBucket, graftLshBucket2, graftShingles) ++
+    DuckCompat.all // DuckDB-dialect aliases so oracle texts run verbatim in spark.sql
 
   /** Imperative registration for sessions we did not build (e.g. the
     * driver's t1 session calling SparkEntry.entry). */
