@@ -219,7 +219,7 @@ object TextOps {
       Some("""SELECT a.source, ws_tokens, re_tokens, n_docs, vocab
              |FROM (SELECT source,
              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-             |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
+             |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))) AS BIGINT) AS re_tokens,
              |    CAST(COUNT(*) AS BIGINT) AS n_docs
              |  FROM documents GROUP BY source) a
              |JOIN (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab

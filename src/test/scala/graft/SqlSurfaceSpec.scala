@@ -37,17 +37,16 @@ class SqlSurfaceSpec extends SparkSpec {
   // q24/q25), `['...']` list literals (text_langid/text_quality/
   // text_sentiment*/func_weighted_sentiment), regexp_replace's 'g' flag
   // (q20/text_normalize/text_pii_redact), quoted datediff units (q17),
-  // quantile_cont (q31/q42), generate_series TVF (q38), and
-  // regexp_extract_all's 2-arg default group — DuckDB 0 = whole match,
-  // Spark 1 (text_token_count; shadowing a real builtin to flip a
-  // default is worse than the exclusion).
+  // quantile_cont (q31/q42), generate_series TVF (q38). (The engines
+  // also disagree on regexp_extract_all's DEFAULT group — DuckDB 0,
+  // Spark 1 — so oracle texts always pass the group explicitly.)
   private val duckCompatQueries = Seq(
     "q15_dedup_first", "q21_datetime_funcs", "q33_sessionize",
     "q34_rolling_window", "q37_range_join", "q40_concurrency",
     "q28a_jaccard_pairs", "dedup_exact", "dedup_minhash_lsh",
     "dedup_cross_corpus", "dedup_ngram_jaccard",
     "dedup_substring", "dedup_substring_spans",
-    "text_contamination", "text_decontam_bloom",
+    "text_contamination", "text_decontam_bloom", "text_token_count",
     "text_fingerprint", "sample_stratified", "sim_vector_stats")
 
   // WITH RECURSIVE (Spark 4 recursive CTE support): shard_pack_exact's
