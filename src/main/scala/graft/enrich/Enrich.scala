@@ -123,13 +123,17 @@ object Enrich {
 
     /** DuckDB fragments computing identical values (for oracle checks). */
     private def hitsSql(words: Set[String]): String = {
-      val lst = words.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), tt -> tt <> ''), x -> list_contains($lst, x))) AS DOUBLE)"
+      val lst = words.toSeq.sorted.map(w => s"'$w'").mkString("list_value(", ", ", ")")
+      s"CAST(len(list_filter(list_filter(string_split(lower(text), ' '), tt -> tt <> ''), x -> list_contains($lst, x))) AS DOUBLE)"
     }
-    // NB: both engines drop empty tokens (leading/trailing whitespace)
-    // before counting, so the denominators agree on any input.
+    // NB: both engines drop empty tokens before counting, so the
+    // denominators agree on any input. Split is on a literal single
+    // space, not '\s+': a regex literal cannot be spelled portably
+    // (Spark string literals eat the backslash, DuckDB's don't), and
+    // the corpus is single-space tokenized — runs of whitespace would
+    // only produce empty tokens, which the filter drops anyway.
     def scoreSql: String = {
-      val ntok = "len(list_filter(string_split_regex(lower(text), '\\s+'), tt -> tt <> ''))"
+      val ntok = "len(list_filter(string_split(lower(text), ' '), tt -> tt <> ''))"
       s"greatest(-1.0, least(1.0, CASE WHEN $ntok = 0 THEN 0.0 ELSE (${hitsSql(Positive)} - ${hitsSql(Negative)}) / $ntok END))"
     }
     def labelSql(s: String): String =

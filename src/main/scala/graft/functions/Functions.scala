@@ -52,8 +52,12 @@ object Functions {
     regexp_extract(straight, "(\\{.*\\})", 1)
   }
 
-  /** DuckDB fragment with identical semantics. */
+  /** DuckDB fragment with identical semantics. The braces are matched
+    * via character classes (`[{]`), not backslash escapes: Spark's
+    * string literals eat the backslash and Java regex then rejects the
+    * bare `{` as an illegal repetition, while `[{]` is valid and
+    * identical in both engines' regex dialects. */
   def jsonRepairSql(e: String): String =
     s"regexp_extract(replace(replace(replace(replace(regexp_replace($e, '```(json)?', '', 'g'), " +
-      "'“', '\"'), '”', '\"'), '‘', ''''), '’', ''''), '(\\{.*\\})', 1)"
+      "'“', '\"'), '”', '\"'), '‘', ''''), '’', ''''), '([{].*[}])', 1)"
 }

@@ -198,9 +198,10 @@ object Multimodal {
              |),
              |b AS (
              |  SELECT doc_id,
-             |    unnest(list_transform(string_split(text, ''), c -> CAST(ascii(c) & 127 AS BIGINT))) AS byte,
-             |    unnest(range(0, length(text))) AS pos
-             |  FROM documents WHERE length(text) > 0
+             |    CAST(ascii(substring(text, CAST(pos AS INT) + 1, 1)) & 127 AS BIGINT) AS byte,
+             |    pos
+             |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS pos
+             |        FROM documents WHERE length(text) > 0)
              |),
              |s AS (
              |  SELECT b.doc_id, b.pos,
@@ -241,11 +242,11 @@ object Multimodal {
       },
       Some("""WITH m AS (
              |  SELECT doc_id, length(text) AS len,
-             |    greatest(1, (n_chars * 10) // 1000) AS n
+             |    greatest(1, divide(n_chars * 10, 1000)) AS n
              |  FROM documents
              |),
              |f AS (
-             |  SELECT doc_id, len, n, greatest(1, len // n) AS win,
+             |  SELECT doc_id, len, n, greatest(1, divide(len, n)) AS win,
              |    unnest(range(0, n)) AS fi
              |  FROM m
              |)

@@ -150,12 +150,16 @@ object Dedup {
   }
 
   def simhashSql(th: String): String = {
-    val as = simParams.map(_._1).mkString("[", ", ", "]")
-    val bs = simParams.map(_._2).mkString("[", ", ", "]")
+    // list_value/list_extract/divide, not []/[]/'//': identical in
+    // DuckDB, and the fragment then also parses in spark.sql via the
+    // DuckCompat aliases (Spark brackets are 0-based; // is unparseable).
+    val as = simParams.map(_._1).mkString("list_value(", ", ", ")")
+    val bs = simParams.map(_._2).mkString("list_value(", ", ", ")")
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $SimHashBits), bb ->
        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($th, hh ->
-       |        CASE WHEN (((hh * ($as)[(bb // $SimBandBits)::INT + 1] + ($bs)[(bb // $SimBandBits)::INT + 1]) % $HashP)
-       |                   // power(2, bb % $SimBandBits)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), (s2, v) -> s2 + v) > 0
+       |        CASE WHEN divide((hh * list_extract($as, divide(bb, $SimBandBits)::INT + 1)
+       |                          + list_extract($bs, divide(bb, $SimBandBits)::INT + 1)) % $HashP,
+       |                         power(2, bb % $SimBandBits)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), (s2, v) -> s2 + v) > 0
        |    THEN power(2, bb)::BIGINT ELSE 0 END)), (acc, v) -> acc + v)""".stripMargin
   }
 
@@ -428,10 +432,10 @@ object Dedup {
            |  FROM banded x JOIN banded y
            |    ON x.source = y.source AND x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
            |SELECT source, a, b, inter, na, nb,
-           |  inter * 1000 // na AS cont_ab_milli,
-           |  inter * 1000 // nb AS cont_ba_milli
+           |  divide(inter * 1000, na) AS cont_ab_milli,
+           |  divide(inter * 1000, nb) AS cont_ba_milli
            |FROM cand
-           |WHERE greatest(inter * 1000 // na, inter * 1000 // nb) >= 600
+           |WHERE greatest(divide(inter * 1000, na), divide(inter * 1000, nb)) >= 600
            |ORDER BY source, a, b""".stripMargin
       },
       doc = "asymmetric shingle containment (partial-dup / quote detection) over LSH candidates"),
@@ -456,10 +460,10 @@ object Dedup {
            |  FROM nonempty x JOIN nonempty y
            |    ON x.source = y.source AND x.doc_id < y.doc_id)
            |SELECT source, a, b, inter, na, nb,
-           |  inter * 1000 // na AS cont_ab_milli,
-           |  inter * 1000 // nb AS cont_ba_milli
+           |  divide(inter * 1000, na) AS cont_ab_milli,
+           |  divide(inter * 1000, nb) AS cont_ba_milli
            |FROM cand
-           |WHERE greatest(inter * 1000 // na, inter * 1000 // nb) >= 600
+           |WHERE greatest(divide(inter * 1000, na), divide(inter * 1000, nb)) >= 600
            |ORDER BY source, a, b""".stripMargin
       },
       doc = "EXACT-recall containment via prefix-filtered inverted shingle index; " +
@@ -723,12 +727,12 @@ object Dedup {
               |       WHEN ((cl.cluster * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
               |       ELSE 'test' END AS split,
               |  t.n_tok AS n_tok,
-              |  ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= $GopherDupMilli
-              |    AND t.top_cnt * 1000 // t.n_tok <= $GopherTopMilli) AS quality_keep,
+              |  (divide((t.n_tok - t.n_dist) * 1000, t.n_tok) <= $GopherDupMilli
+              |    AND divide(t.top_cnt * 1000, t.n_tok) <= $GopherTopMilli) AS quality_keep,
               |  (contam.doc_id IS NOT NULL) AS contaminated,
               |  (e.canonical
-              |    AND ((t.n_tok - t.n_dist) * 1000 // t.n_tok <= $GopherDupMilli
-              |         AND t.top_cnt * 1000 // t.n_tok <= $GopherTopMilli)
+              |    AND (divide((t.n_tok - t.n_dist) * 1000, t.n_tok) <= $GopherDupMilli
+              |         AND divide(t.top_cnt * 1000, t.n_tok) <= $GopherTopMilli)
               |    AND contam.doc_id IS NULL AND d.doc_id % 97 <> 0) AS keep
               |FROM documents d
               |JOIN exact e ON e.doc_id = d.doc_id

@@ -45,12 +45,14 @@ object FuncOps {
       Some {
         val dirty = "concat('Sure! Here is the JSON: ```json ', translate(props, '\"', '“'), ' ``` hope this helps')"
         val repaired = Functions.jsonRepairSql(dirty)
-        // json_valid guard: DuckDB's ->> RAISES on malformed JSON (e.g.
-        // the '' a repair of object-less input yields) where Spark's
-        // get_json_object returns null — one bad row must not error the
-        // whole oracle query
+        // json_valid guard: DuckDB's json_extract_string RAISES on
+        // malformed JSON (e.g. the '' a repair of object-less input
+        // yields) where Spark's get_json_object returns null — one bad
+        // row must not error the whole oracle query. Both the guard and
+        // the extraction are spelled in their portable function forms
+        // (DuckCompat maps json_valid / json_extract_string).
         s"""SELECT event_id, $repaired AS repaired,
-           |  CASE WHEN json_valid($repaired) THEN CAST($repaired->>'$$.k' AS INTEGER) ELSE NULL END AS k
+           |  CASE WHEN json_valid($repaired) THEN CAST(json_extract_string($repaired, '$$.k') AS INTEGER) ELSE NULL END AS k
            |FROM events ORDER BY event_id""".stripMargin
       })
   )

@@ -314,7 +314,7 @@ object Relational {
              |  CAST(rev_c - lag(rev_c, 1) OVER (ORDER BY dn) AS DOUBLE) / 100.0 AS delta
              |FROM (SELECT CAST(l_shipdate AS DATE) AS day,
              |        CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS rev_c,
-             |        CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INTEGER) AS dn
+             |        CAST(divide(epoch_us(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)), 86400000000) AS INTEGER) AS dn
              |      FROM lineitem GROUP BY 1, 3)
              |WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY day""".stripMargin)),
@@ -375,7 +375,7 @@ object Relational {
           translate(substring(col("text"), 1, 20), "abc", "xyz").as("translated"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  sha256(concat_ws(':', source, lang, CAST(doc_id AS VARCHAR))) AS content_id,
+             |  sha256(concat_ws(':', source, lang, CAST(doc_id AS STRING))) AS content_id,
              |  length(text) AS n_chars_c,
              |  length(trim(text)) AS n_trimmed,
              |  substring(text, 1, 20) AS head20,
@@ -448,8 +448,8 @@ object Relational {
              |  len(string_split(text, ' ')) AS n_tok,
              |  len(list_distinct(string_split(text, ' '))) AS n_dist,
              |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
-             |  array_to_string(string_split(text, ' ')[1:5], '+') AS first5,
-             |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS abc3
+             |  array_to_string(list_slice(string_split(text, ' '), 1, 5), '+') AS first5,
+             |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS abc3
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Q24 — map battery: sparse metadata map w/ empty-value filtering
@@ -490,10 +490,10 @@ object Relational {
           .orderBy("event_id")
       },
       Some("""SELECT event_id,
-             |  CAST(props->>'$.k' AS INTEGER) AS k,
-             |  CAST(props->>'$.k' AS INTEGER) AS k2,
-             |  CASE WHEN props->>'$.k' IS NULL THEN '{}'
-             |       ELSE concat('{"k":', CAST(props->>'$.k' AS INTEGER), '}') END AS reemit
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2,
+             |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+             |       ELSE concat('{"k":', CAST(json_extract_string(props, '$.k') AS INTEGER), '}') END AS reemit
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // Q29 — pivot: daily value sums spread across event_type columns (the

@@ -40,10 +40,15 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** SQL fragment: same sequential fold in DuckDB. */
+  /** SQL fragment: same sequential fold in DuckDB. Indexes with
+    * list_extract over range(1, len+1) rather than zipping — zipped
+    * structs need bracket field access (`p[1]`), which Spark's parser
+    * reads as struct extraction and rejects, while 1-based
+    * list_extract is portable across both engines verbatim. */
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+      s"list_transform(range(1, len($a) + 1), ii -> " +
+      s"CAST(list_extract($a, ii) AS DOUBLE) * CAST(list_extract($b, ii) AS DOUBLE))), (x, y) -> x + y)"
 
   def normSql(a: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -115,7 +120,7 @@ object Similarity {
   def lshBucketSql(v: String, table: Int = 0): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $LshPlanes), j ->
        |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), i ->
-       |      CAST($v[i+1] AS DOUBLE) * CAST(((1103515245*((j+${table * LshPlanes})*64+i) + 12345) % 2001) - 1000 AS DOUBLE) / 1000.0)),
+       |      CAST(list_extract($v, i+1) AS DOUBLE) * CAST(((1103515245*CAST((j+${table * LshPlanes})*64+i AS BIGINT) + 12345) % 2001) - 1000 AS DOUBLE) / 1000.0)),
        |      (x, y) -> x + y) > 0
        |  THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)""".stripMargin
 
@@ -303,12 +308,16 @@ object Similarity {
     // Q28b — brute-force cosine top-5 of vec_id=0 (the ANN baseline).
     "sim_cosine_topk" -> QueryDef(
       (s, d) => cosineTopK(s, d, 0L, 5),
+      // The 1-row query vector arrives via CROSS JOIN, not a scalar
+      // subquery: inside dotSql's lambda a subquery is illegal in Spark
+      // (UNSUPPORTED_SUBQUERY_EXPRESSION in higher-order functions),
+      // while an outer column reference is fine in both engines.
       Some(s"""WITH q AS (SELECT embedding AS e0, ${normSql("embedding")} AS n0
               |          FROM embeddings WHERE vec_id = 0)
               |SELECT vec_id, label,
-              |  ${dotSql("embedding", "(SELECT e0 FROM q)")}
-              |    / (${normSql("embedding")} * (SELECT n0 FROM q)) AS sim
-              |FROM embeddings WHERE vec_id <> 0
+              |  ${dotSql("embedding", "e0")}
+              |    / (${normSql("embedding")} * n0) AS sim
+              |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
     // ANN via IVF (inverted-file) coarse quantization: vectors with
@@ -356,21 +365,27 @@ object Similarity {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
+      // Arg-max spelled as a row_number window (ORDER BY sim DESC,
+      // cent_id), not DuckDB's max(struct_pack(:=)) trick: identical
+      // deterministic tie-break, and the `:=` syntax is unparseable in
+      // Spark while the window form runs verbatim in both engines. The
+      // 1-row q CTE arrives via CROSS JOIN (no subquery in lambdas).
       Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec, ${normSql("embedding")} AS cnorm
               |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
               |assigned AS (
-              |  SELECT vec_id, e_vec, -MAX_nid AS cell FROM (
-              |    SELECT e.vec_id, e.embedding AS e_vec,
-              |      max(struct_pack(s := ${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm),
-              |                      nid := -c.cent_id)).nid AS MAX_nid
-              |    FROM embeddings e CROSS JOIN cents c
-              |    GROUP BY e.vec_id, e.embedding)),
+              |  SELECT vec_id, e_vec, cell FROM (
+              |    SELECT vec_id, e_vec, cell,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+              |    FROM (SELECT e.vec_id, e.embedding AS e_vec, c.cent_id AS cell,
+              |            ${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm) AS s
+              |          FROM embeddings e CROSS JOIN cents c))
+              |  WHERE rn = 1),
               |q AS (SELECT e_vec AS qvec, ${normSql("e_vec")} AS qnorm FROM assigned WHERE vec_id = 0),
               |probes AS (SELECT cent_id AS cell FROM cents CROSS JOIN q
               |           ORDER BY ${dotSql("qvec", "cvec")} / (qnorm * cnorm) DESC, cent_id LIMIT 4)
               |SELECT vec_id, cell,
-              |  ${dotSql("e_vec", "(SELECT qvec FROM q)")} / (${normSql("e_vec")} * (SELECT qnorm FROM q)) AS sim
-              |FROM assigned JOIN probes USING (cell)
+              |  ${dotSql("e_vec", "qvec")} / (${normSql("e_vec")} * qnorm) AS sim
+              |FROM assigned JOIN probes USING (cell) CROSS JOIN q
               |WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
@@ -407,10 +422,10 @@ object Similarity {
               |    ${probeBuckets2Sql("b0")} AS p0, ${probeBuckets2Sql("b1")} AS p1
               |  FROM e WHERE vec_id = 0)
               |SELECT vec_id, label,
-              |  ${dotSql("embedding", "(SELECT e0 FROM q)")}
-              |    / (${normSql("embedding")} * (SELECT n0 FROM q)) AS sim
-              |FROM e WHERE vec_id <> 0 AND (list_contains((SELECT p0 FROM q), b0)
-              |  OR list_contains((SELECT p1 FROM q), b1))
+              |  ${dotSql("embedding", "e0")}
+              |    / (${normSql("embedding")} * n0) AS sim
+              |FROM e CROSS JOIN q WHERE vec_id <> 0 AND (list_contains(p0, b0)
+              |  OR list_contains(p1, b1))
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
       doc = "Multi-probe LSH ANN: 2 hash tables x (exact + 1-bit + 2-bit flips) = 74 probes"),
 
@@ -519,19 +534,25 @@ object Similarity {
           .select(col("vec_id"), col("cell"), col("csim"), col("rep_id"), col("keep"))
           .orderBy("vec_id")
       },
+      // Both arg-maxes are row_number windows with explicit tie-breaks
+      // (see sim_ann_ivf's oracle note: struct_pack's `:=` cannot be
+      // parsed by Spark; the window form is verbatim-portable).
       Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec, ${normSql("embedding")} AS cnorm
               |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
               |assigned AS (
-              |  SELECT vec_id, -(b).nid AS cell, (b).s AS csim FROM (
-              |    SELECT e.vec_id,
-              |      max(struct_pack(s := ${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm),
-              |                      nid := -c.cent_id)) AS b
-              |    FROM embeddings e CROSS JOIN cents c
-              |    GROUP BY e.vec_id)),
+              |  SELECT vec_id, cell, csim FROM (
+              |    SELECT vec_id, cell, csim,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+              |    FROM (SELECT e.vec_id, c.cent_id AS cell,
+              |            ${dotSql("e.embedding", "c.cvec")} / (${normSql("e.embedding")} * c.cnorm) AS csim
+              |          FROM embeddings e CROSS JOIN cents c))
+              |  WHERE rn = 1),
               |reps AS (
-              |  SELECT cell, -(r).nid AS rep_id FROM (
-              |    SELECT cell, max(struct_pack(s := csim, nid := -vec_id)) AS r
-              |    FROM assigned GROUP BY cell))
+              |  SELECT cell, rep_id FROM (
+              |    SELECT cell, vec_id AS rep_id,
+              |      row_number() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id) AS rn
+              |    FROM assigned)
+              |  WHERE rn = 1)
               |SELECT a.vec_id, a.cell, a.csim, r.rep_id,
               |  CAST(CASE WHEN a.vec_id = r.rep_id OR a.csim < $SemDedupTheta THEN 1 ELSE 0 END AS BIGINT) AS keep
               |FROM assigned a JOIN reps r USING (cell)

@@ -201,7 +201,8 @@ object Temporal {
       Some("""WITH cohort AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) cohort_wk
              |                FROM events GROUP BY user_id),
              |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) act_wk FROM events)
-             |SELECT cohort_wk, CAST(date_diff('day', cohort_wk, act_wk) // 7 AS BIGINT) AS wk_offset,
+             |SELECT cohort_wk, CAST(divide(divide(epoch_us(CAST(act_wk AS TIMESTAMP)) - epoch_us(CAST(cohort_wk AS TIMESTAMP)),
+             |                                     86400000000), 7) AS BIGINT) AS wk_offset,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM act JOIN cohort USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -229,7 +230,8 @@ object Temporal {
       },
       Some("""WITH pres AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) d FROM events),
              |days AS (SELECT DISTINCT d AS day FROM pres),
-             |contrib AS (SELECT user_id, d + CAST(g.i AS INTEGER) AS day FROM pres, generate_series(0, 6) g(i))
+             |contrib AS (SELECT user_id, d + CAST(i AS INTEGER) AS day
+             |            FROM (SELECT user_id, d, unnest(generate_series(0, 6)) AS i FROM pres))
              |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
              |FROM contrib c JOIN days ON days.day = c.day
              |GROUP BY c.day ORDER BY c.day""".stripMargin),
@@ -263,7 +265,7 @@ object Temporal {
              |  FROM events)
              |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_holds,
              |  CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
-             |  CAST(sum(cents * dur_us) AS BIGINT) // CAST(sum(dur_us) AS BIGINT) AS twap_cents
+             |  divide(CAST(sum(cents * dur_us) AS BIGINT), CAST(sum(dur_us) AS BIGINT)) AS twap_cents
              |FROM o WHERE dur_us IS NOT NULL
              |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin),
       doc = "per-user/day time-weighted average in exact cents-x-micros integers"),

@@ -24,7 +24,7 @@ object TextOps {
     * the oracle SQL interpolates them at object init. */
   val ChunkTokens = 64
   val ChunkStride = 48
-  private def stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def stopSql = Stopwords.map(w => s"'$w'").mkString("list_value(", ", ", ")")
 
   /** Per-language marker words for the n-gram/function-word language-ID
     * heuristic. Deterministic tie-break: list order below. */
@@ -123,7 +123,7 @@ object TextOps {
               |  SELECT source, token, tf, df, score_milli,
               |    CAST(row_number() OVER (PARTITION BY source ORDER BY score_milli DESC, token) AS BIGINT) AS rn
               |  FROM (SELECT tf.source, tf.token, tf.tf, dfx.df,
-              |          (tf.tf * 1000 * n.n_src) // dfx.df AS score_milli
+              |          divide(tf.tf * 1000 * n.n_src, dfx.df) AS score_milli
               |        FROM tf JOIN dfx USING (token) CROSS JOIN n))
               |WHERE rn <= 5 ORDER BY source, rn""".stripMargin),
       doc = "integer-scaled TF-IDF ranking per source; exact arithmetic, no log()"),
@@ -149,7 +149,7 @@ object TextOps {
       },
       Some {
         val scores = LangMarkers.map { case (l, ms) =>
-          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          val lst = ms.map(m => s"'$m'").mkString("list_value(", ", ", ")")
           s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($lst, x))) AS BIGINT) AS s_$l"
         }.mkString(",\n    ")
         val langs = LangMarkers.map(_._1)
@@ -334,11 +334,11 @@ object TextOps {
               |      FROM (SELECT doc_id, ${Dedup.shingles3RawSql(Dedup.tokHashesSeqSql("text"))} AS sh
               |            FROM documents))
               |SELECT doc_id, n_tok, n_dist, top_cnt,
-              |  (n_tok - n_dist) * 1000 // n_tok AS dup_tok_milli,
-              |  top_cnt * 1000 // n_tok AS top_milli,
-              |  (n_3g - nd_3g) * 1000 // greatest(n_3g, 1) AS dup_3g_milli,
-              |  CAST(CASE WHEN (n_tok - n_dist) * 1000 // n_tok <= $GopherDupMilli
-              |         AND top_cnt * 1000 // n_tok <= $GopherTopMilli THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |  divide((n_tok - n_dist) * 1000, n_tok) AS dup_tok_milli,
+              |  divide(top_cnt * 1000, n_tok) AS top_milli,
+              |  divide((n_3g - nd_3g) * 1000, greatest(n_3g, 1)) AS dup_3g_milli,
+              |  CAST(CASE WHEN divide((n_tok - n_dist) * 1000, n_tok) <= $GopherDupMilli
+              |         AND divide(top_cnt * 1000, n_tok) <= $GopherTopMilli THEN 1 ELSE 0 END AS BIGINT) AS keep
               |FROM t JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin),
       doc = "Gopher-style repetition filters in exact integer permille"),
 
@@ -381,7 +381,7 @@ object TextOps {
               |      FROM e LEFT JOIN common USING (g) GROUP BY e.doc_id)
               |SELECT d.doc_id, COALESCE(b.n_sh, 0) AS n_sh,
               |  COALESCE(b.n_boiler, 0) AS n_boiler,
-              |  COALESCE(b.n_boiler, 0) * 1000 // greatest(COALESCE(b.n_sh, 0), 1) AS boiler_milli
+              |  divide(COALESCE(b.n_boiler, 0) * 1000, greatest(COALESCE(b.n_sh, 0), 1)) AS boiler_milli
               |FROM (SELECT doc_id FROM documents) d LEFT JOIN b ON d.doc_id = b.doc_id
               |ORDER BY d.doc_id""".stripMargin),
       doc = "C4-style common-ngram boilerplate fraction via shingle-df equi-join"),
@@ -418,9 +418,9 @@ object TextOps {
              |total AS (SELECT CAST(sum(supply_tok) AS BIGINT) budget_tok FROM supply)
              |SELECT source, supply_tok,
              |  CAST(CASE WHEN source = 'src0' THEN 300 WHEN source = 'src1' THEN 200 ELSE 50 END AS BIGINT) AS weight_milli,
-             |  weight_milli * budget_tok // 1000 AS target_tok,
-             |  least(1000, (weight_milli * budget_tok // 1000) * 1000 // supply_tok) AS rate_milli,
-             |  supply_tok * least(1000, (weight_milli * budget_tok // 1000) * 1000 // supply_tok) // 1000 AS planned_tok
+             |  divide(weight_milli * budget_tok, 1000) AS target_tok,
+             |  least(1000, divide(divide(weight_milli * budget_tok, 1000) * 1000, supply_tok)) AS rate_milli,
+             |  divide(supply_tok * least(1000, divide(divide(weight_milli * budget_tok, 1000) * 1000, supply_tok)), 1000) AS planned_tok
              |FROM supply CROSS JOIN total ORDER BY source""".stripMargin),
       doc = "domain-mixture sampling plan: weights x supply -> per-source rates, exact integers"),
 
@@ -447,12 +447,12 @@ object TextOps {
           .orderBy("doc_id")
       },
       Some(s"""WITH p AS (SELECT doc_id,
-              |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-' ||
-              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+              |    text || ' contact user' || CAST(doc_id AS STRING) || '@example.com or call 555-' ||
+              |    lpad(CAST(doc_id % 10000 AS STRING), 4, '0') AS txt
               |  FROM documents),
               |r AS (SELECT doc_id,
-              |    CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_email,
-              |    CAST(len(regexp_extract_all(txt, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+              |    CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+', 0)) AS BIGINT) AS n_email,
+              |    CAST(len(regexp_extract_all(txt, '555-[0-9]{4}', 0)) AS BIGINT) AS n_phone,
               |    regexp_replace(regexp_replace(txt, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
               |      '555-[0-9]{4}', '<PHONE>', 'g') AS red
               |  FROM p)
@@ -524,7 +524,7 @@ object TextOps {
           .select(col("source"), col("shard"), col("doc_id"), col("ntok"))
           .orderBy("source", "doc_id")
       },
-      Some("""SELECT source, CAST((cum - 1) // 2000 AS BIGINT) AS shard, doc_id, ntok FROM (
+      Some("""SELECT source, CAST(divide(cum - 1, 2000) AS BIGINT) AS shard, doc_id, ntok FROM (
              |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
              |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
              |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -640,7 +640,7 @@ object TextOps {
       },
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
               |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), $ChunkStride)) AS start FROM t)
-              |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+              |SELECT doc_id, CAST(divide(start, $ChunkStride) AS BIGINT) AS chunk_id,
               |  CAST(start AS BIGINT) AS start_tok,
               |  CAST(least($ChunkTokens, len(tk) - start) AS BIGINT) AS n_tok,
               |  ${strHashSql(s"array_to_string(list_slice(tk, start + 1, start + $ChunkTokens), ' ')")} AS chunk_hash
@@ -677,8 +677,8 @@ object TextOps {
              |cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
              |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tok FROM cnts)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-             |  CAST(sum(cnt * 1000000000 // total_tok) // count(*) AS BIGINT) AS mean_freq_ppb,
-             |  CAST(min(cnt * 1000000000 // total_tok) AS BIGINT) AS min_freq_ppb,
+             |  CAST(divide(sum(divide(cnt * 1000000000, total_tok)), count(*)) AS BIGINT) AS mean_freq_ppb,
+             |  CAST(min(divide(cnt * 1000000000, total_tok)) AS BIGINT) AS min_freq_ppb,
              |  CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tok
              |FROM toks JOIN cnts USING (token) CROSS JOIN total
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),

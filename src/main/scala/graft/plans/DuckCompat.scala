@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.ArrayType
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
 
 /** DuckDB-dialect compatibility functions for `spark.sql`.
   *
@@ -20,10 +20,15 @@ import org.apache.spark.sql.types.ArrayType
   *
   * Deliberately NOT aliased (dialect features with no verbatim-safe
   * Spark twin): the `//` integer-division operator and `:=` struct_pack
-  * syntax (parser-level), 1-based `list[i]` indexing (Spark brackets are
-  * 0-based — silently off by one, the worst failure mode), DuckDB
-  * `regexp_replace(..., 'g')` (Spark is global-by-default with no flag
-  * arg), `quantile_cont`, and the `generate_series` table function. */
+  * syntax (parser-level — oracle texts spell them `divide()` and a
+  * row_number window instead), 1-based `list[i]` indexing (Spark
+  * brackets are 0-based — silently off by one, the worst failure mode;
+  * texts use `list_extract`/`list_slice`), and the table-valued
+  * `generate_series` (texts use `unnest(generate_series(...))`, the
+  * scalar form).
+  *
+  * One builtin IS shadowed, strictly additively: `regexp_replace` gains
+  * DuckDB's `'g'` flag as a 4th argument (below). */
 object DuckCompat {
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -109,16 +114,72 @@ object DuckCompat {
     fn("sha256", { case Seq(x) => call("sha2", x, Literal(256)) }),
 
     // --- generators / sequences --------------------------------------
-    // range(a, b) is HALF-OPEN and empty when b <= a; sequence(a, b-1)
-    // would run DESCENDING in that case, so clamp via slice length.
-    fn("range", { case Seq(a, b) =>
-      call("slice",
-        call("sequence", a, call("greatest", Subtract(b, Literal(1)), a)),
-        Literal(1), call("greatest", Subtract(b, a), Literal(0)))
+    // range(a, b[, step]) is HALF-OPEN and empty when b <= a; sequence's
+    // (a, b-1) would run DESCENDING in that case, so clamp via slice
+    // length. The 3-arg form (positive step only, matching every oracle
+    // use) has ceil((b-a)/step) elements.
+    fn("range", {
+      case Seq(a, b) =>
+        call("slice",
+          call("sequence", a, call("greatest", Subtract(b, Literal(1)), a)),
+          Literal(1), call("greatest", Subtract(b, a), Literal(0)))
+      case Seq(a, b, st) =>
+        call("slice",
+          call("sequence", a, call("greatest", Subtract(b, Literal(1)), a), st),
+          Literal(1),
+          call("greatest",
+            Cast(IntegralDivide(
+              Add(Subtract(b, a), Subtract(st, Literal(1))), st), IntegerType),
+            Literal(0)))
     }),
     fn("unnest", { case Seq(l) => Explode(l) }),
 
     // --- scalar odds and ends ----------------------------------------
+    // divide(a, b) is DuckDB's FUNCTION form of the `//` operator
+    // (integer division on integer args) — `//` itself is parser-level
+    // and unportable, so oracle texts spell it divide() and Spark maps
+    // it to `div` (IntegralDivide). Both are exact 64-bit integer ops —
+    // no float detour. Caveat: on NEGATIVE operands DuckDB floors while
+    // Spark div truncates toward zero; every oracle use is
+    // non-negative, where the two agree.
+    fn("divide", a => call("div", a: _*)),
+    // list_value('a','b') is the function form of DuckDB's ['a','b']
+    // literal (which Spark cannot parse).
+    fn("list_value", a => CreateArray(a)),
+    fn("array_to_string", a => call("array_join", a: _*)),
+    // quantile_cont = Spark's exact `percentile`: both linearly
+    // interpolate between adjacent order statistics.
+    fn("quantile_cont", a => call("percentile", a: _*)),
+    // scalar generate_series(a, b[, step]): INCLUSIVE upper bound in
+    // DuckDB, exactly Spark's sequence(). (DuckDB's table-valued form
+    // can't be aliased here — oracle texts use unnest(generate_series).)
+    fn("generate_series", a => call("sequence", a: _*)),
+    // regexp_replace: the one SHADOWED builtin. DuckDB's 4th arg is an
+    // options string ('g' = global); Spark's is a start POSITION. A
+    // literal 'g' would only ever cast-error in stock Spark, so mapping
+    // it to plain global replacement adds behavior without changing any
+    // working call: 3-arg and integer-position forms rebuild the
+    // builtin node unchanged. (Engines still differ on the 3-arg form —
+    // DuckDB replaces the FIRST match only — so oracle texts always
+    // pass 'g'; the library's own builders use the Column API.)
+    fn("regexp_replace", {
+      case Seq(a, b, c, Literal(g: org.apache.spark.unsafe.types.UTF8String, _))
+          if g.toString == "g" => RegExpReplace(a, b, c)
+      case Seq(a, b, c) => RegExpReplace(a, b, c)
+      case Seq(a, b, c, pos) => RegExpReplace(a, b, c, pos)
+    }),
+    // json_extract_string(j, '$.path') is the function form of DuckDB's
+    // ->> operator; Spark's get_json_object takes the same $-rooted
+    // path and likewise returns NULL for a missing key. (Engines differ
+    // on MALFORMED json — DuckDB raises, Spark yields NULL — so texts
+    // guard casts with json_valid when the input can be malformed.)
+    fn("json_extract_string", a => call("get_json_object", a: _*)),
+    // json_valid(x) ≈ "the root path extracts": NULL-safe parse probe.
+    // Spark has no direct twin; get_json_object(x, '$') is NULL exactly
+    // when x fails to parse (and for a NULL input, where DuckDB's
+    // json_valid(NULL) is NULL — both falsy under CASE WHEN).
+    fn("json_valid", { case Seq(x) =>
+      IsNotNull(call("get_json_object", x, Literal("$"))) }),
     fn("xor", { case Seq(a, b) => BitwiseXor(a, b) }),
     // epoch(ts): DOUBLE seconds (fraction kept) — micros over 1e6.
     fn("epoch", { case Seq(t) =>

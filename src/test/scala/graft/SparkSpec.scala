@@ -23,6 +23,10 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir", // static conf: set before build
         java.nio.file.Files.createTempDirectory("graft_wh_").toFile.getAbsolutePath)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // mm_decode_features' oracle prefix-hash CTE recurses one level
+      // per character of the longest document — far past the 100
+      // default (SqlSurfaceSpec runs it verbatim).
+      .config("spark.sql.cteRecursionLevelLimit", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -2,63 +2,50 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-/** The SQL face of the engine: for queries whose oracle text is
-  * engine-neutral ANSI (no DuckDB-only list functions or integer-div
-  * operator), the very same SQL string must run through `spark.sql` over
-  * the registered table views and produce the DataFrame builder's rows
+/** The SQL face of the engine: every oracle text is engine-neutral SQL
+  * that must run through `spark.sql` over the registered table views —
+  * verbatim, via the graft.plans.DuckCompat aliases the session
+  * extensions register — and produce the DataFrame builder's rows
   * exactly. Proves a reference user can keep their SQL while switching
-  * engines (SURVEY §0) — and that the oracle texts describe the queries,
-  * not a DuckDB-only paraphrase.
+  * engines (SURVEY §0) — and that the oracle texts describe the
+  * queries, not a DuckDB-only paraphrase.
+  *
+  * Portability is the DEFAULT: a new query's oracle is expected to run
+  * verbatim, and anything that can't must be excluded HERE with the
+  * concrete blocker. (Maintenance loop: `runMain graft.SqlSweep
+  * [names...]` tries texts through spark.sql and prints pass/fail.)
+  *
+  * Dialect rules the texts follow to stay portable (each verified by
+  * running both engines): integer division is `divide(a, b)` (the `//`
+  * operator is unparseable in Spark), list literals are `list_value`,
+  * indexing/slicing is `list_extract`/`list_slice` (Spark brackets are
+  * 0-based), arg-max is a row_number window (struct_pack's `:=` is
+  * unparseable), 1-row CTEs arrive via CROSS JOIN (Spark rejects
+  * subqueries inside higher-order-function lambdas), regex string
+  * literals avoid backslash classes like `\s` (Spark literals eat the
+  * backslash, DuckDB's don't), `regexp_extract_all` always passes the
+  * group index (defaults differ: DuckDB 0, Spark 1), and day counts
+  * come from `epoch_us` micros (datediff takes a quoted unit in DuckDB
+  * but a keyword in Spark).
   */
 class SqlSurfaceSpec extends SparkSpec {
 
-  // ANSI-compatible subset — every oracle text whose functions exist in
-  // both engines with identical semantics runs here verbatim.
-  private val ansiQueries = Seq(
-    "q01_scan_project", "q02_filter", "q03_length_route",
-    "q04_join_inner", "q05_join_broadcast_dim", "q06_join_left_outer",
-    "q07_join_anti", "q08_join_semi", "q09_join_multiway",
-    "q10_agg_hash", "q11_distinct_count", "q13_rollup", "q14_cube",
-    "q16_window_rank", "q18_topk", "q19_setops",
-    "q22_math_funcs", "q26_conditional", "q29_pivot", "q30_unpivot",
-    "q32_asof_join", "q35_funnel",
-    "q41_interval_join", "skew_salted_agg", "skew_salted_join")
+  /** Oracle texts that CANNOT run through spark.sql, with the blocker.
+    * Everything else must pass. */
+  private val excluded: Map[String, String] = Map(
+    "dedup_cluster" ->
+      ("recursive closure CTE dedups rounds with plain UNION, which Spark " +
+        "rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE; UNION ALL would " +
+        "not terminate on the cyclic near-dup graph)"),
+    "sample_split" -> "consumes dedup_cluster's recursive-UNION closure",
+    "corpus_manifest" -> "consumes dedup_cluster's recursive-UNION closure")
 
-  // Queries whose oracle texts use DuckDB's portable-but-renamed surface
-  // (list_*/string_split/len/range/unnest/epoch_us/...), runnable
-  // verbatim through spark.sql via the graft.plans.DuckCompat aliases
-  // the session extensions register. Still excluded (parser-level or
-  // semantics-divergent dialect, verified by running them): the `//`
-  // operator (q36/q39/text_chunk/text_tfidf/text_unigram_lm/
-  // text_boilerplate/shard_pack/sample_mixture_plan/dedup_simhash/
-  // dedup_containment*/corpus_manifest/mm_*), struct_pack `:=`
-  // (sim_ann_ivf/dedup_semantic), 1-based bracket indexing
-  // (sim_ann_lsh/sim_knn_join/sim_cosine_topk/dedup_embed_cosine/q23/
-  // q24/q25), `['...']` list literals (text_langid/text_quality/
-  // text_sentiment*/func_weighted_sentiment), regexp_replace's 'g' flag
-  // (q20/text_normalize/text_pii_redact), quoted datediff units (q17),
-  // quantile_cont (q31/q42), generate_series TVF (q38). (The engines
-  // also disagree on regexp_extract_all's DEFAULT group — DuckDB 0,
-  // Spark 1 — so oracle texts always pass the group explicitly.)
-  private val duckCompatQueries = Seq(
-    "q15_dedup_first", "q21_datetime_funcs", "q33_sessionize",
-    "q34_rolling_window", "q37_range_join", "q40_concurrency",
-    "q28a_jaccard_pairs", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_cross_corpus", "dedup_ngram_jaccard",
-    "dedup_substring", "dedup_substring_spans",
-    "text_contamination", "text_decontam_bloom", "text_token_count",
-    "text_fingerprint", "sample_stratified", "sim_vector_stats")
-
-  // WITH RECURSIVE (Spark 4 recursive CTE support): shard_pack_exact's
-  // sequential-scan oracle recurses with UNION ALL and runs verbatim.
-  // dedup_cluster/sample_split stay excluded: their closure CTEs dedup
-  // each round with plain UNION (required for termination on the cyclic
-  // near-dup graph), which Spark rejects
-  // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, verified).
-  private val recursiveQueries = Seq("shard_pack_exact")
-
-  private def runVerbatim(names: Seq[String]): Seq[String] =
-    names.flatMap { name =>
+  test("every non-excluded oracle text runs verbatim through spark.sql " +
+    "and matches the DataFrame builder") {
+    Tables.registerAll(spark, Sf0001)
+    val names = SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(excluded.contains)
+    assert(names.size >= 81, s"portable surface shrank: ${names.size}")
+    val failures = names.flatMap { name =>
       try {
         val sqlText = SparkEntry.oracleSql(name)
         val viaSql: DataFrame = spark.sql(sqlText)
@@ -71,28 +58,22 @@ class SqlSurfaceSpec extends SparkSpec {
         case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}")
       }
     }
-
-  test("recursive-CTE oracle SQL (cluster closures) runs verbatim through spark.sql") {
-    Tables.registerAll(spark, Sf0001)
-    val failures = runVerbatim(recursiveQueries)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("ANSI oracle SQL runs unchanged through spark.sql and matches the DataFrame builder") {
+  test("the excluded list is not stale: excluded texts really do fail") {
     Tables.registerAll(spark, Sf0001)
-    val failures = (ansiQueries ++ duckCompatQueries).flatMap { name =>
+    val wronglyExcluded = excluded.keys.toSeq.sorted.filter { name =>
       try {
-        val sqlText = SparkEntry.oracleSql(name)
-        val viaSql: DataFrame = spark.sql(sqlText)
-        val viaDf: DataFrame = SparkEntry.queries(name)(spark, Sf0001)
+        val viaSql = spark.sql(SparkEntry.oracleSql(name))
+        val viaDf = SparkEntry.queries(name)(spark, Sf0001)
         val cols = viaDf.columns.sorted.toIndexedSeq
         val a = viaSql.select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
         val b = viaDf.select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
-        if (a == b) None else Some(s"$name: ${a.size} vs ${b.size} rows or value mismatch")
-      } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}")
-      }
+        a == b // ran AND matched → exclusion is stale
+      } catch { case _: Throwable => false }
     }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(wronglyExcluded.isEmpty,
+      s"these run fine now — remove from `excluded`: $wronglyExcluded")
   }
 }
