@@ -24,6 +24,12 @@ object TextOps {
     * the oracle SQL interpolates them at object init. */
   val ChunkTokens = 64
   val ChunkStride = 48
+
+  /** pack_sequences context-window length (tokens) and sample_shuffle
+    * shard fan-out. Declared BEFORE `defs`: the oracle SQL interpolates
+    * them at object init. */
+  val SeqLen = 512L
+  val ShuffleShards = 8L
   private def stopSql = Stopwords.map(w => s"'$w'").mkString("list_value(", ", ", ")")
 
   /** Per-language marker words for the n-gram/function-word language-ID
@@ -580,6 +586,61 @@ object TextOps {
              |SELECT source, shard, doc_id, ntok FROM r
              |ORDER BY source, doc_id""".stripMargin)),
 
+    // Continuous sequence packing — the pretraining step AFTER document
+    // curation: concatenate each source's documents into one token
+    // stream (doc order = doc_id) and cut it into fixed SeqLen-token
+    // context windows, documents crossing window boundaries (the
+    // GPT/T5-style packed-example layout: no padding except the final
+    // window per source; Brown et al. 2020 §2.1, Raffel et al. 2020
+    // "packing"). One row per (document × window it overlaps):
+    // start_tok = first token of the doc's contribution (offset within
+    // the doc), n_tok = tokens contributed, offset_in_seq = where they
+    // land inside the window. Unlike shard_pack (greedy whole-doc
+    // binning with a sequential recurrence), the window geometry is
+    // pure prefix arithmetic: a partitioned cumulative sum plus a
+    // bounded explode over the ntok/SeqLen + 1 windows a doc spans —
+    // fully parallel at 100 TB (the per-source sort is Spark's
+    // range-partitioned sort; amplification ≈ 1 + ntok/SeqLen).
+    "pack_sequences" -> QueryDef(
+      (s, d) => packSequences(tbl(s, d, "documents")).orderBy("source", "seq_id", "doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+              |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+              |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS endg
+              |  FROM documents),
+              |e AS (
+              |  SELECT source, doc_id, ntok, endg, endg - ntok AS startg,
+              |    unnest(generate_series(CAST(divide(endg - ntok, $SeqLen) AS BIGINT),
+              |                           CAST(divide(endg - 1, $SeqLen) AS BIGINT))) AS seq_id
+              |  FROM t)
+              |SELECT source, seq_id, doc_id,
+              |  greatest(startg, seq_id * $SeqLen) - startg AS start_tok,
+              |  least(endg, (seq_id + 1) * $SeqLen) - greatest(startg, seq_id * $SeqLen) AS n_tok,
+              |  greatest(startg, seq_id * $SeqLen) - seq_id * $SeqLen AS offset_in_seq
+              |FROM e ORDER BY source, seq_id, doc_id""".stripMargin),
+      doc = s"continuous $SeqLen-token context-window packing per source; " +
+        "docs cross window boundaries, exact integer geometry"),
+
+    // Deterministic corpus shuffle — training-order randomization as a
+    // REPRODUCIBLE property of the data, not of a reader: each doc's
+    // shuffle key is a seeded polynomial hash, shards are key-mod (one
+    // shard per training reader), and rank orders within a shard. At
+    // scale the permutation is ORDER BY key (a range-partitioned sort);
+    // ranks are per-shard windows so no single-partition global sort
+    // bottleneck exists. Re-running with the same seed reproduces the
+    // exact epoch order.
+    "sample_shuffle" -> QueryDef(
+      (s, d) => shuffleShards(tbl(s, d, "documents")).orderBy("shard", "rk"),
+      Some(s"""WITH k AS (SELECT doc_id,
+              |    ${Qh.strHashSql(s"concat(CAST(doc_id AS STRING), ':42')")} AS skey
+              |  FROM documents)
+              |SELECT skey % $ShuffleShards AS shard,
+              |  CAST(row_number() OVER (PARTITION BY skey % $ShuffleShards ORDER BY skey, doc_id) AS BIGINT) AS rk,
+              |  doc_id, skey
+              |FROM k ORDER BY shard, rk""".stripMargin),
+      doc = s"seeded deterministic shuffle into $ShuffleShards reader shards; " +
+        "reproducible epoch order via polynomial hash key"),
+
     // Sentiment aggregation per (source, label) — the serving-layer query
     // the reference stores results for (GET /tweets + Grafana dashboards).
     "text_sentiment_agg" -> QueryDef(
@@ -715,4 +776,45 @@ object TextOps {
               |ORDER BY doc_id""".stripMargin),
       doc = "canonical lowercase/strip/collapse normalization; result proven by hash")
   )
+
+  /** Continuous sequence packing (see the pack_sequences entry above for
+    * the full semantics): cut each source's doc_id-ordered token stream
+    * into fixed `seqLen`-token context windows, one output row per
+    * (document × window it overlaps) with the exact segment geometry
+    * `(start_tok, n_tok, offset_in_seq)`. Pure prefix arithmetic — a
+    * source-partitioned cumulative sum plus a bounded explode — so it
+    * parallelizes at any corpus size. `docs` needs `(source, doc_id,
+    * text)`; tokenization is whitespace. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame,
+      seqLen: Long = SeqLen): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("endg", sum(col("ntok")).over(w))
+      .withColumn("startg", col("endg") - col("ntok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"startg div $seqLen"), expr(s"(endg - 1) div $seqLen"))))
+      .withColumn("seg_start", greatest(col("startg"), col("seq_id") * seqLen))
+      .withColumn("seg_end", least(col("endg"), (col("seq_id") + 1L) * seqLen))
+      .select(col("source"), col("seq_id"), col("doc_id"),
+        (col("seg_start") - col("startg")).as("start_tok"),
+        (col("seg_end") - col("seg_start")).as("n_tok"),
+        (col("seg_start") - col("seq_id") * seqLen).as("offset_in_seq"))
+  }
+
+  /** Seeded deterministic corpus shuffle (see sample_shuffle above):
+    * polynomial-hash key per doc, `shards` reader shards by key-mod,
+    * dense ranks within each shard. Same seed → same epoch order. */
+  def shuffleShards(docs: org.apache.spark.sql.DataFrame, seed: Long = 42L,
+      shards: Long = ShuffleShards): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    docs
+      .select(col("doc_id"))
+      .withColumn("skey", Qh.strHash(concat(col("doc_id").cast("string"), lit(s":$seed"))))
+      .withColumn("shard", col("skey") % shards)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("shard"), col("rk"), col("doc_id"), col("skey"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Relational, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Relational/dedup/similarity invariants not covered by the DuckDB
@@ -211,5 +211,64 @@ class OperatorSpec extends SparkSpec {
   test("cosine top-k equals brute force on a second query vector") {
     val topk = Similarity.cosineTopK(spark, Sf0001, 7L, 3).select("vec_id").as[Long].collect().toSeq
     assert(topk.length == 3 && !topk.contains(7L))
+  }
+
+  test("pack_sequences: windows are exactly SeqLen, docs conserved, offsets contiguous") {
+    // Planted corpus: token counts straddle window boundaries (700 spans
+    // two 512-windows; 836 spans the next two...).
+    val ntoks = Seq(700, 324, 512, 836, 5)
+    val docs = ntoks.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "s", Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_pack_").toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pack_sequences")(spark, d)
+      .select("seq_id", "doc_id", "start_tok", "n_tok", "offset_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val L = TextOps.SeqLen
+    // conservation: each doc's contributions cover [0, ntok) exactly
+    ntoks.zipWithIndex.foreach { case (n, i) =>
+      val segs = out.filter(_._2 == i.toLong).sortBy(_._3)
+      assert(segs.map(_._4).sum == n.toLong, s"doc $i tokens not conserved")
+      val covered = segs.scanLeft(0L) { case (acc, (_, _, st, nt, _)) =>
+        assert(st == acc, s"doc $i gap at $acc"); acc + nt
+      }.last
+      assert(covered == n.toLong)
+    }
+    // window invariant: every seq except the global last per source is
+    // exactly L tokens, filled contiguously from offset 0
+    val bySeq = out.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, segs) =>
+      val tot = segs.map(_._4).sum
+      if (seq != lastSeq) assert(tot == L, s"seq $seq has $tot tokens")
+      val sorted = segs.sortBy(_._5)
+      assert(sorted.head._5 == 0L, s"seq $seq starts at ${sorted.head._5}")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 + a._4 == b._5, s"seq $seq not contiguous")
+        case _ =>
+      }
+    }
+    // total stream length: sum over seqs == sum of ntok
+    assert(out.map(_._4).sum == ntoks.map(_.toLong).sum)
+  }
+
+  test("sample_shuffle: a reproducible permutation — every doc exactly once, ranks dense per shard") {
+    val a = SparkEntry.queries("sample_shuffle")(spark, Sf0001)
+      .select("shard", "rk", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    val b = SparkEntry.queries("sample_shuffle")(spark, Sf0001)
+      .select("shard", "rk", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "shuffle is not deterministic across runs")
+    val docs = a.map(_._3)
+    assert(docs.distinct.size == docs.size, "a doc appears twice")
+    assert(docs.size == 500, s"expected the full corpus, got ${docs.size}")
+    a.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq,
+        s"shard $shard ranks not dense")
+    }
+    // the permutation actually permutes: doc_id order within a shard is
+    // not the identity ascending order
+    assert(a.groupBy(_._1).values.exists(rs =>
+      rs.sortBy(_._2).map(_._3) != rs.map(_._3).sorted))
   }
 }
