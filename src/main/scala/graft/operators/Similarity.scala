@@ -238,7 +238,7 @@ object Similarity {
     val probeCells = cents
       .map { case (id, cvec, cnorm) => (fold(queryVec, cvec) / (qnorm * cnorm), id) }
       .sortBy { case (csim, id) => (-csim, id) }
-      .take(nprobe).map(_._2)
+      .take(nprobe).map(_._2).toIndexedSeq
     val idx = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probeCells: _*))
     val excluded = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))

@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
   * its own names (`list_transform`, `string_split`, `len`, ...); each
   * alias below maps one of those names onto the equivalent Spark
   * builtin(s) so the SAME text parses and evaluates identically in both
-  * engines. Only names ABSENT from Spark's registry are aliased — no
-  * builtin is shadowed — and every mapping is semantics-exact for the
-  * value domains the oracle texts use (documented per alias).
+  * engines. With one exception (`regexp_replace`, below) only names
+  * ABSENT from Spark's registry are aliased, and every mapping is
+  * semantics-exact for the value domains the oracle texts use
+  * (documented per alias).
   *
   * Deliberately NOT aliased (dialect features with no verbatim-safe
   * Spark twin): the `//` integer-division operator and `:=` struct_pack
