@@ -313,6 +313,107 @@ object Streaming {
         Dedup.indexBatch(batch, indexDir, batchId)
       }
 
+  /** One-call streaming curation — the ingest-time composition of the
+    * batch corpus_manifest verdict, for the parts that are exact and
+    * stateless-or-append-only at arrival time:
+    *
+    *  1. EXACT decontamination against a bounded eval set: any doc
+    *     sharing a 3-gram shingle with `evalDocs` drops. This is the
+    *     equi-join semantics of text_contamination, not the bloom
+    *     approximation ([[decontamGate]]) — eval sets are fixed bounded
+    *     artifacts, so their distinct shingle hashes broadcast.
+    *  2. Exact-duplicate canonicalization: first-seen (source, fp) wins —
+    *     in-batch by min doc_id, cross-batch against the persistent
+    *     fingerprint store under `fpDir` (T5's sha-keyed dedup at
+    *     corpus-curation semantics).
+    *  3. Gopher repetition-quality gate — the SAME
+    *     [[graft.Qh.GopherDupMilli]]/[[graft.Qh.GopherTopMilli]]
+    *     constants text_repetition and corpus_manifest interpolate.
+    *
+    * Kept docs land under `keptDir/batch=N`, fresh fingerprints under
+    * `fpDir/batch=N` — per-batch overwrite paths with the store read
+    * EXCLUDING the current batch id, so a checkpoint-recovery replay
+    * rewrites its own output from its own input instead of duplicating
+    * or self-matching (the [[nearDupIngest]] contract). CurateIngestSpec
+    * asserts the kept set ≡ the batch manifest's
+    * canonical ∧ quality ∧ ¬contaminated verdict on the same corpus, and
+    * replay idempotence.
+    *
+    * Near-dup clustering and splits are deliberately NOT gated here:
+    * they are retain-and-track surfaces ([[clusterIngest]]) whose
+    * verdicts can change as clusters grow — a keep/drop decision at
+    * arrival time would not be replay-stable. Chain this gate's output
+    * into clusterIngest for the full curation pipeline. */
+  def curateIngest(stream: DataFrame, evalDocs: DataFrame, fpDir: String,
+      keptDir: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, evalDocs, fpDir, keptDir, batchId)
+      }
+
+  /** One [[curateIngest]] micro-batch — public so recovery semantics are
+    * directly testable (CurateIngestSpec replays a batch id). */
+  def curateBatch(batch: DataFrame, evalDocs: DataFrame, fpDir: String,
+      keptDir: String, batchId: Long): Unit = {
+    import graft.operators.Dedup.{shingles3, tokHashesSeq}
+    val spark = batch.sparkSession
+    val evalShingles = evalDocs
+      .select(explode(shingles3(tokHashesSeq(col("text")))).as("g")).distinct()
+    // Canonicalization runs over ALL arriving docs — contaminated and
+    // quality-failed docs still claim their fingerprint (exactly the
+    // manifest's semantics, where `canonical` is computed over the
+    // whole corpus and the verdicts AND together): a dropped doc's
+    // later re-arrival, or its exact duplicate, must not resurrect.
+    val srcCol = if (batch.columns.contains("source")) col("source") else lit("")
+    val fp = batch
+      .select(col("doc_id"), srcCol.as("source"), col("text"))
+      .withColumn("fp", graft.Qh.strHash(lower(trim(col("text")))))
+    val wCanon = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "fp").orderBy("doc_id")
+    val canon = fp.withColumn("rn", row_number().over(wCanon))
+      .filter(col("rn") === 1).drop("rn")
+    val fresh = canon.join(readFpStore(spark, fpDir, excludeBatch = batchId),
+        Seq("source", "fp"), "left_anti")
+      .persist()
+    try {
+      val contaminated = fresh
+        .select(col("doc_id"), explode(shingles3(tokHashesSeq(col("text")))).as("g"))
+        .join(broadcast(evalShingles), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val qualityIds = fresh
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(sum("cnt").as("n_tok"),
+          count(lit(1)).as("n_dist"), max("cnt").as("top_cnt"))
+        .filter(expr(s"(n_tok - n_dist) * 1000 div n_tok <= ${graft.Qh.GopherDupMilli}" +
+          s" AND top_cnt * 1000 div n_tok <= ${graft.Qh.GopherTopMilli}"))
+        .select("doc_id")
+      fresh.join(contaminated, Seq("doc_id"), "left_anti")
+        .join(qualityIds, Seq("doc_id"), "left_semi")
+        .select("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+      // ALL fresh fingerprints persist, kept or not (see above).
+      fresh.select("source", "fp")
+        .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Persistent fingerprint store reader for [[curateIngest]]: hive
+    * batch=N partitions, rows from `excludeBatch` filtered out so a
+    * replayed micro-batch never dedups against its own previous write. */
+  private def readFpStore(spark: SparkSession, dir: String,
+      excludeBatch: Long): DataFrame =
+    if (graft.sources.Sources.fsExists(spark, dir))
+      spark.read
+        .schema(StructType.fromDDL("source STRING, fp BIGINT, batch BIGINT"))
+        .parquet(dir)
+        .filter(col("batch") =!= excludeBatch).drop("batch")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL("source STRING, fp BIGINT"))
+
   /** Latest cluster snapshot strictly below `belowBatch` (None = any).
     * Listing is one filesystem call over the versioned dirs — O(#batches),
     * driver-side, the same bounded-metadata class as checkpoint logs. */
