@@ -597,26 +597,37 @@ object TextOps {
     // the doc), n_tok = tokens contributed, offset_in_seq = where they
     // land inside the window. Unlike shard_pack (greedy whole-doc
     // binning with a sequential recurrence), the window geometry is
-    // pure prefix arithmetic: a partitioned cumulative sum plus a
-    // bounded explode over the ntok/SeqLen + 1 windows a doc spans —
-    // fully parallel at 100 TB (the per-source sort is Spark's
-    // range-partitioned sort; amplification ≈ 1 + ntok/SeqLen).
+    // pure prefix arithmetic — a DISTRIBUTED prefix sum (see
+    // [[packSequences]]) plus a bounded explode over the
+    // ntok/SeqLen + 1 windows a doc spans.
+    //
+    // Oracle dialect notes: the window SUM is cast to BIGINT at the
+    // source (DuckDB widens sum(BIGINT) to HUGEINT, whose pandas-path
+    // rendering is float — a value-FORMAT divergence invisible to an
+    // exact row compare); the window-index bounds use floor(x / L.0),
+    // an IEEE double op both engines evaluate identically at any
+    // version, instead of divide() whose integer/float contract has
+    // shifted across DuckDB releases.
     "pack_sequences" -> QueryDef(
       (s, d) => packSequences(tbl(s, d, "documents")).orderBy("source", "seq_id", "doc_id"),
       Some(s"""WITH t AS (
               |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
-              |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
-              |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS endg
+              |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+              |      OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS endg
               |  FROM documents),
-              |e AS (
+              |b AS (
               |  SELECT source, doc_id, ntok, endg, endg - ntok AS startg,
-              |    unnest(generate_series(CAST(divide(endg - ntok, $SeqLen) AS BIGINT),
-              |                           CAST(divide(endg - 1, $SeqLen) AS BIGINT))) AS seq_id
-              |  FROM t)
+              |    CAST(floor((endg - ntok) / $SeqLen.0) AS BIGINT) AS s0,
+              |    CAST(floor((endg - 1) / $SeqLen.0) AS BIGINT) AS s1
+              |  FROM t),
+              |e AS (
+              |  SELECT source, doc_id, endg, startg,
+              |    unnest(generate_series(s0, s1)) AS seq_id
+              |  FROM b)
               |SELECT source, seq_id, doc_id,
-              |  greatest(startg, seq_id * $SeqLen) - startg AS start_tok,
-              |  least(endg, (seq_id + 1) * $SeqLen) - greatest(startg, seq_id * $SeqLen) AS n_tok,
-              |  greatest(startg, seq_id * $SeqLen) - seq_id * $SeqLen AS offset_in_seq
+              |  CAST(greatest(startg, seq_id * $SeqLen) - startg AS BIGINT) AS start_tok,
+              |  CAST(least(endg, (seq_id + 1) * $SeqLen) - greatest(startg, seq_id * $SeqLen) AS BIGINT) AS n_tok,
+              |  CAST(greatest(startg, seq_id * $SeqLen) - seq_id * $SeqLen AS BIGINT) AS offset_in_seq
               |FROM e ORDER BY source, seq_id, doc_id""".stripMargin),
       doc = s"continuous $SeqLen-token context-window packing per source; " +
         "docs cross window boundaries, exact integer geometry"),
@@ -781,18 +792,57 @@ object TextOps {
     * the full semantics): cut each source's doc_id-ordered token stream
     * into fixed `seqLen`-token context windows, one output row per
     * (document × window it overlaps) with the exact segment geometry
-    * `(start_tok, n_tok, offset_in_seq)`. Pure prefix arithmetic — a
-    * source-partitioned cumulative sum plus a bounded explode — so it
-    * parallelizes at any corpus size. `docs` needs `(source, doc_id,
-    * text)`; tokenization is whitespace. */
+    * `(start_tok, n_tok, offset_in_seq)`. `docs` needs `(source,
+    * doc_id, text)`; tokenization is whitespace.
+    *
+    * The global per-source token offsets are a DISTRIBUTED prefix sum,
+    * not a per-source window: Spark's WindowExec materializes each
+    * partition key in ONE task, so `sum over partitionBy(source)` would
+    * serialize a 100 TB corpus with a handful of sources onto a handful
+    * of tasks. Instead: (1) bucket docs by fixed-width doc_id range
+    * (deterministic — no RangePartitioner sampling, whose seed differs
+    * between the two passes); (2) cumulative-sum WITHIN each
+    * (source, bucket) — parallel across buckets, each bounded by
+    * corpus/`spark.graft.pack.buckets`; (3) aggregate one total row per
+    * (source, bucket) and collect (bounded metadata, ≤ sources×buckets
+    * rows — the same class as the dedup prune sets); (4) broadcast the
+    * driver-computed exclusive bucket offsets and add. Two passes over
+    * the corpus (totals + main), the canonical distributed scan-sum. */
   def packSequences(docs: org.apache.spark.sql.DataFrame,
       seqLen: Long = SeqLen): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBuckets = spark.conf.get("spark.graft.pack.buckets", "256").toInt
+    val sized = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    // pass 0 (doc_id column only — text pruned from the scan): bucket
+    // geometry. BigInt guards the width math against span overflow.
+    val bounds = sized.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val lo = if (bounds.isNullAt(0)) 0L else bounds.getAs[Number](0).longValue
+    val hi = if (bounds.isNullAt(1)) 0L else bounds.getAs[Number](1).longValue
+    val width = math.max(1L, ((BigInt(hi) - BigInt(lo)) / nBuckets + 1).toLong)
+    val bucketed = sized.withColumn("bkt", expr(s"(doc_id - ${lo}L) div ${width}L"))
+    // pass 1: per-(source, bucket) totals -> driver-side exclusive
+    // prefix in (source, bucket) order -> broadcast offsets.
+    val totals = bucketed.groupBy("source", "bkt").agg(sum(col("ntok")).as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (src, bkt, _) => (src, bkt) }
+    val offs = Seq.newBuilder[(String, Long, Long)]
+    var curSrc: String = null
+    var acc = 0L
+    totals.foreach { case (src, bkt, tot) =>
+      if (src != curSrc) { curSrc = src; acc = 0L }
+      offs += ((src, bkt, acc)); acc += tot
+    }
+    val offDf = offs.result().toDF("source", "bkt", "off")
+    // pass 2: bucket-local cumsum (WindowExec keyed by (source, bkt) —
+    // parallel) + broadcast offset = the global per-source prefix sum.
+    val wLocal = Window.partitionBy("source", "bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("ntok"))
-      .withColumn("endg", sum(col("ntok")).over(w))
+    bucketed
+      .withColumn("lend", sum(col("ntok")).over(wLocal))
+      .join(broadcast(offDf), Seq("source", "bkt"))
+      .withColumn("endg", col("lend") + col("off"))
       .withColumn("startg", col("endg") - col("ntok"))
       .withColumn("seq_id", explode(sequence(
         expr(s"startg div $seqLen"), expr(s"(endg - 1) div $seqLen"))))

@@ -253,6 +253,21 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_._4).sum == ntoks.map(_.toLong).sum)
   }
 
+  test("pack_sequences plan contains no window partitioned by source alone (distributed prefix sum)") {
+    // The 100 TB guard for the packing cumsum: WindowExec materializes
+    // each partition key in ONE task, so a window keyed by `source`
+    // alone serializes a whole source onto a single task. The prefix
+    // sum must stay bucketed — every window's key set must be wider
+    // than {source}.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val offenders = q("pack_sequences").queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow
+          if w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet == Set("source") =>
+        w.partitionSpec.map(_.sql).mkString("(", ", ", ")")
+    }
+    assert(offenders.isEmpty, s"source-only windows: ${offenders.mkString("; ")}")
+  }
+
   test("sample_shuffle: a reproducible permutation — every doc exactly once, ranks dense per shard") {
     val a = SparkEntry.queries("sample_shuffle")(spark, Sf0001)
       .select("shard", "rk", "doc_id").as[(Long, Long, Long)].collect().toSeq
