@@ -654,6 +654,70 @@ object Dedup {
       doc = "maximal per-document token spans of cross-document repeated passages " +
         "(the cut list for substring removal)"),
 
+    // The APPLY half of Lee et al.'s substring dedup, oracle-gated end
+    // to end: excise the [[substringSpans]] cut list with [[cutSpans]]
+    // and prove the REBUILT text — not just the span geometry —
+    // identical in both engines via the canonical string hash.
+    // n_tok_removed sums the disjoint islands; docs without spans pass
+    // through verbatim (hash of the original text — the corpus is
+    // single-space tokenized, so the oracle's rejoin is exact).
+    // The span list is localCheckpoint'd: bounded by real
+    // repeated-passage volume, and it feeds two consumers (the removal
+    // sum and the cut itself). Oracle reconstruction: covered positions
+    // expand from the spans, kept tokens anti-join them, and an ordered
+    // string_agg rebuilds the text — which is why this one text is
+    // excluded from the verbatim spark.sql sweep (in-aggregate ORDER BY
+    // is a dialect form Spark's parser rejects; SqlSurfaceSpec lists it).
+    "dedup_substring_cut" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val spans = substringSpans(docs).localCheckpoint()
+        val removed = spans.groupBy("doc_id")
+          .agg(sum(col("end_tok") - col("start_tok")).as("n_tok_removed"))
+        cutSpans(docs, spans)
+          .join(removed, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tok_removed"), lit(0L)).as("n_tok_removed"),
+            strHash(col("text")).as("cut_hash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH th AS (SELECT doc_id, ${tokHashesSeqSql("text")} AS th FROM documents),
+              |w AS (SELECT doc_id, i AS pos,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_slice(th, i + 1, i + $SubstringWindow)),
+              |      (h, x) -> (h*31 + x) % $WinHashP) AS win_hash
+              |  FROM (SELECT doc_id, th, unnest(range(0, len(th) - $SubstringWindow + 1)) AS i
+              |        FROM th WHERE len(th) >= $SubstringWindow)),
+              |rep AS (SELECT win_hash FROM w GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2),
+              |hits AS (SELECT doc_id, pos FROM w WHERE win_hash IN (SELECT win_hash FROM rep)),
+              |isl AS (SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      <= $SubstringWindow THEN 0 ELSE 1 END AS brk FROM hits),
+              |grp AS (SELECT doc_id, pos,
+              |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+              |spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+              |    CAST(MAX(pos) + $SubstringWindow AS BIGINT) AS end_tok
+              |  FROM grp GROUP BY doc_id, island),
+              |rem AS (SELECT doc_id, CAST(SUM(end_tok - start_tok) AS BIGINT) AS n_removed
+              |  FROM spans GROUP BY doc_id),
+              |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(start_tok, end_tok - 1)) AS pos
+              |  FROM spans),
+              |tok AS (SELECT doc_id, i AS pos, list_extract(tk, i + 1) AS tok
+              |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i
+              |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+              |kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS cut_text
+              |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+              |  WHERE c.pos IS NULL GROUP BY t.doc_id)
+              |SELECT d.doc_id, COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_tok_removed,
+              |  ${strHashSql("COALESCE(k.cut_text, '')")} AS cut_hash
+              |FROM documents d
+              |LEFT JOIN rem r ON r.doc_id = d.doc_id
+              |LEFT JOIN kept k ON k.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      doc = "substring-dedup removal applied: per-doc tokens removed and the " +
+        "canonical hash of the rebuilt text, proven against the oracle's " +
+        "position-level reconstruction"),
+
     // The capstone: one per-document curation VERDICT table — what a
     // training-data pipeline actually ships downstream. Composes the
     // library's own decisions under a single oracle: exact-dup
@@ -781,13 +845,18 @@ object Dedup {
   def substringSpans(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = SubstringWindow
-    val wins = substringWindows(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), not persist/unpersist: the window scan
+    // feeds TWO subtrees of one plan (the repeated-hash aggregation and
+    // the position join), and a lazy persist unpersisted before the
+    // action never takes effect — the scan would run twice. Checkpoint
+    // storage is distributed (executor-local), O(windows) rows of 8-byte
+    // hashes + positions, never text.
+    val wins = substringWindows(docs).localCheckpoint()
     val repeated = wins.groupBy("win_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2).select("win_hash")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val out = wins.join(repeated, Seq("win_hash"), "left_semi")
+    wins.join(repeated, Seq("win_hash"), "left_semi")
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(byDoc) <= w, 0).otherwise(1))
       .withColumn("island", sum("brk").over(byDoc))
@@ -797,8 +866,6 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select("doc_id", "start_tok", "end_tok", "n_windows")
       .orderBy("doc_id", "start_tok")
-    wins.unpersist(blocking = false)
-    out
   }
 
   /** Apply a span cut list ([[substringSpans]] schema) to the corpus:

@@ -201,6 +201,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byId(3L).startsWith("u3000"), "span-free docs pass through verbatim")
     assert(Dedup.substringSpans(cut).count() == 0,
       "after the cut, no cross-document repeated window may remain")
+
+    // The registered gated query over the same fixture: removal counts
+    // are the island widths and cut_hash is the canonical hash of the
+    // rebuilt text (span-free docs hash their original text).
+    val d = java.nio.file.Files.createTempDirectory("graft_cut_").toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val gated = SparkEntry.queries("dedup_substring_cut")(spark, d)
+      .select("doc_id", "n_tok_removed", "cut_hash")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def h(s: String): Long =
+      spark.range(1).select(Qh.strHash(lit(s))).as[Long].head()
+    assert(gated(1L) == ((20L, h(s"$pre1 $post1"))), s"doc 1: ${gated(1L)}")
+    assert(gated(2L) == ((20L, h(s"$pre2 $post2"))), s"doc 2: ${gated(2L)}")
+    assert(gated(3L)._1 == 0L && gated(3L)._2 == h((3000 until 3030).map(i => s"u$i").mkString(" ")),
+      s"doc 3 must pass through: ${gated(3L)}")
   }
 
   test("clustersTable memo: corpus dirs with colliding String.hashCode get distinct tables") {

@@ -38,7 +38,12 @@ class SqlSurfaceSpec extends SparkSpec {
         "rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE; UNION ALL would " +
         "not terminate on the cyclic near-dup graph)"),
     "sample_split" -> "consumes dedup_cluster's recursive-UNION closure",
-    "corpus_manifest" -> "consumes dedup_cluster's recursive-UNION closure")
+    "corpus_manifest" -> "consumes dedup_cluster's recursive-UNION closure",
+    "dedup_substring_cut" ->
+      ("rebuilds the cut text with string_agg(tok, ' ' ORDER BY pos) — " +
+        "in-aggregate ORDER BY is DuckDB/Postgres dialect Spark's parser " +
+        "rejects, and Spark's collect_list has no deterministic order to " +
+        "substitute"))
 
   test("every non-excluded oracle text runs verbatim through spark.sql " +
     "and matches the DataFrame builder") {
