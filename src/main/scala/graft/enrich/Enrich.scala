@@ -52,7 +52,13 @@ object Enrich {
       "broken", "bug", "error", "crash", "wrong", "hard", "poor")
 
     def score(text: String): (Double, String, Double) = {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // Single-space split, NOT a whitespace class: the library-wide
+      // tokenization rule (tokHashesSeq, toks, every oracle fragment)
+      // splits on ' ' because a regex class literal cannot be spelled
+      // portably in both engines' SQL. Keeping the Scala scorer on the
+      // same rule means the oracle equivalence holds on ANY input, not
+      // just the single-space-tokenized corpus.
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
       val p = toks.count(Positive.contains).toDouble
       val n = toks.count(Negative.contains).toDouble
       val raw = if (toks.isEmpty) 0.0 else (p - n) / toks.length
@@ -74,12 +80,14 @@ object Enrich {
     // size(filter(...isin...)) triple is three interpreted HOF scans per
     // row. Decl forms kept below as parity witnesses (PolyHashSpec).
 
-    /** [p, n, ntok] counts of a text column, one native pass. Empty
-      * tokens from leading/trailing whitespace are dropped from ntok —
-      * the Scala scorer and the DuckDB fragments both exclude them;
-      * counting them in the denominator would silently shift scores. */
+    /** [p, n, ntok] counts of a text column, one native pass. Tokenizes
+      * on the library-wide single-space rule (see [[score]]); empty
+      * tokens from leading/trailing/repeated spaces are dropped from
+      * ntok — the Scala scorer and the DuckDB fragments both exclude
+      * them; counting them in the denominator would silently shift
+      * scores. */
     private def countsCol(text: Column): Column =
-      graft.plans.MemberCounts.column(split(lower(text), "\\s+"),
+      graft.plans.MemberCounts.column(split(lower(text), " "),
         Positive.toSeq.sorted, Negative.toSeq.sorted)
 
     /** (score, label, confidence) columns over a text column. */
@@ -106,7 +114,7 @@ object Enrich {
     private def hitsDecl(t: Column, words: Set[String]): Column =
       size(filter(t, x => x.isin(words.toSeq.sorted: _*))).cast("double")
     private def tokColDecl(text: Column): Column =
-      filter(split(lower(text), "\\s+"), x => x =!= "")
+      filter(split(lower(text), " "), x => x =!= "")
     def scoreColDecl(text: Column): Column = {
       val t = tokColDecl(text)
       val p = hitsDecl(t, Positive)
