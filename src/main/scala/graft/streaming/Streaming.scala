@@ -301,16 +301,63 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.Dedup
-        val spark = batch.sparkSession
-        val prior = latestClusterSnapshot(spark, clustersDir, belowBatch = batchId)
-          .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))
-        // reliableCheckpointDir: pass on a real cluster so a lost executor
-        // mid-propagation recomputes instead of failing the micro-batch.
-        val merged = Dedup.mergeClusters(prior, batch, indexDir, threshold, reliableCheckpointDir)
-        merged.write.mode("overwrite").parquet(s"$clustersDir/batch=$batchId")
-        Dedup.indexBatch(batch, indexDir, batchId)
+        clusterBatch(batch, indexDir, clustersDir, batchId, threshold, reliableCheckpointDir)
+      }
+
+  /** One [[clusterIngest]] micro-batch — public (like [[curateBatch]])
+    * so recovery semantics are directly testable by replaying a batch
+    * id, and so composed pipelines ([[curateAndClusterIngest]]) can run
+    * it on a derived frame inside their own foreachBatch. */
+  def clusterBatch(batch: DataFrame, indexDir: String, clustersDir: String,
+      batchId: Long, threshold: Double = 0.8,
+      reliableCheckpointDir: Option[String] = None): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val prior = latestClusterSnapshot(spark, clustersDir, belowBatch = batchId)
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))
+    // reliableCheckpointDir: pass on a real cluster so a lost executor
+    // mid-propagation recomputes instead of failing the micro-batch.
+    val merged = Dedup.mergeClusters(prior, batch, indexDir, threshold, reliableCheckpointDir)
+    merged.write.mode("overwrite").parquet(s"$clustersDir/batch=$batchId")
+    Dedup.indexBatch(batch, indexDir, batchId)
+  }
+
+  /** The full streaming curation pipeline a training-data ingest
+    * deploys: [[curateIngest]] CHAINED into [[clusterIngest]] as one
+    * composed micro-batch job. Each batch is gated (exact
+    * decontamination + seeded canonicalization + Gopher quality), the
+    * kept docs land under `keptDir/batch=N`, and the SAME kept docs then
+    * merge into the near-dup cluster table under `clustersDir` and index
+    * themselves under `indexDir` for later batches to probe.
+    *
+    * Composition contract (CurateIngestSpec): streaming a corpus through
+    * this job — across restarts, and under micro-batch REPLAY of either
+    * half — yields the same kept set as one batch [[curateBatch]] call
+    * AND the same cluster assignments as a from-scratch
+    * [[graft.operators.Dedup.clusterDocs]] run over that kept set. Both
+    * halves write only `batch=N` paths (overwrite), so a
+    * checkpoint-recovery replay rewrites its own output end to end —
+    * the at-least-once + idempotent-consumer contract of each half,
+    * preserved by their composition. */
+  def curateAndClusterIngest(stream: DataFrame, evalDocs: DataFrame,
+      fpDir: String, keptDir: String, indexDir: String, clustersDir: String,
+      checkpoint: String, threshold: Double = 0.8,
+      trigger: Trigger = DefaultTrigger,
+      reliableCheckpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, evalDocs, fpDir, keptDir, batchId)
+        // Re-read what curateBatch just wrote rather than re-deriving the
+        // kept set in memory: the parquet under batch=N IS the contract
+        // between the halves, so a replayed batch clusters exactly what
+        // the (rewritten) gate output says — never a diverging recompute.
+        val kept = batch.sparkSession.read
+          .schema(StructType.fromDDL("doc_id BIGINT, source STRING, text STRING"))
+          .parquet(s"$keptDir/batch=$batchId")
+        clusterBatch(kept, indexDir, clustersDir, batchId, threshold, reliableCheckpointDir)
       }
 
   /** One-call streaming curation — the ingest-time composition of the
@@ -325,7 +372,13 @@ object Streaming {
     *  2. Exact-duplicate canonicalization: first-seen (source, fp) wins —
     *     in-batch by min doc_id, cross-batch against the persistent
     *     fingerprint store under `fpDir` (T5's sha-keyed dedup at
-    *     corpus-curation semantics).
+    *     corpus-curation semantics). The store is additionally SEEDED
+    *     with the eval set's fingerprints: an eval doc's exact duplicate
+    *     can never be kept, independent of the contamination/quality
+    *     gates that happen to also catch it at the current thresholds
+    *     (a ≥3-token exact dup shares every shingle; a shorter one
+    *     fails the Gopher top-token gate — but neither masking is a
+    *     contract).
     *  3. Gopher repetition-quality gate — the SAME
     *     [[graft.Qh.GopherDupMilli]]/[[graft.Qh.GopherTopMilli]]
     *     constants text_repetition and corpus_manifest interpolate.
@@ -375,8 +428,20 @@ object Streaming {
       .partitionBy("source", "fp").orderBy("doc_id")
     val canon = fp.withColumn("rn", row_number().over(wCanon))
       .filter(col("rn") === 1).drop("rn")
+    // Eval fingerprints seed the dedup gate (bounded artifact →
+    // broadcast): a corpus doc whose exact (source, fp) copy is an eval
+    // doc is never kept — the manifest's keep verdict for such a doc is
+    // always false, and without the seed that agreement would silently
+    // ride on the contamination/quality gates' thresholds. Seed-dropped
+    // docs need no store write: the eval set itself is the permanent
+    // fingerprint claim (it is passed to every batch).
+    val evalSrc = if (evalDocs.columns.contains("source")) col("source") else lit("")
+    val evalFp = evalDocs
+      .select(evalSrc.as("source"), graft.Qh.strHash(lower(trim(col("text")))).as("fp"))
+      .distinct()
     val fresh = canon.join(readFpStore(spark, fpDir, excludeBatch = batchId),
         Seq("source", "fp"), "left_anti")
+      .join(broadcast(evalFp), Seq("source", "fp"), "left_anti")
       .persist()
     try {
       val contaminated = fresh

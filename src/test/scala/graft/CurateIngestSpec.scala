@@ -44,30 +44,39 @@ class CurateIngestSpec extends SparkSpec {
     val good = "a perfectly reasonable document with plenty of distinct informative tokens " +
       "covering spark catalyst tungsten shuffles partitions and adaptive execution"
     val evalText = "benchmark evaluation passage that must never leak into training data ever"
-    val evalDocs = Seq((9000L, evalText)).toDF("doc_id", "text")
+    val evalDocs = Seq((9000L, "s", evalText)).toDF("doc_id", "source", "text")
 
     val ms = MemoryStream[CDoc](spark)
-    // batch 0: a good doc, an eval-overlapping doc, and a low-quality doc
-    // (one token repeated — fails the Gopher top-token gate)
+    // batch 0: a good doc, an eval-overlapping doc, a low-quality doc
+    // (one token repeated — fails the Gopher top-token gate), and an
+    // EXACT eval duplicate (same source+text as the eval doc — must be
+    // dropped by the seeded fingerprint gate, and must NOT claim a store
+    // fingerprint of its own: the eval set is the permanent claim)
     ms.addData(Seq(
       CDoc(1, "s", good),
       CDoc(2, "s", evalText + " plus some extra trailing context"),
-      CDoc(3, "s", Seq.fill(40)("spam").mkString(" "))))
+      CDoc(3, "s", Seq.fill(40)("spam").mkString(" ")),
+      CDoc(4, "s", evalText)))
     val start = () => Streaming.curateIngest(ms.toDF(), evalDocs, s"$root/fp",
       s"$root/kept", s"$root/ckpt", trigger = Trigger.AvailableNow()).start()
     val q0 = start(); q0.awaitTermination()
     val kept0 = spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
     assert(kept0 == Seq(1L), s"batch 0 kept $kept0")
+    val fps0 = spark.read.parquet(s"$root/fp").count()
+    assert(fps0 == 3L, s"store holds the 3 non-eval fingerprints (seed is the eval claim), got $fps0")
 
-    // batch 1: exact duplicates of all three batch-0 docs (higher ids) plus
+    // batch 1: exact duplicates of the batch-0 docs (higher ids) plus
     // one novel doc — only the novel doc may pass: the good doc's dup
-    // dedups against the store, and the contaminated/low-quality docs'
-    // dups must find their RETAINED fingerprints (kept-or-not, fps persist)
+    // dedups against the store, the contaminated/low-quality docs'
+    // dups must find their RETAINED fingerprints (kept-or-not, fps
+    // persist), and the eval dup's dup must hit the eval SEED (doc 4
+    // wrote no store fingerprint, so only the seed can stop doc 15)
     ms.addData(Seq(
       CDoc(11, "s", good),
       CDoc(12, "s", evalText + " plus some extra trailing context"),
       CDoc(13, "s", Seq.fill(40)("spam").mkString(" ")),
-      CDoc(14, "s", "an entirely novel narrative mentioning watermarks checkpoints and state stores")))
+      CDoc(14, "s", "an entirely novel narrative mentioning watermarks checkpoints and state stores"),
+      CDoc(15, "s", evalText)))
     val q1 = start(); q1.awaitTermination()
     val keptAll = spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
     assert(keptAll == Seq(1L, 14L), s"after batch 1 kept $keptAll")
@@ -79,10 +88,60 @@ class CurateIngestSpec extends SparkSpec {
       CDoc(11, "s", good),
       CDoc(12, "s", evalText + " plus some extra trailing context"),
       CDoc(13, "s", Seq.fill(40)("spam").mkString(" ")),
-      CDoc(14, "s", "an entirely novel narrative mentioning watermarks checkpoints and state stores"))
+      CDoc(14, "s", "an entirely novel narrative mentioning watermarks checkpoints and state stores"),
+      CDoc(15, "s", evalText))
       .toDF("doc_id", "source", "text")
     Streaming.curateBatch(replayBatch, evalDocs, s"$root/fp", s"$root/kept", 1L)
     val keptReplay = spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
     assert(keptReplay == Seq(1L, 14L), s"replay kept $keptReplay")
+  }
+
+  test("composed curate→cluster pipeline: stream ≡ batch on kept set AND cluster assignments, across kill/recover") {
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_pipe_").toFile.getAbsolutePath
+    val docs = Tables(spark, Sf0001, "documents")
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    // two arrival batches in doc_id order (the arrival order under which
+    // first-seen-wins canonicalization coincides with the manifest's
+    // min-id rule, CurateIngestSpec test 1's contract)
+    val all = corpus.as[CDoc].collect().toSeq.sortBy(_.doc_id)
+    val (h1, h2) = all.splitAt(all.size / 2)
+
+    val ms = MemoryStream[CDoc](spark)
+    val start = () => Streaming.curateAndClusterIngest(ms.toDF(), evalDocs,
+      s"$root/fp", s"$root/kept", s"$root/idx", s"$root/clusters",
+      s"$root/ckpt", trigger = Trigger.AvailableNow()).start()
+    ms.addData(h1)
+    val q0 = start(); q0.awaitTermination()
+    // kill/recover: a NEW query resumes from the checkpoint for batch 1
+    ms.addData(h2)
+    val q1 = start(); q1.awaitTermination()
+    // mid-stream recovery replay: rerun batch 1's composed body directly
+    // (same inputs, same batch id) — both halves must rewrite in place
+    Streaming.curateBatch(h2.toDF(), evalDocs, s"$root/fp", s"$root/kept", 1L)
+    Streaming.clusterBatch(
+      spark.read.parquet(s"$root/kept/batch=1"), s"$root/idx", s"$root/clusters", 1L)
+
+    // kept set ≡ one batch curateBatch call over the whole corpus
+    val streamKept = spark.read.parquet(s"$root/kept")
+      .select("doc_id").as[Long].collect().toSet
+    Streaming.curateBatch(corpus, evalDocs, s"$root/bfp", s"$root/bkept", 0L)
+    val batchKept = spark.read.parquet(s"$root/bkept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept,
+      s"kept sets diverge: stream-only ${(streamKept -- batchKept).take(5)}, " +
+        s"batch-only ${(batchKept -- streamKept).take(5)}")
+    assert(streamKept.nonEmpty)
+
+    // cluster assignments ≡ a from-scratch clusterDocs run on the kept set
+    val snapshot = Streaming.latestClusterSnapshot(spark, s"$root/clusters").get
+      .as[(Long, Long)].collect().toSet
+    val live = Dedup.clusterDocs(corpus.filter(col("doc_id").isin(batchKept.toSeq: _*)))
+      .as[(Long, Long)].collect().toSet
+    assert(snapshot == live,
+      s"cluster tables diverge: snapshot-only ${(snapshot -- live).take(5)}, " +
+        s"live-only ${(live -- snapshot).take(5)}")
   }
 }
