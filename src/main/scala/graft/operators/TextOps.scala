@@ -856,14 +856,26 @@ object TextOps {
 
   /** Seeded deterministic corpus shuffle (see sample_shuffle above):
     * polynomial-hash key per doc, `shards` reader shards by key-mod,
-    * dense ranks within each shard. Same seed → same epoch order. */
+    * dense ranks within each shard. Same seed → same epoch order.
+    *
+    * Shard count: pass `shards` explicitly, or set
+    * `spark.graft.shuffle.shards` (default [[ShuffleShards]] = 8) —
+    * set it ≈ the training-reader count at scale: each shard's rank
+    * window is ONE task, so the shard count IS the parallelism of the
+    * ordering step. Ordering within a shard is by (skey, doc_id) — a
+    * global total order restricted to the shard — so two docs that land
+    * in the same shard keep the same relative order at ANY shard count
+    * (spec-asserted at 64): re-sharding for more readers never reorders
+    * a reader's stream, it only re-partitions it. */
   def shuffleShards(docs: org.apache.spark.sql.DataFrame, seed: Long = 42L,
-      shards: Long = ShuffleShards): org.apache.spark.sql.DataFrame = {
+      shards: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val nShards = if (shards > 0) shards
+      else docs.sparkSession.conf.get("spark.graft.shuffle.shards", ShuffleShards.toString).toLong
     val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     docs
       .select(col("doc_id"))
       .withColumn("skey", Qh.strHash(concat(col("doc_id").cast("string"), lit(s":$seed"))))
-      .withColumn("shard", col("skey") % shards)
+      .withColumn("shard", col("skey") % nShards)
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("shard"), col("rk"), col("doc_id"), col("skey"))
   }

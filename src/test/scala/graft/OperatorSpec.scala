@@ -286,4 +286,32 @@ class OperatorSpec extends SparkSpec {
     assert(a.groupBy(_._1).values.exists(rs =>
       rs.sortBy(_._2).map(_._3) != rs.map(_._3).sorted))
   }
+
+  test("shuffleShards at 64 shards: conf-driven, deterministic, per-shard order shard-count-independent") {
+    // Scale contract: shards ≈ reader count (each shard's rank window is
+    // one task). Ordering within a shard is the global (skey, doc_id)
+    // total order restricted to the shard, so re-sharding re-partitions
+    // but never reorders any reader's stream.
+    val docs = Tables(spark, Sf0001, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "rk", "doc_id", "skey").as[(Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    val a = run(TextOps.shuffleShards(docs, shards = 64L))
+    assert(a == run(TextOps.shuffleShards(docs, shards = 64L)), "not deterministic at 64")
+    assert(a.map(_._1).distinct.size > 8, "64-way split must use more shards than the default 8")
+    spark.conf.set("spark.graft.shuffle.shards", "64")
+    try assert(run(TextOps.shuffleShards(docs)) == a, "conf must drive the default shard count")
+    finally spark.conf.unset("spark.graft.shuffle.shards")
+    // every doc exactly once, and each shard's rank order IS the global
+    // total order (skey, doc_id) restricted to the shard — at 8 and 64
+    val at8 = run(TextOps.shuffleShards(docs, shards = 8L))
+    Seq(a, at8).foreach { rows =>
+      assert(rows.map(_._3).distinct.size == rows.size)
+      rows.groupBy(_._1).foreach { case (s, rs) =>
+        val byRank = rs.sortBy(_._2).map(r => (r._4, r._3))
+        assert(byRank == byRank.sorted,
+          s"shard $s rank order is not the restriction of the global key order")
+      }
+    }
+  }
 }
