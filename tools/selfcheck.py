@@ -7,6 +7,18 @@ For each query result parquet written by graft.Verify, runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB over the same
 parquet tables, sorts columns by name (the driver's normalization),
 and compares row-by-row. Exact compare — stricter than any hash.
+
+Each query additionally passes a RENDERED-VALUE parity check over the
+pandas conversion path: a result can be value-identical under the raw
+fetchall compare yet FORMAT differently once dtypes diverge — the
+round-5 pack_sequences red row was exactly this (an un-cast DuckDB
+window SUM widened to HUGEINT, whose pandas rendering is float, so
+"32" hashed against "32.0" while every exact compare stayed green).
+Any hash a driver computes over column-name-sorted, stringified frames
+agrees when both engines' pandas renderings agree; a PANDAS-DRIFT
+failure here means a type-normalization bug that MUST be fixed in the
+oracle (usually a missing CAST ... AS BIGINT), even though the values
+are right.
 """
 import json
 import math
@@ -67,8 +79,27 @@ def main():
                 for r in (srows[len(orows):len(orows)+2] or orows[len(srows):len(srows)+2]):
                     print(f"   extra: {r}")
         else:
-            n_pass += 1
-            print(f"PASS {name} ({len(srows)} rows)")
+            # driver-hash recipe proxy: the pandas-rendered frames must
+            # ALSO agree cell-for-cell — dtype-driven formatting drift
+            # (HUGEINT→float64, int-vs-float NULL columns) hashes
+            # differently in a pandas-path driver even when every raw
+            # value matches.
+            sdf = con.sql(f"SELECT {', '.join(scols)} FROM spark").df()
+            odf = con.sql(f"SELECT {', '.join(ocols)} FROM oracle").df()
+            pdrift = [
+                (c, str(sdf[c].dtype), str(odf[c].dtype))
+                for c in scols
+                if list(map(str, sdf[c])) != list(map(str, odf[c]))
+            ]
+            if pdrift:
+                n_fail += 1
+                print(f"FAIL {name}: PANDAS-DRIFT in {pdrift} — values match "
+                      "but render differently (a pandas-path driver hash would "
+                      "mismatch); fix the oracle's types (CAST ... AS BIGINT "
+                      "on sums/windows)")
+            else:
+                n_pass += 1
+                print(f"PASS {name} ({len(srows)} rows)")
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
