@@ -268,6 +268,23 @@ class OperatorSpec extends SparkSpec {
     assert(offenders.isEmpty, s"source-only windows: ${offenders.mkString("; ")}")
   }
 
+  test("pack_sequences output is bucket-count-invariant (the distributed prefix sum is exact at any fan-out)") {
+    // The bucket count only chooses the parallelism of the cumsum; the
+    // offsets must compose to the same global prefix sum at ANY fan-out,
+    // including the degenerate single bucket (≡ the old per-source
+    // window) and a count that forces multi-bucket sources.
+    val docs = Tables(spark, Sf0001, "documents")
+    def run() = TextOps.packSequences(docs)
+      .orderBy("source", "seq_id", "doc_id").collect().toSeq
+    val base = run()
+    assert(base.nonEmpty)
+    Seq("1", "3").foreach { n =>
+      spark.conf.set("spark.graft.pack.buckets", n)
+      try assert(run() == base, s"$n-bucket run diverges from the 256-bucket default")
+      finally spark.conf.unset("spark.graft.pack.buckets")
+    }
+  }
+
   test("sample_shuffle: a reproducible permutation — every doc exactly once, ranks dense per shard") {
     val a = SparkEntry.queries("sample_shuffle")(spark, Sf0001)
       .select("shard", "rk", "doc_id").as[(Long, Long, Long)].collect().toSeq
