@@ -756,6 +756,55 @@ object TextOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "log-free unigram-LM scoring: exact integer token-frequency stats per doc"),
 
+    // Bigram-LM quality scoring — the conditional-probability upgrade of
+    // text_unigram_lm, same log-free integer-exact discipline: for every
+    // adjacent token pair (w1, w2), cond_ppb = corpus-count(w1,w2) × 1e9
+    // div corpus-count(w1 as a bigram head). Low mean/min conditional
+    // probability is the classic fluency signal (word salad scores low
+    // even when every individual token is common — exactly what the
+    // unigram score cannot see); hapax_bigram counts pairs unique to the
+    // corpus (the OCR-join/garbage analog of unigram rare_tok). Docs
+    // with < 2 tokens have no bigrams and drop out (oracle agrees).
+    // Scale shape: one explode (≈ token count), two count relations
+    // (bigram vocab + head vocab) equi-joined back — AQE broadcasts
+    // real vocabularies; nothing is all-pairs. Same ppb overflow bound
+    // as text_unigram_lm: ship ppm scaling past ~9e9 corpus bigrams.
+    "text_bigram_lm" -> QueryDef(
+      (s, d) => {
+        val bg = tbl(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+          .select(col("doc_id"),
+            element_at(col("tk"), col("i")).as("w1"),
+            element_at(col("tk"), col("i") + 1).as("w2"))
+        val heads = bg.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+        val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+        bg.join(pairs, Seq("w1", "w2")).join(heads, Seq("w1"))
+          .withColumn("cond_ppb", expr("cnt2 * 1000000000 div cnt1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigram"),
+            expr("sum(cond_ppb) div count(1)").as("mean_cond_ppb"),
+            min(col("cond_ppb")).as("min_cond_ppb"),
+            sum(when(col("cnt2") <= 1, 1L).otherwise(0L)).as("hapax_bigram"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (SELECT doc_id, list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2
+             |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+             |        FROM t WHERE len(tk) >= 2)),
+             |heads AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt1 FROM bg GROUP BY w1),
+             |pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 FROM bg GROUP BY w1, w2)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+             |  CAST(divide(sum(divide(cnt2 * 1000000000, cnt1)), count(*)) AS BIGINT) AS mean_cond_ppb,
+             |  CAST(min(divide(cnt2 * 1000000000, cnt1)) AS BIGINT) AS min_cond_ppb,
+             |  CAST(sum(CASE WHEN cnt2 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_bigram
+             |FROM bg JOIN pairs USING (w1, w2) JOIN heads USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "log-free bigram-LM scoring: exact integer conditional-probability " +
+        "stats per doc (fluency signal the unigram score cannot see)"),
+
     // Canonical text normalization — the first pass of every curation
     // pipeline (and the reason fp_norm exists in text_fingerprint):
     // lowercase → strip non-alphanumerics → collapse whitespace runs →

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Layout, Relational, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Relational/dedup/similarity invariants not covered by the DuckDB
@@ -101,6 +101,42 @@ class OperatorSpec extends SparkSpec {
     val plan = q("q02_filter").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(l_quantity"),
       s"missing pushdown:\n$plan")
+  }
+
+  test("bucketed co-located join: sort-merge join with NO exchange under it") {
+    // The 100 TB fact×fact shape: both sides pre-bucketed on the join
+    // key, so the SMJ consumes the bucketed scans directly. Everything
+    // BELOW the SortMergeJoin node must be exchange-free (the one
+    // shuffle in the query — the final rollup's — sits above it).
+    val plan = q("layout_bucketed_join").queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    val below = plan.split("SortMergeJoin", 2)(1)
+    assert(!below.contains("Exchange"),
+      s"exchange under the bucketed join (bucketing not used):\n$plan")
+  }
+
+  test("bucketed point lookup prunes to a single bucket") {
+    // The other payoff of bucketing: an equality predicate on the bucket
+    // column reads 1/N of the files before any row-level filtering — at
+    // 100 TB, the difference between a point lookup and a full scan.
+    val cust = Layout.bucketedTable(spark, Sf0001, "customer",
+      Tables(spark, Sf0001, "customer").select("c_custkey", "c_nationkey"), "c_custkey")
+    // DisableUnnecessaryBucketedScan turns bucketed reading off when no
+    // operator needs the distribution — it doesn't model bucket-filter
+    // pruning, so pin the scan on for the assertion.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val plan = cust.filter(col("c_custkey") === 42)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(s"SelectedBucketsCount: 1 out of ${Layout.LayoutBuckets}"),
+        s"bucket pruning missing from scan:\n$plan")
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("partitioned layout scan carries the month predicate as PartitionFilters") {
+    val plan = q("layout_partition_prune").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains(">= 199601"),
+      s"month predicate not pruned at partition level:\n$plan")
   }
 
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {

@@ -49,7 +49,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "and matches the DataFrame builder") {
     Tables.registerAll(spark, Sf0001)
     val names = SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(excluded.contains)
-    assert(names.size >= 83, s"portable surface shrank: ${names.size}")
+    assert(names.size >= 86, s"portable surface shrank: ${names.size}")
     val failures = names.flatMap { name =>
       try {
         val sqlText = SparkEntry.oracleSql(name)
