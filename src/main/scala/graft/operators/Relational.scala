@@ -637,6 +637,39 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("event_type"),
       None,
-      doc = "approx_percentile sketch; accuracy vs exact validated in ScalaTest, not DuckDB")
+      doc = "approx_percentile sketch; accuracy vs exact validated in ScalaTest, not DuckDB"),
+
+    // Q43 — count-min frequency sketch, completing the mergeable-sketch
+    // trio (q12 HLL distinct, q42 KLL-style quantile, q43 CMS
+    // frequency): a single-pass, fixed-memory (~150 KB at eps=1e-3,
+    // δ=0.001) answer to "how often does token X occur" over a corpus
+    // whose exact vocabulary count table would itself be shuffle-scale.
+    // The sketch aggregation is map-side mergeable (CMS adds commute),
+    // so 1000 executors each build a partial and ship kilobytes. We
+    // probe it for the exact top-10 tokens (deterministic tie-break)
+    // and emit exact vs estimate side by side; CMS guarantees
+    // est ≥ exact and P(est ≤ exact + eps·N) ≥ 1−δ — both
+    // spec-asserted (OperatorSpec), rows-only at the driver gate like
+    // its sketch siblings. The 10-row probe set and the KB-sized sketch
+    // are the only driver-side materializations.
+    "q43_approx_freq" -> QueryDef(
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+        val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+        val skBytes = toks
+          .select(count_min_sketch(col("token"), lit(0.001), lit(0.999), lit(42)).as("sk"))
+          .head.getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val probed = top.collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+        import s.implicits._
+        probed.toDF("token", "exact_cnt", "est_cnt").orderBy("token")
+      },
+      None,
+      doc = "count-min sketch frequency estimates for the exact top-10 tokens; " +
+        "over-estimate-only bound validated in ScalaTest, not DuckDB")
   )
 }

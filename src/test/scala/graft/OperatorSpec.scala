@@ -66,6 +66,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q43 count-min estimates over-approximate within eps*N of exact") {
+    // The CMS contract: estimate >= exact always (counters only ever
+    // add), and estimate <= exact + eps*N with prob 1-delta. At
+    // eps=1e-3, delta=1e-3, a violation here means a broken sketch, not
+    // bad luck.
+    val rows = q("q43_approx_freq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    val n = Tables(spark, Sf0001, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"token '$t': CMS underestimated ($est < $exact)")
+      assert(est <= exact + (0.001 * n).toLong + 1,
+        s"token '$t': estimate $est beyond eps*N bound of exact $exact (N=$n)")
+    }
+  }
+
   test("minhash-LSH dedup converges: re-running on the kept set only shrinks it") {
     // Keep-first LSH is not strictly idempotent (a dropped doc may have
     // been another bucket's min, exposing new comparisons on re-run), but
