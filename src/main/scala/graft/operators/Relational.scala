@@ -670,6 +670,38 @@ object Relational {
       },
       None,
       doc = "count-min sketch frequency estimates for the exact top-10 tokens; " +
-        "over-estimate-only bound validated in ScalaTest, not DuckDB")
+        "over-estimate-only bound validated in ScalaTest, not DuckDB"),
+
+    // Q44 — supplier-side revenue top-k (closes the one unqueried table:
+    // every Tables.names member now has at least one oracle row). The
+    // supplier dual of Q9's customer rollup, TPC-H Q15-shaped: lineitem ⋈
+    // supplier ⋈ nation, exact-integer revenue per supplier, top-10 by
+    // revenue with a unique-key tie-break so the LIMIT is deterministic.
+    // Scale shape: the fact-table shuffle is on l_suppkey only (partial
+    // aggregation map-side-combines first); supplier and nation are dims
+    // AQE broadcasts — no fact-fact shuffle join anywhere.
+    "q44_supplier_revenue" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(tbl(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(sum(revenueBp(col("l_extendedprice"), col("l_discount"))).as("revenue_bp"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_bp").desc, col("s_suppkey"))
+        .limit(10)
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("revenue_bp"),
+          (col("revenue_bp").cast("double") / 10000.0).as("revenue"),
+          col("n_items")),
+      Some("""SELECT s_suppkey, s_name, n_name,
+             |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT) * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS BIGINT) AS revenue_bp,
+             |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT) * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+             |  CAST(COUNT(*) AS BIGINT) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY s_suppkey, s_name, n_name
+             |ORDER BY revenue_bp DESC, s_suppkey LIMIT 10""".stripMargin),
+      doc = "supplier revenue top-10 (TPC-H Q15-shaped); exact-integer ranking key")
   )
 }

@@ -765,10 +765,18 @@ object TextOps {
     // unigram score cannot see); hapax_bigram counts pairs unique to the
     // corpus (the OCR-join/garbage analog of unigram rare_tok). Docs
     // with < 2 tokens have no bigrams and drop out (oracle agrees).
-    // Scale shape: one explode (≈ token count), two count relations
-    // (bigram vocab + head vocab) equi-joined back — AQE broadcasts
-    // real vocabularies; nothing is all-pairs. Same ppb overflow bound
-    // as text_unigram_lm: ship ppm scaling past ~9e9 corpus bigrams.
+    // Scale shape: one explode (≈ token count), immediately collapsed to
+    // per-(doc_id,w1,w2) counts — the probe stream the vocab joins see is
+    // distinct-bigrams-per-doc, NOT token occurrences, so a Zipf-head key
+    // ("the","of") probes once per document instead of once per occurrence
+    // and the explode is computed exactly once (localCheckpoint cuts the
+    // 3-consumer recompute). Both count relations (bigram vocab + head
+    // vocab) derive from the same pre-agg — AQE broadcasts real
+    // vocabularies; nothing is all-pairs. Occurrence-weighted stats are
+    // recovered exactly: Σ cond_ppb over occurrences = Σ k·cond_ppb over
+    // distinct pairs (every occurrence of a pair shares one cond_ppb).
+    // Same ppb overflow bound as text_unigram_lm: ship ppm scaling past
+    // ~9e9 corpus bigrams.
     "text_bigram_lm" -> QueryDef(
       (s, d) => {
         val bg = tbl(s, d, "documents")
@@ -779,15 +787,17 @@ object TextOps {
           .select(col("doc_id"),
             element_at(col("tk"), col("i")).as("w1"),
             element_at(col("tk"), col("i") + 1).as("w2"))
-        val heads = bg.groupBy("w1").agg(count(lit(1)).as("cnt1"))
-        val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-        bg.join(pairs, Seq("w1", "w2")).join(heads, Seq("w1"))
+        val docPairs = bg.groupBy("doc_id", "w1", "w2")
+          .agg(count(lit(1)).as("k")).localCheckpoint()
+        val heads = docPairs.groupBy("w1").agg(sum(col("k")).as("cnt1"))
+        val pairs = docPairs.groupBy("w1", "w2").agg(sum(col("k")).as("cnt2"))
+        docPairs.join(pairs, Seq("w1", "w2")).join(heads, Seq("w1"))
           .withColumn("cond_ppb", expr("cnt2 * 1000000000 div cnt1"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigram"),
-            expr("sum(cond_ppb) div count(1)").as("mean_cond_ppb"),
+          .agg(sum(col("k")).as("n_bigram"),
+            expr("sum(cond_ppb * k) div sum(k)").as("mean_cond_ppb"),
             min(col("cond_ppb")).as("min_cond_ppb"),
-            sum(when(col("cnt2") <= 1, 1L).otherwise(0L)).as("hapax_bigram"))
+            sum(when(col("cnt2") <= 1, col("k")).otherwise(0L)).as("hapax_bigram"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
