@@ -702,6 +702,45 @@ object Relational {
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY s_suppkey, s_name, n_name
              |ORDER BY revenue_bp DESC, s_suppkey LIMIT 10""".stripMargin),
-      doc = "supplier revenue top-10 (TPC-H Q15-shaped); exact-integer ranking key")
+      doc = "supplier revenue top-10 (TPC-H Q15-shaped); exact-integer ranking key"),
+
+    // Q45 — GROUPING SETS, completing the multi-granularity trio (q13
+    // ROLLUP, q14 CUBE): an explicit, non-hierarchical set list —
+    // (flag,status), (flag), () — i.e. "detail, by-flag, grand total"
+    // WITHOUT the by-status slice a CUBE would force. Same Expand-based
+    // physical plan (one scan, one shuffle); same spark.sql routing as q13
+    // (the DataFrame-API rollup/cube name-resolution trap). Keys have no
+    // NULLs in the data, so coalesce sentinels are collision-free.
+    "q45_grouping_sets" -> QueryDef(
+      (s, d) => {
+        val view = s"q45_base_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        tbl(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity").cast("long").as("qty"),
+            cents(col("l_extendedprice")).as("price_c"))
+          .createOrReplaceTempView(view)
+        val out = s.sql(s"""SELECT coalesce(l_returnflag, '(all)') AS flag_g,
+                |  coalesce(l_linestatus, '(all)') AS status_g,
+                |  sum(qty) AS sum_qty,
+                |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_price,
+                |  count(1) AS n
+                |FROM $view
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+                |ORDER BY flag_g, status_g""".stripMargin)
+        out.queryExecution.analyzed // force resolution before the view drops
+        s.catalog.dropTempView(view)
+        out
+      },
+      Some("""SELECT COALESCE(l_returnflag, '(all)') AS flag_g,
+             |  COALESCE(l_linestatus, '(all)') AS status_g,
+             |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+             |        CAST(round(l_extendedprice*100, 0) AS BIGINT) AS price_c
+             |      FROM lineitem)
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY flag_g, status_g""".stripMargin),
+      doc = "explicit GROUPING SETS (detail / by-flag / grand total) — the non-hierarchical multi-granularity aggregate q13/q14 can't express")
   )
 }

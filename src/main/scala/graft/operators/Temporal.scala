@@ -327,5 +327,58 @@ object Temporal {
              |  ON c.user_id = p.user_id AND p.ts >= c.ts
              | AND p.ts <= c.ts + INTERVAL 3600 SECONDS
              |ORDER BY click_id, purchase_id""".stripMargin),
-      doc = "SQ11's interval join run batch-bound under the oracle gate"))
+      doc = "SQ11's interval join run batch-bound under the oracle gate"),
+
+    // Q46 — regular-grid resample + LOCF gap-fill: per user, the daily
+    // closing value (last event of the day, ts/event_id tie-break) carried
+    // forward across days with no events — the canonical time-series
+    // densification every downstream daily-feature join needs (asset
+    // prices, sensor states, account balances). Two window passes and one
+    // bounded explode: the grid size is span-days per user (never
+    // cross-user), the LOCF is last(ignoreNulls) over an ordered per-user
+    // window — one shuffle on user_id total, since day-grid explode,
+    // left join, and fill window all share that partitioning. First grid
+    // day per user is an observed day by construction, so filled_c is
+    // never NULL. generate-series arithmetic kept to the q38 version-proof
+    // integer-offset form in the oracle.
+    "q46_resample_locf" -> QueryDef(
+      (s, d) => {
+        val wLast = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val daily = tbl(s, d, "events")
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+          .withColumn("rn", row_number().over(wLast))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), cents(col("value")).as("close_c"))
+        val grid = daily.groupBy("user_id")
+          .agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+          .select(col("user_id"), col("mind"),
+            explode(expr("sequence(0, datediff(maxd, mind))")).as("i"))
+          .select(col("user_id"), expr("date_add(mind, i)").as("day"))
+        val wFill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled_c", last(col("close_c"), ignoreNulls = true).over(wFill))
+          .withColumn("is_observed", col("close_c").isNotNull)
+          .select(col("user_id"), col("day"), col("filled_c"), col("is_observed"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, day, close_c FROM (
+             |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |      CAST(round(value*100) AS BIGINT) AS close_c,
+             |      row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+             |        ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM events) WHERE rn = 1),
+             |span AS (SELECT user_id, min(day) AS mind, max(day) AS maxd FROM daily GROUP BY user_id),
+             |grid AS (SELECT user_id, mind + CAST(i AS INTEGER) AS day
+             |         FROM (SELECT user_id, mind, unnest(generate_series(0, maxd - mind)) AS i FROM span))
+             |SELECT g.user_id, g.day,
+             |  CAST(last_value(d.close_c IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_c,
+             |  d.close_c IS NOT NULL AS is_observed
+             |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+             |ORDER BY g.user_id, g.day""".stripMargin),
+      doc = "daily-grid resample with last-observation-carried-forward; " +
+        "single user_id partitioning shared by grid, join, and fill window"))
 }

@@ -844,7 +844,92 @@ object TextOps {
               |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
               |  FROM documents)
               |ORDER BY doc_id""".stripMargin),
-      doc = "canonical lowercase/strip/collapse normalization; result proven by hash")
+      doc = "canonical lowercase/strip/collapse normalization; result proven by hash"),
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling" — public arXiv
+    // 2302.03169): score every document by how much more likely its tokens
+    // are under a TARGET domain's unigram distribution than under the full
+    // corpus's. Target here = lang='en' (the majority slice, standing in
+    // for "high-quality domain"); the log-ratio Σ log p_t/p_c becomes the
+    // repo's log-free integer analog Σ k·(ppb_target − ppb_corpus) — same
+    // ordering signal, exactly reproducible (the text_unigram_lm
+    // precedent). No final division: a signed integer division is the one
+    // arithmetic op whose truncation direction differs between engines,
+    // so we emit the exact numerator + n_tok and let consumers divide.
+    // Scale shape: one explode collapsed immediately to per-(doc,token)
+    // counts (the text_bigram_lm discipline — Zipf heads probe once per
+    // doc); two vocab-sized count relations equi-joined back; totals are
+    // two broadcast 1-row frames. Nothing is all-pairs; nothing collects.
+    "text_dsir_weight" -> QueryDef(
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+        val docTok = toks.groupBy("doc_id", "lang", "token")
+          .agg(count(lit(1)).as("k")).localCheckpoint()
+        val corpus = docTok.groupBy("token").agg(sum(col("k")).as("cnt_c"))
+        val target = docTok.filter(col("lang") === "en")
+          .groupBy("token").agg(sum(col("k")).as("cnt_t"))
+        val totC = corpus.agg(sum(col("cnt_c")).as("total_c"))
+        val totT = target.agg(sum(col("cnt_t")).as("total_t"))
+        docTok.join(corpus, Seq("token")).join(target, Seq("token"), "left")
+          .crossJoin(broadcast(totC)).crossJoin(broadcast(totT))
+          .withColumn("ppb_t", expr("coalesce(cnt_t, 0) * 1000000000 div total_t"))
+          .withColumn("ppb_c", expr("cnt_c * 1000000000 div total_c"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("k")).as("n_tok"),
+            sum(col("k") * (col("ppb_t") - col("ppb_c"))).as("dsir_sum_ppb"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+             |dt AS (SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS k
+             |       FROM toks GROUP BY doc_id, lang, token),
+             |corpus AS (SELECT token, CAST(sum(k) AS BIGINT) AS cnt_c FROM dt GROUP BY token),
+             |target AS (SELECT token, CAST(sum(k) AS BIGINT) AS cnt_t FROM dt WHERE lang = 'en' GROUP BY token),
+             |tc AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS total_c FROM corpus),
+             |tt AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS total_t FROM target)
+             |SELECT doc_id, lang, CAST(sum(k) AS BIGINT) AS n_tok,
+             |  CAST(sum(k * (divide(coalesce(cnt_t, 0) * 1000000000, total_t)
+             |             - divide(cnt_c * 1000000000, total_c))) AS BIGINT) AS dsir_sum_ppb
+             |FROM dt JOIN corpus USING (token) LEFT JOIN target USING (token)
+             |CROSS JOIN tc CROSS JOIN tt
+             |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
+      doc = "DSIR-style importance weight: integer-exact Σ k·(target-ppb − corpus-ppb) " +
+        "per doc vs the lang='en' target distribution"),
+
+    // Inverted-index build — the retrieval-side core op (BM25/impact
+    // indexes, contamination lookups, per-token routing): the full
+    // posting relation is (token, doc_id, tf) — ONE groupBy of the token
+    // explode, already corpus-partitioned by token at scale — and this
+    // query emits the per-token index header: document frequency, total
+    // term frequency, and the impact-ordered head posting (highest tf,
+    // doc_id tie-break — the first entry a BM25 scorer would visit).
+    // Scale shape: the per-token window ranks within a token's postings
+    // only (the shuffle is the same token hash the groupBy already did);
+    // output is vocabulary-sized.
+    "text_inverted_index" -> QueryDef(
+      (s, d) => {
+        val tf = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy("token").orderBy(col("tf").desc, col("doc_id"))
+        tf.withColumn("rn", row_number().over(w))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+            max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
+            max(when(col("rn") === 1, col("tf"))).as("top_tf"))
+          .orderBy("token")
+      },
+      Some("""WITH tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY token, doc_id),
+             |r AS (SELECT token, doc_id, tf,
+             |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn FROM tf)
+             |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+             |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS top_doc_id,
+             |  CAST(max(CASE WHEN rn = 1 THEN tf END) AS BIGINT) AS top_tf
+             |FROM r GROUP BY token ORDER BY token""".stripMargin),
+      doc = "inverted-index header per token: df, total tf, impact-ordered head posting")
   )
 
   /** Continuous sequence packing (see the pack_sequences entry above for

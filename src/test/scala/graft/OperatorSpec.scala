@@ -175,6 +175,7 @@ class OperatorSpec extends SparkSpec {
       "dedup_semantic",  // crossJoin(broadcast(16-row fixed centroid list))
       "text_tfidf",      // crossJoin(broadcast(1-row countDistinct scalar))
       "text_unigram_lm", // crossJoin(broadcast(1-row corpus-total scalar))
+      "text_dsir_weight", // crossJoin(broadcast(two 1-row total scalars))
       "q37_range_join",  // range containment vs broadcast 5-row tier dim
       "sample_mixture_plan") // crossJoin(broadcast(1-row total-budget scalar))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -382,6 +383,70 @@ class OperatorSpec extends SparkSpec {
         assert(byRank == byRank.sorted,
           s"shard $s rank order is not the restriction of the global key order")
       }
+    }
+  }
+
+  test("q46 LOCF: per-user grid is contiguous, observed days carry their close, gaps carry the last close") {
+    val rows = q("q46_resample_locf")
+      .select($"user_id", $"day".cast("string"), $"filled_c", $"is_observed")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      // contiguity: grid length == span in days (string dates sort chronologically)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last))
+      assert(days.size.toLong == span + 1, s"user $u grid has holes")
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.head._4, s"user $u first grid day must be observed")
+      // LOCF: a non-observed day's value equals the previous day's value
+      ordered.sliding(2).foreach {
+        case Seq(prev, cur) if !cur._4 =>
+          assert(cur._3 == prev._3, s"user $u ${cur._2}: gap day not carried forward")
+        case _ =>
+      }
+    }
+    // observed days must agree with an independently computed daily close
+    val expected = {
+      val ev = Tables(spark, Sf0001, "events")
+        .select($"user_id", date_trunc("day", $"ts").cast("string").as("day"),
+          $"ts", $"event_id", graft.Qh.cents($"value").as("c"))
+        .as[(Long, String, java.sql.Timestamp, Long, Long)].collect().toSeq
+      ev.groupBy(r => (r._1, r._2.substring(0, 10)))
+        .map { case (k, es) => k -> es.maxBy(e => (e._3.getTime, e._4))._5 }
+    }
+    rows.filter(_._4).foreach { case (u, day, c, _) =>
+      assert(expected((u, day.substring(0, 10))) == c, s"user $u $day close mismatch")
+    }
+  }
+
+  test("text_dsir_weight: target-language docs score higher than off-target on average") {
+    val rows = q("text_dsir_weight")
+      .select($"lang", $"dsir_sum_ppb", $"n_tok").as[(String, Long, Long)].collect().toSeq
+    val mean = rows.groupBy(_._1 == "en").map { case (k, rs) =>
+      // per-token-normalized mean so doc length doesn't dominate
+      k -> rs.map(r => r._2.toDouble / r._3).sum / rs.size
+    }
+    assert(mean(true) > mean(false),
+      s"en mean ${mean(true)} must exceed non-en mean ${mean(false)} — " +
+        "the importance weight must attract its own target distribution")
+  }
+
+  test("text_inverted_index: df/tf_total/head posting agree with an independent count") {
+    val idx = q("text_inverted_index")
+      .select($"token", $"df", $"tf_total", $"top_doc_id", $"top_tf")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val toks = Tables(spark, Sf0001, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .as[(Long, String)].collect().toSeq
+    val byTok = toks.groupBy(_._2)
+    assert(idx.map(_._1).toSet == byTok.keySet, "vocabulary mismatch")
+    idx.foreach { case (t, df, tfTotal, topDoc, topTf) =>
+      val postings = byTok(t).groupBy(_._1).map { case (d, xs) => (d, xs.size.toLong) }
+      assert(df == postings.size, s"$t df")
+      assert(tfTotal == postings.values.sum, s"$t tf_total")
+      val (bd, btf) = postings.toSeq.maxBy { case (d, tf) => (tf, -d) }
+      assert((topDoc, topTf) == (bd, btf), s"$t head posting")
     }
   }
 }
