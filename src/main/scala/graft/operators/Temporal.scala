@@ -363,6 +363,13 @@ object Temporal {
           .select(col("user_id"), col("day"), col("filled_c"), col("is_observed"))
           .orderBy("user_id", "day")
       },
+      // Oracle portability notes (the text runs verbatim in BOTH engines,
+      // SqlSurfaceSpec): the day span is epoch_us arithmetic, not
+      // maxd - mind (DATE−DATE is BIGINT days in DuckDB but an INTERVAL in
+      // Spark); LOCF is the gaps-and-islands sum/max pair, not IGNORE
+      // NULLS (DuckDB puts IGNORE NULLS inside the call parens, Spark
+      // outside — no verbatim-portable spelling exists). Each island grp
+      // holds exactly one observed close, so max() recovers it exactly.
       Some("""WITH daily AS (
              |  SELECT user_id, day, close_c FROM (
              |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -372,13 +379,21 @@ object Temporal {
              |    FROM events) WHERE rn = 1),
              |span AS (SELECT user_id, min(day) AS mind, max(day) AS maxd FROM daily GROUP BY user_id),
              |grid AS (SELECT user_id, mind + CAST(i AS INTEGER) AS day
-             |         FROM (SELECT user_id, mind, unnest(generate_series(0, maxd - mind)) AS i FROM span))
-             |SELECT g.user_id, g.day,
-             |  CAST(last_value(d.close_c IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_c,
-             |  d.close_c IS NOT NULL AS is_observed
-             |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
-             |ORDER BY g.user_id, g.day""".stripMargin),
+             |         FROM (SELECT user_id, mind,
+             |                 unnest(generate_series(0, CAST(divide(
+             |                   epoch_us(CAST(maxd AS TIMESTAMP)) - epoch_us(CAST(mind AS TIMESTAMP)),
+             |                   86400000000) AS INTEGER))) AS i
+             |               FROM span)),
+             |w AS (SELECT g.user_id AS user_id, g.day AS day, d.close_c AS close_c,
+             |        d.close_c IS NOT NULL AS is_observed,
+             |        sum(CASE WHEN d.close_c IS NOT NULL THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY g.user_id ORDER BY g.day
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+             |SELECT user_id, day,
+             |  CAST(max(close_c) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_c,
+             |  is_observed
+             |FROM w ORDER BY user_id, day""".stripMargin),
       doc = "daily-grid resample with last-observation-carried-forward; " +
         "single user_id partitioning shared by grid, join, and fill window"))
 }
