@@ -345,11 +345,15 @@ object Temporal {
       (s, d) => {
         val wLast = Window.partitionBy("user_id", "day")
           .orderBy(col("ts").desc, col("event_id").desc)
+        // localCheckpoint: daily is consumed twice (span→grid and the
+        // fill join) — without it the events scan + dedup window run
+        // twice (plan-audited; the text_bigram_lm docPairs precedent).
         val daily = tbl(s, d, "events")
           .withColumn("day", date_trunc("day", col("ts")).cast("date"))
           .withColumn("rn", row_number().over(wLast))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("day"), cents(col("value")).as("close_c"))
+          .localCheckpoint()
         val grid = daily.groupBy("user_id")
           .agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
           .select(col("user_id"), col("mind"),

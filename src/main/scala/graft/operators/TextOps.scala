@@ -904,20 +904,22 @@ object TextOps {
     // query emits the per-token index header: document frequency, total
     // term frequency, and the impact-ordered head posting (highest tf,
     // doc_id tie-break — the first entry a BM25 scorer would visit).
-    // Scale shape: the per-token window ranks within a token's postings
-    // only (the shuffle is the same token hash the groupBy already did);
-    // output is vocabulary-sized.
+    // Scale shape: the head posting is a struct-max argmax — max over
+    // (tf, −doc_id) is a deterministic total order (max_by would break
+    // ties arbitrarily), computes map-side inside the same partial
+    // aggregation as df/tf_total, and needs NO per-token sort or window:
+    // two exchanges total ((token,doc) then token), both with partial
+    // aggregation below them. Output is vocabulary-sized.
     "text_inverted_index" -> QueryDef(
       (s, d) => {
         val tf = tbl(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-        val w = Window.partitionBy("token").orderBy(col("tf").desc, col("doc_id"))
-        tf.withColumn("rn", row_number().over(w))
-          .groupBy("token")
+        tf.groupBy("token")
           .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
-            max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
-            max(when(col("rn") === 1, col("tf"))).as("top_tf"))
+            max(struct(col("tf"), (-col("doc_id")).as("nd"))).as("m"))
+          .select(col("token"), col("df"), col("tf_total"),
+            (-col("m.nd")).as("top_doc_id"), col("m.tf").as("top_tf"))
           .orderBy("token")
       },
       Some("""WITH tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
