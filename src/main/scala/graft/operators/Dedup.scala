@@ -382,6 +382,67 @@ object Dedup {
            |ORDER BY source, a, b""".stripMargin
       }),
 
+    // Character-level fuzzy dedup: exact Levenshtein edit RATE over the
+    // same MinHash-LSH candidates the shingle methods use. Token-set
+    // Jaccard is blind to character-level corruption (OCR noise, typo
+    // farms, template fills) because one flipped char destroys the whole
+    // token; edit distance sees it. Cost control at scale is structural:
+    // (a) candidates come from the band equi-join, never all-pairs; (b)
+    // the O(len²) DP runs on a 256-char prefix (bounded constant work per
+    // pair, and a prefix edit is a lower bound on the full-doc edit for
+    // same-prefix-length docs); (c) rate = dist × 1000 div max(len) in
+    // exact integer permille — both operands non-negative, so the one
+    // engine-divergent division (negative truncation) cannot occur.
+    "dedup_edit_distance" -> QueryDef(
+      (s, d) => {
+        val base = tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            substring(col("text"), 1, 256).as("pfx"),
+            shingles3(tokHashesSeq(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = base.withColumn("mhs", minhashSig(col("sh")))
+        val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
+        val pairs = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
+          .join(banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("b")),
+            Seq("source", "band", "bkey"))
+          .filter(col("a") < col("b"))
+          .select("source", "a", "b").distinct()
+        val pOf = base.select(col("doc_id"), col("pfx"))
+        pairs
+          .join(pOf.select(col("doc_id").as("a"), col("pfx").as("pa")), Seq("a"))
+          .join(pOf.select(col("doc_id").as("b"), col("pfx").as("pb")), Seq("b"))
+          .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+          .withColumn("edit_rate_milli",
+            expr("edit_dist * 1000 div greatest(length(pa), length(pb))"))
+          .filter(col("edit_rate_milli") <= 200)
+          .select("source", "a", "b", "edit_dist", "edit_rate_milli")
+          .orderBy("source", "a", "b")
+      },
+      Some {
+        val mhs = (0 until MinHashes).map(i => s"${minhashSql("sh", i)} AS mh$i").mkString(",\n    ")
+        val bandRows = (0 until Bands).map(j =>
+          s"SELECT source, doc_id, pfx, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH base AS (SELECT source, doc_id, substring(text, 1, 256) AS pfx,
+           |    ${shingles3Sql(tokHashesSeqSql("text"))} AS sh FROM documents),
+           |nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+           |sig AS (SELECT source, doc_id, pfx, sh,
+           |    $mhs
+           |  FROM nonempty),
+           |banded AS ($bandRows)
+           |SELECT DISTINCT x.source AS source, x.doc_id AS a, y.doc_id AS b,
+           |  CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS edit_dist,
+           |  CAST(divide(levenshtein(x.pfx, y.pfx) * 1000,
+           |       greatest(length(x.pfx), length(y.pfx))) AS BIGINT) AS edit_rate_milli
+           |FROM banded x JOIN banded y
+           |  ON x.source = y.source AND x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           |WHERE divide(levenshtein(x.pfx, y.pfx) * 1000,
+           |      greatest(length(x.pfx), length(y.pfx))) <= 200
+           |ORDER BY source, a, b""".stripMargin
+      },
+      doc = "Levenshtein edit-rate dedup over LSH candidates: the character-level " +
+        "near-dup signal token-set Jaccard cannot see; 256-char prefix bounds the DP"),
+
     // Asymmetric shingle CONTAINMENT among the same LSH candidates:
     // c(a→b) = |A∩B| / |A| catches partial duplication — a short doc
     // quoted/embedded inside a longer one — which symmetric Jaccard

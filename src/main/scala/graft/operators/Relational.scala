@@ -741,6 +741,71 @@ object Relational {
              |      FROM lineitem)
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
              |ORDER BY flag_g, status_g""".stripMargin),
-      doc = "explicit GROUPING SETS (detail / by-flag / grand total) — the non-hierarchical multi-granularity aggregate q13/q14 can't express")
+      doc = "explicit GROUPING SETS (detail / by-flag / grand total) — the non-hierarchical multi-granularity aggregate q13/q14 can't express"),
+
+    // Q47 — FULL OUTER join, the one join type the q04–q09 battery lacked:
+    // high-balance customers vs 1996 order rollups, keeping BOTH unmatched
+    // sides (rich customers who sat 1996 out / 1996 buyers below the
+    // balance bar) with an explicit side marker so the outer semantics are
+    // hash-gated, not just row-counted. Scale shape: the orders side is
+    // pre-aggregated to one row per custkey BEFORE the join (partial agg
+    // map-side), so the full-outer shuffle carries two customer-sized
+    // relations on the same key — never the raw fact table.
+    "q47_join_full_outer" -> QueryDef(
+      (s, d) => {
+        val cust = tbl(s, d, "customer")
+          .filter(col("c_acctbal") > 8000)
+          .select(col("c_custkey"), col("c_name"))
+        val ords = tbl(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("sum_c"))
+        cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+              .when(col("c_custkey").isNotNull, "cust_only")
+              .otherwise("orders_only").as("side"),
+            col("c_name"), col("n_orders"),
+            (col("sum_c").cast("double") / 100.0).as("sum_price"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+             |  CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+             |       WHEN c_custkey IS NOT NULL THEN 'cust_only'
+             |       ELSE 'orders_only' END AS side,
+             |  c_name, n_orders, CAST(sum_c AS DOUBLE) / 100.0 AS sum_price
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000) a
+             |FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_c
+             |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey) b
+             |ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin),
+      doc = "FULL OUTER join with explicit side markers; orders pre-aggregated before the join"),
+
+    // Q48 — distribution-window battery, completing q16's ranking family:
+    // ntile(4) quartile buckets, percent_rank, cume_dist per customer over
+    // a UNIQUE ordering (price desc, orderkey — ties would make all three
+    // engine-dependent). The doubles are (rn−1)/(n−1) and rn/n on small
+    // exact integers — the same single IEEE division in both engines.
+    "q48_window_distribution" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tbl(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "ntile/percent_rank/cume_dist over a unique ordering (deterministic by construction)")
   )
 }
