@@ -249,6 +249,114 @@ object Similarity {
       .limit(k)
   }
 
+  // --- product quantization (PQ): M×K codebooks + ADC ranking -----------
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each over the
+    * 64-dim embeddings, [[PqK]] centroids per subspace → one 4-bit code
+    * per subspace, 8 codes (4 bytes) per vector. This is the FAISS-style
+    * IVFADC compression stage: at 100 TB the raw float32 corpus is 256
+    * bytes/vector; PQ codes are 4 — a 64× memory shrink that turns an
+    * exact-rerank working set into a RAM-resident one. The decomposition
+    * and training mirror Jégou et al. 2011 ("Product Quantization for
+    * Nearest Neighbor Search", public IEEE TPAMI) — no external library.
+    */
+  val PqM = 8
+  val PqK = 16
+  val PqSubDim: Int = 64 / PqM
+
+  /** Subvector relation (vec_id, m, sub): dims [m·subdim, (m+1)·subdim). */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+
+  /** Nearest-codebook-entry per (vec_id, m): exact L2 argmin against the
+    * broadcast codebook of the SAME subspace. The argmin drops the
+    * row-constant ‖x‖² term (score = ‖c‖² − 2·x·c — same ordering), and
+    * ties break to the smaller code via min(struct). Like assignCells,
+    * groups on scalars — vectors never become shuffle keys. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val score = graft.plans.SumSq.column(col("cvec")) - lit(2.0) * dotD(col("sub"), col("cvec"))
+    subs.join(broadcast(cb), Seq("m"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(score.as("sc"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cent_id").as("code"))
+  }
+
+  /** Train all [[PqM]] codebooks SIMULTANEOUSLY with the
+    * [[trainCentroids]] integer-exact Lloyd's discipline — one distributed
+    * job per iteration covers every subspace, because the group keys are
+    * (m, code): seeds are the vec_id 1..K subvectors (the fixed
+    * deterministic rule), means are micro-quantized long sums
+    * (order-independent), empty cells keep their centroid, fixed iteration
+    * count. Codebook size M×K = 128 rows — always broadcastable. */
+  def trainPqCodebooks(emb: DataFrame, iters: Int = 2): DataFrame = {
+    val subs = pqSubvectors(emb).localCheckpoint(true) // reused every iteration
+    var cb = subs.filter(col("vec_id").between(1, PqK))
+      .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val asg = pqAssign(subs, cb)
+      val means = subs.join(asg, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sub")))
+        .select(col("m"), col("code"), col("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("m", "code", "pos")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .select(col("m"), col("code"), col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * 1e6)).cast("float").as("v"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x("v")).as("nvec"))
+      cb = cb
+        .join(means.select(col("m"), col("code").as("cent_id"), col("nvec")),
+          Seq("m", "cent_id"), "left")
+        .select(col("m"), col("cent_id"), coalesce(col("nvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(true) // M×K rows; truncate per-round lineage
+    }
+    cb
+  }
+
+  /** Encode the corpus: one 0..K−1 code per subspace, packed into an
+    * m-ordered array — the 4-byte PQ representation. */
+  def pqEncode(emb: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(emb), cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x("code")).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k: the query stays EXACT; each corpus
+    * vector is ranked by approximate cosine
+    * q·recon(codes) / (‖recon(codes)‖·‖q‖), where q·recon =
+    * Σ_m q_sub(m)·codebook[m][code] and ‖recon‖² = Σ_m ‖codebook[m][code]‖².
+    * Both per-subspace terms come from the M×K broadcast table (128 rows)
+    * and are micro-quantized to nano-longs BEFORE the per-vector sum —
+    * a float sum over an aggregation is order-dependent in its last ulp,
+    * which would make the ranking partitioning-dependent; long addition
+    * is exact. The corpus-side work never touches a float vector, only
+    * 4-bit codes. Ties break to the smaller vec_id. */
+  def pqAdcTopK(emb: DataFrame, cb: DataFrame, queryVec: Array[Float],
+      k: Int, excludeVecId: Long): DataFrame = {
+    val qnorm = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
+    val table = cb.select(col("m").as("tm"), col("cent_id"),
+      round(dotD(slice(typedLit(queryVec), col("m").cast("int") * PqSubDim + 1, lit(PqSubDim)),
+        col("cvec")) * 1e9).cast("long").as("pdot_nano"),
+      round(graft.plans.SumSq.column(col("cvec")) * 1e9).cast("long").as("ssq_nano"))
+    pqAssign(pqSubvectors(emb.filter(col("vec_id") =!= excludeVecId)), cb)
+      .join(broadcast(table),
+        col("m") === col("tm") && col("code") === col("cent_id"))
+      .groupBy("vec_id")
+      .agg(sum(col("pdot_nano")).as("dot_nano"), sum(col("ssq_nano")).as("ssq_nano"))
+      .select(col("vec_id"),
+        ((col("dot_nano").cast("double") / 1e9) /
+          (sqrt(col("ssq_nano").cast("double") / 1e9) * lit(qnorm))).as("adc_sim"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against one query vector (the baseline). */
   def cosineTopK(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
     val emb = tbl(s, d, "embeddings")
@@ -558,6 +666,28 @@ object Similarity {
               |FROM assigned a JOIN reps r USING (cell)
               |ORDER BY a.vec_id""".stripMargin),
       doc = "SemDeDup-style centroid-anchored semantic dedup: IVF cells + " +
-        s"cos-to-centroid >= $SemDedupTheta drops to the cell representative")
+        s"cos-to-centroid >= $SemDedupTheta drops to the cell representative"),
+
+    // PQ/ADC approximate top-k — the compression leg of the ANN triad
+    // (LSH buckets prune candidates, IVF cells prune partitions, PQ codes
+    // shrink the residency 64×): train the M×K codebooks (2 deterministic
+    // Lloyd iterations), encode the corpus to 4-bit codes, rank by
+    // asymmetric distance against the exact vec_id-0 query — the same
+    // query sim_cosine_topk answers exactly, so the two results are
+    // directly comparable. Rows-only at the driver gate (iterative
+    // k-means has no portable SQL form — the text_bpe_vocab precedent);
+    // PqSpec gates determinism, reconstruction-error ordering, the
+    // ADC ≡ q·reconstruction identity, and recall vs the exact baseline.
+    "sim_pq_adc" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val cb = trainPqCodebooks(emb, iters = 2)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head.getSeq[Float](0).toArray
+        pqAdcTopK(emb, cb, q, k = 5, excludeVecId = 0L)
+      },
+      None,
+      doc = "PQ-compressed ANN: 8×16 trained codebooks, 4-bit codes, " +
+        "asymmetric-distance top-5 for the sim_cosine_topk query; spec-gated")
   )
 }
