@@ -224,21 +224,30 @@ object Similarity {
     * cell list becomes a static `isin` predicate, so the scan shows
     * PartitionFilters and reads only the probed directories (IvfIndexSpec
     * asserts via the scan's numFiles metric). */
-  def ivfProbe(spark: SparkSession, indexDir: String, queryVec: Array[Float],
-      nprobe: Int = 4, k: Int = 5, excludeVecId: Option[Long] = None): DataFrame = {
-    def fold(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val qnorm = math.sqrt(fold(queryVec, queryVec))
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+  private def foldDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Driver-side nprobe cell choice against a materialized centroid table
+    * — bounded O(nlist), replicates [[dotD]]'s left-to-right fold
+    * bit-for-bit (shared by [[ivfProbe]] and [[ivfPqProbe]]). */
+  private def chooseProbeCells(spark: SparkSession, indexDir: String,
+      queryVec: Array[Float], nprobe: Int): IndexedSeq[Long] = {
+    val qnorm = math.sqrt(foldDot(queryVec, queryVec))
+    spark.read.parquet(s"$indexDir/centroids")
       .select(col("cent_id"), col("cvec"), col("cnorm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    val probeCells = cents
-      .map { case (id, cvec, cnorm) => (fold(queryVec, cvec) / (qnorm * cnorm), id) }
+      .map { case (id, cvec, cnorm) => (foldDot(queryVec, cvec) / (qnorm * cnorm), id) }
       .sortBy { case (csim, id) => (-csim, id) }
       .take(nprobe).map(_._2).toIndexedSeq
+  }
+
+  def ivfProbe(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      nprobe: Int = 4, k: Int = 5, excludeVecId: Option[Long] = None): DataFrame = {
+    val qnorm = math.sqrt(foldDot(queryVec, queryVec))
+    val probeCells = chooseProbeCells(spark, indexDir, queryVec, nprobe)
     val idx = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probeCells: _*))
     val excluded = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
@@ -336,25 +345,78 @@ object Similarity {
     * which would make the ranking partitioning-dependent; long addition
     * is exact. The corpus-side work never touches a float vector, only
     * 4-bit codes. Ties break to the smaller vec_id. */
-  def pqAdcTopK(emb: DataFrame, cb: DataFrame, queryVec: Array[Float],
-      k: Int, excludeVecId: Long): DataFrame = {
-    val qnorm = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
-    val table = cb.select(col("m").as("tm"), col("cent_id"),
+  /** The M×K query-vs-codebook table ADC ranking consumes: per (m, code),
+    * the query-subvector partial dot and the entry's squared norm, both
+    * micro-quantized to nano-longs so per-vector sums are exact. */
+  private def adcTable(cb: DataFrame, queryVec: Array[Float]): DataFrame =
+    cb.select(col("m").as("tm"), col("cent_id"),
       round(dotD(slice(typedLit(queryVec), col("m").cast("int") * PqSubDim + 1, lit(PqSubDim)),
         col("cvec")) * 1e9).cast("long").as("pdot_nano"),
       round(graft.plans.SumSq.column(col("cvec")) * 1e9).cast("long").as("ssq_nano"))
-    pqAssign(pqSubvectors(emb.filter(col("vec_id") =!= excludeVecId)), cb)
+
+  /** ADC ranking of a (vec_id, label, m, code) relation: exact nano-long
+    * sums per vector, then approximate cosine and deterministic top-k. */
+  private def adcRank(codesByM: DataFrame, table: DataFrame, qnorm: Double,
+      k: Int): DataFrame =
+    codesByM
       .join(broadcast(table),
         col("m") === col("tm") && col("code") === col("cent_id"))
-      .groupBy("vec_id")
-      .agg(sum(col("pdot_nano")).as("dot_nano"), sum(col("ssq_nano")).as("ssq_nano"))
-      .select(col("vec_id"),
+      .groupBy("vec_id", "label")
+      .agg(sum(col("pdot_nano")).as("dot_nano"), sum(col("ssq_nano")).as("sq_nano"))
+      .select(col("vec_id"), col("label"),
         ((col("dot_nano").cast("double") / 1e9) /
-          (sqrt(col("ssq_nano").cast("double") / 1e9) * lit(qnorm))).as("adc_sim"))
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .select(col("vec_id"), col("label"), col("adc_sim"))
+          (sqrt(col("sq_nano").cast("double") / 1e9) * lit(qnorm))).as("adc_sim"))
       .orderBy(col("adc_sim").desc, col("vec_id"))
       .limit(k)
+
+  def pqAdcTopK(emb: DataFrame, cb: DataFrame, queryVec: Array[Float],
+      k: Int, excludeVecId: Long): DataFrame = {
+    val qnorm = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
+    val codesByM = pqAssign(pqSubvectors(emb.filter(col("vec_id") =!= excludeVecId)), cb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("m"), col("code"))
+    adcRank(codesByM, adcTable(cb, queryVec), qnorm, k)
+  }
+
+  /** Write a combined IVF+PQ (IVFADC) index: the cells relation carries
+    * ONLY (vec_id, label, codes) — the 4-bit codes replace the raw
+    * float32 vectors, the 64× residency shrink that makes a 100 TB corpus
+    * probe-able — hive-partitioned by IVF cell, plus the nlist centroid
+    * table (cell choice) and the M×K codebook table (ADC reconstruction).
+    * Like [[writeIvfIndex]], the full corpus is touched exactly once. */
+  def writeIvfPqIndex(emb: DataFrame, indexDir: String, nlist: Int = 16,
+      pqIters: Int = 2, trainIters: Int = 0): Unit = {
+    val cents = if (trainIters > 0) trainCentroids(emb, nlist, trainIters)
+                else seedCentroids(emb, nlist)
+    val cb = trainPqCodebooks(emb, pqIters)
+    pqEncode(emb, cb)
+      .join(assignCells(emb, cents), Seq("vec_id"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/cells")
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: nprobe cells chosen driver-side
+    * (the [[ivfProbe]] rule — same centroid table, same fold), then ADC
+    * ranking over ONLY those cells' codes. The scan is partition-pruned
+    * AND reads 4 bytes of codes per vector instead of 256 of floats —
+    * both prunings compound at scale (nprobe/nlist of the rows, 1/64 of
+    * the bytes). */
+  def ivfPqProbe(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      nprobe: Int = 4, k: Int = 5, excludeVecId: Option[Long] = None): DataFrame = {
+    val qnorm = math.sqrt(foldDot(queryVec, queryVec))
+    val probeCells = chooseProbeCells(spark, indexDir, queryVec, nprobe)
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val idx = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probeCells: _*))
+    val ex = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    val codesByM = ex
+      .select(col("vec_id"), col("label"), posexplode(col("codes")))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("long").as("m"), col("col").as("code"))
+    adcRank(codesByM, adcTable(cb, queryVec), qnorm, k)
   }
 
   /** Brute-force cosine top-k against one query vector (the baseline). */
