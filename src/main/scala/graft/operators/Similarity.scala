@@ -384,16 +384,25 @@ object Similarity {
     * probe-able — hive-partitioned by IVF cell, plus the nlist centroid
     * table (cell choice) and the M×K codebook table (ADC reconstruction).
     * Like [[writeIvfIndex]], the full corpus is touched exactly once. */
+  /** Encode a relation into index rows (vec_id, label, codes, cell)
+    * against FIXED codebooks + centroids — shared by the bulk writer and
+    * the streaming ingest ([[graft.streaming.Streaming.pqIngest]]). */
+  def encodeForIndex(emb: DataFrame, cb: DataFrame, cents: DataFrame): DataFrame =
+    pqEncode(emb, cb)
+      .join(assignCells(emb, cents), Seq("vec_id"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+
   def writeIvfPqIndex(emb: DataFrame, indexDir: String, nlist: Int = 16,
       pqIters: Int = 2, trainIters: Int = 0): Unit = {
     val cents = if (trainIters > 0) trainCentroids(emb, nlist, trainIters)
                 else seedCentroids(emb, nlist)
     val cb = trainPqCodebooks(emb, pqIters)
-    pqEncode(emb, cb)
-      .join(assignCells(emb, cents), Seq("vec_id"))
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .select(col("vec_id"), col("label"), col("codes"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/cells")
+    // bulk build is batch=0; streaming increments write batch=1+id —
+    // uniform two-level layout so partition discovery unions them all and
+    // cell pruning applies across every batch.
+    encodeForIndex(emb, cb, cents)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/cells/batch=0")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }

@@ -275,6 +275,31 @@ object Streaming {
         kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
       }
 
+  /** Streaming ANN-index maintenance — the vector counterpart of
+    * [[nearDupIngest]]: each arriving embedding micro-batch is encoded
+    * against the index's FROZEN codebooks and centroid table (trained once
+    * at bulk-build time by [[graft.operators.Similarity.writeIvfPqIndex]] —
+    * the standard IVFADC operating mode: retraining is an offline rebuild,
+    * never an ingest-path concern) and written to its own versioned cells
+    * path `cells/batch=1+id/cell=K`. A replayed micro-batch overwrites the
+    * same path from the same input — idempotent at-least-once. Probes
+    * ([[graft.operators.Similarity.ivfPqProbe]]) see new vectors on their
+    * next run: partition discovery unions every batch directory and cell
+    * pruning applies across all of them. */
+  def pqIngest(stream: DataFrame, indexDir: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cb = s.read.parquet(s"$indexDir/codebooks")
+        val cents = s.read.parquet(s"$indexDir/centroids")
+        graft.operators.Similarity.encodeForIndex(batch, cb, cents)
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$indexDir/cells/batch=${batchId + 1}")
+      }
+
   /** Streaming cluster maintenance — the retain-and-track counterpart of
     * [[nearDupIngest]]: each micro-batch merges into the near-dup cluster
     * table ([[graft.operators.Dedup.mergeClusters]], closure update on a

@@ -21,7 +21,7 @@ class IvfPqSpec extends SparkSpec {
 
   test("index cells carry codes only — no float vectors (the 64x shrink)") {
     val idx = spark.read.parquet(s"$indexDir/cells")
-    assert(idx.columns.toSet == Set("vec_id", "label", "codes", "cell"),
+    assert(idx.columns.toSet == Set("vec_id", "label", "codes", "cell", "batch"),
       s"unexpected cells schema: ${idx.columns.mkString(",")}")
     assert(idx.count() == emb.count())
     assert(spark.read.parquet(s"$indexDir/codebooks").count() ==
@@ -87,4 +87,63 @@ class IvfPqSpec extends SparkSpec {
       .collect().toSeq.sortBy(_._1)
     assert(codes(indexDir) == codes(dir2), "IVFPQ index write is nondeterministic")
   }
+
+  test("streaming pqIngest extends the index against frozen codebooks; probes see the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_st_").toFile.getAbsolutePath
+    val dir = s"$root/index"
+    // bulk-build on the first half (contains the vec_id 1..K training
+    // seeds); stream the second half in afterwards.
+    val half = 250L
+    val base = emb.filter(col("vec_id") < half)
+    val late = emb.filter(col("vec_id") >= half)
+    Similarity.writeIvfPqIndex(base, dir)
+
+    val ms = MemoryStream[EmbRow](spark)
+    ms.addData(late.select($"vec_id", $"label", $"embedding")
+      .as[EmbRow].collect().toSeq)
+    val q = graft.streaming.Streaming.pqIngest(ms.toDF(), dir, s"$root/ckpt",
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val idx = spark.read.parquet(s"$dir/cells")
+    assert(idx.count() == emb.count(), "streamed vectors missing from the index")
+    assert(idx.select($"batch").distinct().as[Int].collect().toSet.size >= 2,
+      "stream increment must land in its own batch partition")
+
+    // probe over the union ≡ full ADC ranking (codes from the BASE-half
+    // codebooks — the frozen-training contract) restricted to the chosen
+    // cells, same construction as the bulk equivalence test.
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qn = math.sqrt(fold(qvec, qvec))
+    val chosen = spark.read.parquet(s"$dir/centroids")
+      .select($"cent_id", $"cvec", $"cnorm").as[(Long, Seq[Float], Double)].collect()
+      .map { case (id, cv, cn) => (fold(qvec, cv.toArray) / (qn * cn), id) }
+      .sortBy { case (s, id) => (-s, id) }.take(4).map(_._2).toSet
+    val cellOf = idx.select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val cbBase = spark.read.parquet(s"$dir/codebooks")
+    val fullAdc = Similarity.pqAdcTopK(emb, cbBase, qvec, k = 500, excludeVecId = 0L)
+      .select($"vec_id", $"label", $"adc_sim").as[(Long, Long, Double)].collect().toSeq
+    val probed = Similarity.ivfPqProbe(spark, dir, qvec, excludeVecId = Some(0L))
+      .select($"vec_id", $"label", $"adc_sim").as[(Long, Long, Double)].collect().toSeq
+    val expected = fullAdc.filter(r => chosen.contains(cellOf(r._1))).take(5)
+    assert(probed == expected,
+      s"union probe diverged:\n$probed\nvs\n$expected")
+    // both halves must actually be reachable from a probe at k = corpus
+    val allProbed = Similarity.ivfPqProbe(spark, dir, qvec, nprobe = 16, k = 500)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(allProbed.exists(_ < half) && allProbed.exists(_ >= half),
+      "probe at nprobe=nlist must reach both bulk and streamed vectors")
+  }
 }
+
+/** Top-level for Encoder derivation (the CDoc precedent). `label` is Int
+  * to match the parquet int32 exactly — a Long here would make streamed
+  * batches write int64 label files into a cells relation whose bulk batch
+  * is int32, splitting the parquet schema. */
+case class EmbRow(vec_id: Long, label: Int, embedding: Seq[Float])
