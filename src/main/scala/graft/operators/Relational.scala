@@ -806,6 +806,89 @@ object Relational {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
-      doc = "ntile/percent_rank/cume_dist over a unique ordering (deterministic by construction)")
+      doc = "ntile/percent_rank/cume_dist over a unique ordering (deterministic by construction)"),
+
+    // Q49 — statistics battery from EXACT integer moments: mean, population
+    // stddev, and Pearson correlation (value vs event time) per event_type.
+    // The built-in corr/stddev aggregates are single-pass co-moment
+    // recursions whose float state depends on accumulation order — never
+    // bit-stable across engines or partitionings — so the aggregation here
+    // is six exact long sums (n, Σx, Σy, Σx², Σy², Σxy) with map-side
+    // combine, and the statistics derive from them afterwards with one
+    // identical double expression per stat. Overflow budget: x = cents
+    // ≤ 5.7e4, y = minutes since 2024-01-01 ≤ 4.4e4 (the div-60 is what
+    // buys 100× headroom: Σy² ≤ 1.9e9·rows stays under 2^63 past 10^9
+    // rows per group). The double derivation (n·Σx² − Σx·Σx etc.) happens
+    // AFTER the exact aggregation, so even its 1e21-scale intermediates
+    // are fine — doubles carry the magnitude, and both engines execute
+    // the identical IEEE expression tree on identical integers.
+    "q49_stats_agg" -> QueryDef(
+      (s, d) => {
+        val dn = (c: org.apache.spark.sql.Column) => c.cast("double")
+        tbl(s, d, "events")
+          .select(col("event_type"),
+            cents(col("value")).as("x"),
+            expr("(unix_timestamp(ts) - 1704067200) div 60").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("event_type"), col("n"), col("sx"), col("sy"),
+            (dn(col("sx")) / dn(col("n"))).as("mean_cents"),
+            sqrt((dn(col("n")) * dn(col("sxx")) - dn(col("sx")) * dn(col("sx"))) /
+              (dn(col("n")) * dn(col("n")))).as("stddev_pop_cents"),
+            ((dn(col("n")) * dn(col("sxy")) - dn(col("sx")) * dn(col("sy"))) /
+              (sqrt(dn(col("n")) * dn(col("sxx")) - dn(col("sx")) * dn(col("sx"))) *
+                sqrt(dn(col("n")) * dn(col("syy")) - dn(col("sy")) * dn(col("sy"))))).as("corr_xy"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, n, sx, sy,
+             |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+             |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             |       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop_cents,
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+             |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             |        CAST(sum(x*y) AS BIGINT) AS sxy
+             |      FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+             |              divide(divide(epoch_us(ts), 1000000) - 1704067200, 60) AS y
+             |            FROM events)
+             |      GROUP BY event_type)
+             |ORDER BY event_type""".stripMargin),
+      doc = "mean/stddev_pop/corr from six exact long moments — engine-stable " +
+        "where built-in float co-moment aggregates are not"),
+
+    // Q50 — bag (multiset) set operations, completing q19's set family:
+    // INTERSECT ALL / EXCEPT ALL keep multiplicities (a customer with 3
+    // orders in 1996 and 2 in 1997 contributes min(3,2)=2 to the
+    // intersection and 3−2=1 to the difference — exactly what dedup-style
+    // DISTINCT set ops erase). Multiplicities are then counted per key so
+    // the output is deterministic under a unique (op, custkey) order.
+    "q50_setops_all" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val a = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        val b = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        val ia = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        val ea = a.exceptAll(b).withColumn("op", lit("except_all"))
+        ia.unionByName(ea)
+          .groupBy("op", "o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy("op", "o_custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+             |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+             |u AS (SELECT 'intersect_all' AS op, o_custkey
+             |        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+             |      UNION ALL
+             |      SELECT 'except_all', o_custkey
+             |        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+             |SELECT op, o_custkey, CAST(count(*) AS BIGINT) AS n
+             |FROM u GROUP BY op, o_custkey ORDER BY op, o_custkey""".stripMargin),
+      doc = "INTERSECT ALL / EXCEPT ALL with multiplicities counted per key")
   )
 }
