@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, FuncOps, Layout, Relational, Similarity, Skew, Temporal, TextOps}
+import graft.operators.{Bpe, Dedup, FuncOps, Graph, Layout, Relational, Similarity, Skew, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
   val allDefs: Seq[(String, QueryDef)] =
     Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Dedup.defs ++
       FuncOps.defs ++ Skew.defs ++ graft.multimodal.Multimodal.defs ++
-      Temporal.defs ++ Layout.defs ++ Bpe.defs
+      Temporal.defs ++ Layout.defs ++ Bpe.defs ++ Graph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY §7.2 minimum slice: scan → length-route → lexicon-score the

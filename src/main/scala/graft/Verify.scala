@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // Extra args = query-name filter (builder-local pre-flight loop with
+    // tools/selfcheck.py; the driver always passes exactly two args and
+    // gets the full dump + stale-clean).
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -20,7 +24,7 @@ object Verify {
     // Clear stale results first: a query that THROWS this run must not be
     // silently graded against a previous run's surviving parquet.
     val root = new java.io.File(outDir)
-    if (root.exists()) {
+    if (root.exists() && only.isEmpty) {
       def rm(f: java.io.File): Unit = {
         // don't follow symlinks (delete the link itself), tolerate
         // unlistable dirs (listFiles → null)
@@ -34,7 +38,10 @@ object Verify {
     }
     root.mkdirs()
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.isEmpty || only.contains(name)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,7 +49,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    System.err.println(s"[verify] done: ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} dumped")
+    System.err.println(s"[verify] done: ${selected.size - failed}/${selected.size} dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -889,6 +889,159 @@ object Relational {
              |        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
              |SELECT op, o_custkey, CAST(count(*) AS BIGINT) AS n
              |FROM u GROUP BY op, o_custkey ORDER BY op, o_custkey""".stripMargin),
-      doc = "INTERSECT ALL / EXCEPT ALL with multiplicities counted per key")
+      doc = "INTERSECT ALL / EXCEPT ALL with multiplicities counted per key"),
+
+    // Q53 — equi-width histogram: order totals binned into fixed $5,000
+    // buckets (integer cents arithmetic — `div` on exact cents, capped into
+    // a final overflow bucket with least()). Fixed bounds instead of a
+    // min/max pre-pass: binning stays a single map-side expression feeding
+    // one partial-aggregated groupBy — at 100 TB the histogram is one scan,
+    // one 12-row shuffle. Bucket bounds are emitted as exact doubles
+    // (integer * 5000.0) so the output is self-describing.
+    "q53_histogram" -> QueryDef(
+      (s, d) => {
+        tbl(s, d, "orders")
+          .select(expr("CAST(round(o_totalprice*100) AS BIGINT) div 500000").as("b0"),
+            cents(col("o_totalprice")).as("price_c"))
+          .select(least(col("b0"), lit(11L)).as("bucket"), col("price_c"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+          .select(col("bucket"),
+            (col("bucket").cast("double") * 5000.0).as("lo"),
+            when(col("bucket") < 11, (col("bucket") + 1).cast("double") * 5000.0)
+              .otherwise(lit(Double.PositiveInfinity)).as("hi"),
+            col("n"), (col("sum_c").cast("double") / 100.0).as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket,
+             |  CAST(bucket AS DOUBLE) * 5000.0 AS lo,
+             |  CASE WHEN bucket < 11 THEN CAST(bucket + 1 AS DOUBLE) * 5000.0
+             |       ELSE CAST('Infinity' AS DOUBLE) END AS hi,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_price
+             |FROM (SELECT LEAST(divide(CAST(round(o_totalprice*100) AS BIGINT), 500000), 11) AS bucket,
+             |        CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+             |      FROM orders)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin),
+      doc = "equi-width histogram over exact cents; single-scan fixed-bound binning"),
+
+    // Q54 — correlated subqueries, the Catalyst decorrelation surface the
+    // battery lacked: two correlated SCALAR subqueries (count and sum per
+    // customer) plus a correlated EXISTS, all decorrelated by the optimizer
+    // into aggregate-then-join — no per-row re-execution survives in the
+    // physical plan. The "above 2× the customer's average" predicate is the
+    // integer-exact cross-multiplied form (price_c · n > 2 · Σprice_c):
+    // no float average ever materializes, so engines can't drift. Built via
+    // spark.sql on the registered views — the subquery shape IS the point.
+    "q54_correlated" -> QueryDef(
+      (s, d) => {
+        graft.Tables.registerAll(s, d)
+        s.sql(CorrelatedSql)
+      },
+      Some(CorrelatedSql),
+      doc = "correlated scalar + EXISTS subqueries, decorrelated by Catalyst; " +
+        "integer-exact above-average predicate"),
+
+    // Q56 — arg-max/arg-min aggregates (max_by/min_by), the direct
+    // single-pass form of "who had the highest-valued event": no window,
+    // no self-join — one hash aggregate with map-side partial combine,
+    // which at 100 TB beats the row_number() formulation (q16) whenever
+    // only the extreme row is wanted. Determinism: the ordering value is
+    // value_c·10^10 + event_id — unique per row, so ties cannot make the
+    // chosen arg engine-dependent (bare max_by on a non-unique key is
+    // explicitly nondeterministic in BOTH engines).
+    "q56_argmax" -> QueryDef(
+      (s, d) => {
+        val keyed = tbl(s, d, "events")
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            cents(col("value")).as("value_c"))
+          .withColumn("ord", col("value_c") * lit(10000000000L) + col("event_id"))
+        keyed.groupBy("event_type")
+          .agg(max_by(col("user_id"), col("ord")).as("top_user"),
+            max(col("value_c")).as("max_value_c"),
+            min_by(col("user_id"), col("ord")).as("bottom_user"),
+            min(col("value_c")).as("min_value_c"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(max_by(user_id, ord) AS BIGINT) AS top_user,
+             |  CAST(max(value_c) AS BIGINT) AS max_value_c,
+             |  CAST(min_by(user_id, ord) AS BIGINT) AS bottom_user,
+             |  CAST(min(value_c) AS BIGINT) AS min_value_c,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT event_type, user_id,
+             |        CAST(round(value*100) AS BIGINT) AS value_c,
+             |        CAST(round(value*100) AS BIGINT) * 10000000000 + event_id AS ord
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "single-pass arg-max/arg-min (max_by/min_by) on a unique ordering " +
+        "value — the no-window extreme-row aggregate"),
+
+    // Q57 — order-independent table checksum: per (returnflag, linestatus)
+    // group, Σ of a deterministic per-row polynomial hash over every
+    // business column (floats rendered as exact integer-cent strings, the
+    // day-grained ship timestamp as its ISO date — the one string form
+    // both engines render identically; no float or sub-day timestamp
+    // FORMATTING enters the hash).
+    // Commutative addition makes the checksum partitioning- and
+    // order-invariant, so two 100 TB replicas compare with one cheap
+    // aggregate each — the anti-entropy primitive for corpus snapshots
+    // (and exactly how a migration from the reference store would be
+    // validated). Collision note: Σ of ~20-bit hashes is a weak adversarial
+    // MAC but a fine drift detector; sha2-based exact manifests live in
+    // corpus_manifest.
+    "q57_table_checksum" -> QueryDef(
+      (s, d) => {
+        val rowStr = concat_ws(":",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("long").cast("string"),
+          col("l_quantity").cast("long").cast("string"),
+          cents(col("l_extendedprice")).cast("string"),
+          cents(col("l_discount")).cast("string"),
+          cents(col("l_tax")).cast("string"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("date").cast("string"))
+        tbl(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), strHash(rowStr).as("h"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(col("h")).as("checksum"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(h) AS BIGINT) AS checksum
+              |FROM (SELECT l_returnflag, l_linestatus,
+              |        ${Qh.strHashSql(
+                 "concat_ws(':', CAST(l_orderkey AS STRING), " +
+                   "CAST(CAST(l_linenumber AS BIGINT) AS STRING), " +
+                   "CAST(CAST(l_quantity AS BIGINT) AS STRING), " +
+                   "CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS STRING), " +
+                   "CAST(CAST(round(l_discount*100) AS BIGINT) AS STRING), " +
+                   "CAST(CAST(round(l_tax*100) AS BIGINT) AS STRING), " +
+                   "l_returnflag, l_linestatus, " +
+                   "CAST(CAST(l_shipdate AS DATE) AS STRING))")} AS h
+              |      FROM lineitem)
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "order/partitioning-invariant per-group table checksum (sum of " +
+        "deterministic row hashes) — the replica anti-entropy primitive")
   )
+
+  /** q54's single text — the builder runs the oracle verbatim through
+    * spark.sql (the decorrelation rewrite is the operator under test).
+    * lazy: referenced from `defs` above, which initializes first (the
+    * [[graft.Qh]] object-init-order trap). */
+  private lazy val CorrelatedSql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM o
+      |WHERE price_c * (SELECT CAST(count(*) AS BIGINT) FROM o o2
+      |                 WHERE o2.o_custkey = o.o_custkey)
+      |      > 2 * (SELECT CAST(sum(o2.price_c) AS BIGINT) FROM o o2
+      |             WHERE o2.o_custkey = o.o_custkey)
+      |  AND EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 1000)
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -759,6 +759,69 @@ object Similarity {
       },
       None,
       doc = "PQ-compressed ANN: 8×16 trained codebooks, 4-bit codes, " +
-        "asymmetric-distance top-5 for the sim_cosine_topk query; spec-gated")
+        "asymmetric-distance top-5 for the sim_cosine_topk query; spec-gated"),
+
+    // Scalar quantization (int8) — the training-free leg of the
+    // compression family (PQ trains codebooks; SQ just rescales): each
+    // vector stores one double scale (max|v|/127) plus 64 int8 codes — a
+    // 4× shrink that keeps dot products as INTEGER arithmetic. The
+    // approximate dot is s_a·s_q·⟨codes_a,codes_q⟩: the integer inner
+    // product is exact in both engines and the two scale multiplies are
+    // one fixed IEEE expression, so unlike float-sum ANN scores the whole
+    // ranking is oracle-portable bit-for-bit. Rounding is floor(x+0.5),
+    // never round() — k=0 rounding is the one place HALF_UP (Spark) vs
+    // HALF_EVEN (DuckDB) could diverge on an exact .5 code. Scale shape:
+    // encode is one narrow map; at 100 TB the int8 corpus (plus scales)
+    // is what sits in memory, and this query IS the brute-force scan over
+    // it — recall vs the exact ranking is asserted in AnnRecallSpec.
+    "sim_sq8" -> QueryDef(
+      (s, d) => {
+        val maxAbs = aggregate(
+          transform(col("embedding"), v => abs(v.cast("double"))),
+          lit(0.0), (a, x) => greatest(a, x))
+        val enc = tbl(s, d, "embeddings")
+          .withColumn("scale", greatest(maxAbs, lit(1e-30)) / lit(127.0))
+          .withColumn("codes", transform(col("embedding"),
+            v => floor(v.cast("double") / col("scale") + lit(0.5)).cast("long")))
+        val q = enc.filter(col("vec_id") === 0)
+          .select(col("codes").as("p_codes"), col("scale").as("p_scale"),
+            col("embedding").as("p_emb"))
+        val idot = aggregate(
+          zip_with(col("codes"), col("p_codes"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v)
+        enc.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            (col("scale") * col("p_scale") * idot.cast("double")).as("adot"),
+            dotD(col("embedding"), col("p_emb")).as("exact_dot"))
+          .withColumn("abs_err", abs(col("adot") - col("exact_dot")))
+          .orderBy(col("adot").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH sq AS (SELECT vec_id, label, embedding,
+              |    greatest(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |        list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+              |      (a, x) -> greatest(a, x)), 1e-30) / 127.0 AS scale
+              |  FROM embeddings),
+              |enc AS (SELECT vec_id, label, embedding, scale,
+              |    list_transform(embedding,
+              |      v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes
+              |  FROM sq),
+              |q AS (SELECT codes AS p_codes, scale AS p_scale, embedding AS p_emb
+              |      FROM enc WHERE vec_id = 0)
+              |SELECT vec_id, label,
+              |  scale * p_scale * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(range(1, len(codes) + 1),
+              |      ii -> list_extract(codes, ii) * list_extract(p_codes, ii))),
+              |    (a, b) -> a + b) AS DOUBLE) AS adot,
+              |  ${dotSql("embedding", "p_emb")} AS exact_dot,
+              |  abs(scale * p_scale * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(range(1, len(codes) + 1),
+              |      ii -> list_extract(codes, ii) * list_extract(p_codes, ii))),
+              |    (a, b) -> a + b) AS DOUBLE) - ${dotSql("embedding", "p_emb")}) AS abs_err
+              |FROM enc CROSS JOIN q WHERE vec_id <> 0
+              |ORDER BY adot DESC, vec_id LIMIT 10""".stripMargin),
+      doc = "int8 scalar-quantized brute-force ANN: per-vector scale + " +
+        "integer inner product, oracle-exact ranking; 4x memory shrink at scale")
   )
 }

@@ -399,5 +399,173 @@ object Temporal {
              |  is_observed
              |FROM w ORDER BY user_id, day""".stripMargin),
       doc = "daily-grid resample with last-observation-carried-forward; " +
-        "single user_id partitioning shared by grid, join, and fill window"))
+        "single user_id partitioning shared by grid, join, and fill window"),
+
+    // Q51 — SCD Type-2 dimension build (slowly-changing attribute history):
+    // collapse each user's event stream into versioned [valid_from,
+    // valid_to) intervals of constant event_type, the standard warehouse
+    // change-tracking shape (gaps-and-islands: change flag → running sum →
+    // segment id → interval stitch with lead). Ordering key (ts, event_id)
+    // is unique, so versions are deterministic. Scale shape: ONE shuffle of
+    // the fact stream on user_id for the two stacked windows, then the
+    // groupBy reduces to segment granularity (~changes, not ~events) before
+    // the final interval window — the heavy windows and the cheap ones run
+    // on different row volumes by construction.
+    "q51_scd2" -> QueryDef(
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seg = tbl(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(wOrd).isNull ||
+              lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("chg")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wVer = Window.partitionBy("user_id").orderBy("valid_from")
+        seg.groupBy(col("user_id"), col("version"), col("event_type"))
+          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM events),
+             |seg AS (
+             |  SELECT user_id, ts, event_type,
+             |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+             |  FROM ordered),
+             |segs AS (
+             |  SELECT user_id, version, event_type, min(ts) AS valid_from,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM seg GROUP BY user_id, version, event_type)
+             |SELECT user_id, version, event_type, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+             |  n_events,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+             |FROM segs ORDER BY user_id, version""".stripMargin),
+      doc = "SCD Type-2 interval build via gaps-and-islands; versions keyed " +
+        "by a unique (ts, event_id) ordering"),
+
+    // Q52 — MERGE / upsert semantics (CDC apply): a keyed snapshot absorbs
+    // a change feed with all four outcomes — MATCHED+low-value → delete,
+    // MATCHED → update, NOT MATCHED BY SOURCE → keep, NOT MATCHED BY TARGET
+    // → insert. Key is (user_id, event_type); the snapshot deliberately
+    // covers only the user_id % 7 <> 0 cohort (a partial snapshot + full
+    // change feed — the realistic CDC bootstrap) so the insert path is
+    // populated at every SF. Both sides reduce to latest-per-key BEFORE the
+    // full-outer join (map-side-combinable row_number prune), so the join
+    // carries two key-sized relations, never the raw fact table — the same
+    // discipline as q47.
+    "q52_merge_upsert" -> QueryDef(
+      (s, d) => {
+        val cut = to_timestamp(lit("2024-01-25 00:00:00"))
+        val ev = tbl(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            cents(col("value")).as("value_c"))
+        val wLatest = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("rn", row_number().over(wLatest))
+            .filter(col("rn") === 1).drop("rn")
+        val base = latest(ev.filter(col("ts") < cut && pmod(col("user_id"), lit(7)) =!= 0))
+          .select(col("user_id").as("b_user"), col("event_type").as("b_type"),
+            col("value_c").as("b_value"), col("ts").as("b_ts"))
+        val chg = latest(ev.filter(col("ts") >= cut))
+          .select(col("user_id").as("c_user"), col("event_type").as("c_type"),
+            col("value_c").as("c_value"), col("ts").as("c_ts"))
+        base.join(chg,
+            col("b_user") === col("c_user") && col("b_type") === col("c_type"),
+            "full_outer")
+          .withColumn("action",
+            when(col("b_user").isNull, "insert")
+              .when(col("c_user").isNull, "keep")
+              .when(col("c_value") < 1000, "delete")
+              .otherwise("update"))
+          .filter(col("action") =!= "delete")
+          .select(
+            coalesce(col("b_user"), col("c_user")).as("user_id"),
+            coalesce(col("b_type"), col("c_type")).as("event_type"),
+            col("action"),
+            (coalesce(col("c_value"), col("b_value")).cast("double") / 100.0).as("value"),
+            coalesce(col("c_ts"), col("b_ts")).as("last_ts"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts, event_id,
+             |    CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+             |base AS (SELECT user_id, event_type, value_c, ts FROM
+             |  (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |     ORDER BY ts DESC, event_id DESC) AS rn
+             |   FROM ev WHERE ts < TIMESTAMP '2024-01-25 00:00:00' AND user_id % 7 <> 0)
+             |  WHERE rn = 1),
+             |chg AS (SELECT user_id, event_type, value_c, ts FROM
+             |  (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |     ORDER BY ts DESC, event_id DESC) AS rn
+             |   FROM ev WHERE ts >= TIMESTAMP '2024-01-25 00:00:00') WHERE rn = 1)
+             |SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+             |  COALESCE(b.event_type, c.event_type) AS event_type,
+             |  CASE WHEN b.user_id IS NULL THEN 'insert'
+             |       WHEN c.user_id IS NULL THEN 'keep'
+             |       WHEN c.value_c < 1000 THEN 'delete'
+             |       ELSE 'update' END AS action,
+             |  CAST(COALESCE(c.value_c, b.value_c) AS DOUBLE) / 100.0 AS value,
+             |  COALESCE(c.ts, b.ts) AS last_ts
+             |FROM base b FULL OUTER JOIN chg c
+             |  ON b.user_id = c.user_id AND b.event_type = c.event_type
+             |WHERE NOT (b.user_id IS NOT NULL AND c.user_id IS NOT NULL AND c.value_c < 1000)
+             |ORDER BY user_id, event_type""".stripMargin),
+      doc = "MERGE/upsert CDC apply over a keyed snapshot: insert/update/" +
+        "delete/keep, both sides latest-per-key-pruned before the full-outer join"),
+
+    // Q58 — ordered string aggregation (path analysis): each user's first
+    // ten event types, chronologically joined into a journey string — the
+    // funnel-exploration primitive ("what do users DO before purchasing").
+    // Spark's collect_list has no deterministic order, so the ordering is
+    // imposed structurally: collect structs keyed by (ts, event_id),
+    // array_sort (lexicographic on the unique key prefix), slice, project,
+    // join — every step deterministic. Scale shape: one shuffle on
+    // user_id; per-user payload is capped by the slice, and a 100 TB
+    // variant bounds the collect itself with the q16-style rank filter
+    // BEFORE aggregation (spelled here as the rn<=10 FILTER in the oracle).
+    "q58_user_journey" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        tbl(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            row_number().over(w).as("rn"))
+          .groupBy("user_id")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("rn") <= 10,
+                    struct(col("ts"), col("event_id"), col("event_type")))
+                    .otherwise(lit(null)))),
+                x => x.getField("event_type")),
+              ">").as("path"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      // In-aggregate ORDER BY is the one portable-SQL casualty here
+      // (SqlSurfaceSpec exclusion, the dedup_substring_cut precedent):
+      // DuckDB spells ordered aggregation string_agg(x, sep ORDER BY k)
+      // and Spark's parser rejects it; Spark's listagg WITHIN GROUP is in
+      // turn not DuckDB syntax. The oracle is the DuckDB spelling.
+      Some("""SELECT user_id,
+             |  string_agg(event_type, '>' ORDER BY ts, event_id)
+             |    FILTER (WHERE rn <= 10) AS path,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM (SELECT user_id, event_type, ts, event_id,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |      FROM events)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "ordered string aggregation: per-user chronological event path " +
+        "(first 10), deterministic via sort-by-unique-key structs"))
 }

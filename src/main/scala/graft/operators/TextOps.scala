@@ -509,6 +509,40 @@ object TextOps {
               |WHERE h < CASE WHEN source IN ('src0', 'src1') THEN 50 ELSE 10 END
               |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling without replacement — priority sampling (Duffield,
+    // Lund, Thorup, JACM 2007): per item draw u_i ∈ (0,1), keep the k
+    // SMALLEST priorities q_i = u_i / w_i per group; inclusion probability
+    // scales with weight w_i (here n_chars — length-proportional document
+    // sampling, the mixture-building workhorse). u_i is the deterministic
+    // polynomial hash of the doc id mapped into (0,1] — both engines
+    // compute the identical two-division double, so the sample is
+    // reproducible and oracle-exact. Scale shape: one narrow map to score,
+    // one row_number window per group — no global sort, no collect; at
+    // 100 TB the window's per-group top-k is the standard TopK pushdown
+    // shape (rank filter directly over the window).
+    "sample_weighted" -> QueryDef(
+      (s, d) => {
+        val u = (strHash(concat(col("doc_id").cast("string"), lit(":ws"))) + 1L)
+          .cast("double") / lit(HashP.toDouble)
+        val w = Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))
+        tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            (u / col("n_chars").cast("double")).as("priority"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .orderBy("source", "rn")
+      },
+      Some(s"""SELECT source, doc_id, n_chars, priority, rn FROM (
+              |  SELECT source, doc_id, n_chars, priority,
+              |    CAST(row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS BIGINT) AS rn
+              |  FROM (SELECT source, doc_id, n_chars,
+              |          CAST(${strHashSql(s"concat(CAST(doc_id AS STRING), ':ws')")} + 1 AS DOUBLE)
+              |            / ${HashP}.0 / CAST(n_chars AS DOUBLE) AS priority
+              |        FROM documents))
+              |WHERE rn <= 10 ORDER BY source, rn""".stripMargin),
+      doc = "priority sampling (u/w smallest-k per group): length-weighted " +
+        "reproducible document sampling without replacement"),
+
     // Greedy-cumsum shard packing: assign docs to ~2000-token shards per
     // (source) stream, in doc_id order — the sequence-packing step that
     // turns a curated corpus into training shards. Shard id =

@@ -177,7 +177,8 @@ class OperatorSpec extends SparkSpec {
       "text_unigram_lm", // crossJoin(broadcast(1-row corpus-total scalar))
       "text_dsir_weight", // crossJoin(broadcast(two 1-row total scalars))
       "q37_range_join",  // range containment vs broadcast 5-row tier dim
-      "sample_mixture_plan") // crossJoin(broadcast(1-row total-budget scalar))
+      "sample_mixture_plan", // crossJoin(broadcast(1-row total-budget scalar))
+      "sim_sq8")         // crossJoin(broadcast(1-row quantized query vector))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

@@ -43,7 +43,11 @@ class SqlSurfaceSpec extends SparkSpec {
       ("rebuilds the cut text with string_agg(tok, ' ' ORDER BY pos) — " +
         "in-aggregate ORDER BY is DuckDB/Postgres dialect Spark's parser " +
         "rejects, and Spark's collect_list has no deterministic order to " +
-        "substitute"))
+        "substitute"),
+    "q58_user_journey" ->
+      ("string_agg(event_type, '>' ORDER BY ts, event_id) — the same " +
+        "in-aggregate ORDER BY dialect gap as dedup_substring_cut (the " +
+        "builder uses the sort-structs-then-join formulation instead)"))
 
   test("every non-excluded oracle text runs verbatim through spark.sql " +
     "and matches the DataFrame builder") {
