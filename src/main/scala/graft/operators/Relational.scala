@@ -1025,7 +1025,35 @@ object Relational {
               |GROUP BY l_returnflag, l_linestatus
               |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       doc = "order/partitioning-invariant per-group table checksum (sum of " +
-        "deterministic row hashes) — the replica anti-entropy primitive")
+        "deterministic row hashes) — the replica anti-entropy primitive"),
+
+    // Q61 — mergeable distinct-count sketches: per-(event_type, day) HLL
+    // sketches (Apache DataSketches via hll_sketch_agg) UNIONED up to
+    // per-type totals with hll_union_agg. The union step is what q12's
+    // scalar approx_count_distinct cannot express: daily sketches are
+    // built once (e.g. by a nightly job), and any rollup window — week,
+    // month, all-time — is a cheap merge of 12-KB states instead of a
+    // re-scan of the raw 100 TB. Rows-only at the driver gate (sketch
+    // binaries are engine-specific; the text_bpe_vocab precedent);
+    // OperatorSpec bounds the estimate against the exact distinct count.
+    "q61_sketch_union" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"),
+            col("user_id"))
+          .groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            count(lit(1)).as("n_events"))
+        daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+              .as("approx_users"),
+            sum(col("n_events")).as("n_events"),
+            count(lit(1)).as("n_days"))
+          .orderBy("event_type")
+      },
+      None,
+      doc = "per-day HLL sketches merged to per-type distinct-user counts " +
+        "(hll_sketch_agg + hll_union_agg): build once, merge any window; spec-gated")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

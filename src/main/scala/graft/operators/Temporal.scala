@@ -567,5 +567,104 @@ object Temporal {
              |      FROM events)
              |GROUP BY user_id ORDER BY user_id""".stripMargin),
       doc = "ordered string aggregation: per-user chronological event path " +
-        "(first 10), deterministic via sort-by-unique-key structs"))
+        "(first 10), deterministic via sort-by-unique-key structs"),
+
+    // Q59 — robust statistics: EXACT per-group median and MAD (median
+    // absolute deviation) over integer cents, plus a 5-MAD outlier count —
+    // the scaling/winsorization pre-pass of a feature pipeline. The
+    // median is the LOWER order statistic at rank (n+1) div 2 (a value
+    // actually present in the data — no float interpolation to drift
+    // between engines), selected by a row_number window; MAD repeats the
+    // selection over |x − med|. Two ranked passes is the inherent cost of
+    // exactness: each is one per-group sort (fine for bounded group
+    // counts; the sketch path for unbounded data is q42's
+    // percentile_approx). The outlier count then reuses the dev stream.
+    "q59_robust_scale" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+          .select(col("event_type"), col("event_id"), cents(col("value")).as("x"))
+          .localCheckpoint() // consumed 3x (median, deviations, outliers)
+        val st = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val w1 = Window.partitionBy("event_type").orderBy(col("x"), col("event_id"))
+        val med = ev.withColumn("rn", row_number().over(w1))
+          .join(st, Seq("event_type"))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col("x").as("med_c"))
+        val dev = ev.join(med, Seq("event_type"))
+          .select(col("event_type"), col("event_id"), abs(col("x") - col("med_c")).as("ad"))
+          .localCheckpoint() // consumed 2x (MAD rank, outlier count)
+        val w2 = Window.partitionBy("event_type").orderBy(col("ad"), col("event_id"))
+        val mad = dev.withColumn("rn", row_number().over(w2))
+          .join(st, Seq("event_type"))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col("ad").as("mad_c"))
+        val out = dev.join(mad, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum(when(col("ad") > lit(5L) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"))
+        st.join(med, Seq("event_type")).join(mad, Seq("event_type"))
+          .join(out, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("med_c"), col("mad_c"), col("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id,
+             |    CAST(round(value*100) AS BIGINT) AS x FROM events),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |       FROM ev GROUP BY event_type),
+             |r1 AS (SELECT event_type, x,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn
+             |       FROM ev),
+             |med AS (SELECT r1.event_type, r1.x AS med_c
+             |        FROM r1 JOIN st ON r1.event_type = st.event_type
+             |        WHERE r1.rn = divide(st.n + 1, 2)),
+             |dev AS (SELECT ev.event_type, ev.event_id, abs(ev.x - med.med_c) AS ad
+             |        FROM ev JOIN med ON ev.event_type = med.event_type),
+             |r2 AS (SELECT event_type, ad,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn
+             |       FROM dev),
+             |mad AS (SELECT r2.event_type, r2.ad AS mad_c
+             |        FROM r2 JOIN st ON r2.event_type = st.event_type
+             |        WHERE r2.rn = divide(st.n + 1, 2)),
+             |outl AS (SELECT dev.event_type,
+             |           CAST(sum(CASE WHEN dev.ad > 5 * mad.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |         FROM dev JOIN mad ON dev.event_type = mad.event_type
+             |         GROUP BY dev.event_type)
+             |SELECT st.event_type AS event_type, st.n AS n, med.med_c AS med_c,
+             |  mad.mad_c AS mad_c, outl.n_outliers AS n_outliers
+             |FROM st JOIN med ON st.event_type = med.event_type
+             |  JOIN mad ON st.event_type = mad.event_type
+             |  JOIN outl ON st.event_type = outl.event_type
+             |ORDER BY event_type""".stripMargin),
+      doc = "exact median + MAD + 5-MAD outlier count per group — the " +
+        "no-interpolation order-statistic form, engine-stable by construction"),
+
+    // Q60 — incremental view maintenance: the daily rollup is maintained
+    // as base (ts < cut) plus delta (ts >= cut) PARTIAL aggregates whose
+    // merge re-aggregates the partials — count→sum, sum→sum. The oracle
+    // is the one-shot full rollup: algebraic decomposition must be
+    // result-invisible. This is the batch proof of the property every
+    // streaming update-mode aggregate (SQ10) and every AQE partial-agg
+    // plan relies on; at 100 TB it is how yesterday's materialized rollup
+    // absorbs today's increment without a full recompute.
+    "q60_ivm_rollup" -> QueryDef(
+      (s, d) => {
+        val cut = to_timestamp(lit("2024-01-20 00:00:00"))
+        val ev = tbl(s, d, "events")
+          .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"),
+            col("ts"), cents(col("value")).as("v"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type", "day")
+            .agg(count(lit(1)).as("pn"), sum(col("v")).as("psum"))
+        partial(ev.filter(col("ts") < cut))
+          .unionByName(partial(ev.filter(col("ts") >= cut)))
+          .groupBy("event_type", "day")
+          .agg(sum(col("pn")).as("n"), sum(col("psum")).as("sum_c"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM events GROUP BY event_type, day
+             |ORDER BY event_type, day""".stripMargin),
+      doc = "incremental aggregate maintenance: base+delta partial rollups " +
+        "merged by re-aggregation ≡ the one-shot rollup (oracle-gated)"))
 }

@@ -41,6 +41,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q61 unioned daily HLL sketches land within 5% of the exact distinct-user count") {
+    val approx = q("q61_sketch_union")
+      .select(col("event_type"), col("approx_users").cast("long"))
+      .as[(String, Long)].collect().toMap
+    val exact = Tables(spark, Sf0001, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05, s"type $k: ${approx(k)} vs $ex")
+    }
+  }
+
   test("q42 approx_percentile lands within a ±2%-rank window of the exact order statistic") {
     // percentile_approx returns an actual data value near the target rank;
     // comparing VALUES against the interpolating exact percentile is the
