@@ -162,6 +162,21 @@ class GraphLayoutSpec extends SparkSpec {
       s"length-weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("rank-filter queries hit WindowGroupLimit: per-partition top-k before the shuffle") {
+    // Spark 3.5+ pushes `row_number() <= k` through a WindowGroupLimit
+    // node in PARTIAL mode under the exchange — each map task keeps at
+    // most k rows per group, so the window shuffle carries candidates,
+    // not the corpus. This is the property that makes the top-k-per-group
+    // formulation scale; assert the optimization actually engages for the
+    // queries built on it.
+    for (name <- Seq("sample_weighted", "q52_merge_upsert")) {
+      val plan = SparkEntry.queries(name)(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: rank filter did not engage WindowGroupLimit\n${plan.take(2000)}")
+    }
+  }
+
   test("q54 correlated subqueries decorrelate: no per-row subquery execution in the plan") {
     val plan = q("q54_correlated").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "decorrelation produced a cartesian")
