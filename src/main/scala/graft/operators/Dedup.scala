@@ -243,6 +243,71 @@ object Dedup {
               |FROM (SELECT source, doc_id, ${strHashSql("lower(trim(text))")} AS fp FROM documents)
               |GROUP BY source, fp ORDER BY source, keep_id""".stripMargin)),
 
+    // URL-canonicalization dedup — the first dedup any web-crawl corpus
+    // runs, BEFORE content hashing: the same article arrives under
+    // mixed-case hosts, tracking query params (utm_*, ref), shuffled
+    // param order, and trailing slashes. Each doc gets a DETERMINISTIC
+    // synthetic messy URL (testdata carries none; the text_pii_redact
+    // precedent); canonicalization lowercases scheme+host ONLY (paths
+    // are case-sensitive), drops tracking params, sorts the survivors,
+    // and strips the trailing slash — then keep-first groups on the
+    // canonical string. All per-row regex/array work; the one shuffle is
+    // the final groupBy on the canonical key. Regex discipline: '?' is
+    // split through char-class patterns ('[?]', '^[^?]+') because a bare
+    // '?' is a regex metachar in Spark's split but a literal in
+    // DuckDB's string_split — no verbatim-portable bare spelling exists.
+    "dedup_url_canonical" -> QueryDef(
+      (s, d) => {
+        val item = pmod(col("doc_id"), lit(60L)).cast("string")
+        val url = concat(lit("https://WWW.Example.COM/"), col("source"),
+          lit("/item/"), item, lit("/?utm_source=rss&id="), item,
+          lit("&utm_campaign=c"), pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit("&ref=feed"))
+        val pathPart = regexp_extract(url, "^[^?]+", 0)
+        val query = regexp_extract(url, "[?](.*)$", 1)
+        val host = regexp_extract(pathPart, "^[^/]*//[^/]*", 0)
+        val rest = expr("substring(path_part, length(host_part) + 1)")
+        val kept = array_sort(filter(split(query, "&"),
+          p => !(p.like("utm_%") || p.like("ref=%"))))
+        tbl(s, d, "documents")
+          .withColumn("path_part", pathPart).withColumn("host_part", host)
+          .withColumn("url_canon", concat(lower(col("host_part")),
+            regexp_replace(rest, "/$", ""),
+            when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+              .otherwise(lit(""))))
+          .groupBy("url_canon")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://WWW.Example.COM/' || source || '/item/' ||
+             |      CAST(doc_id % 60 AS STRING) || '/?utm_source=rss&id=' ||
+             |      CAST(doc_id % 60 AS STRING) || '&utm_campaign=c' ||
+             |      CAST(doc_id % 7 AS STRING) || '&ref=feed' AS url
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |        regexp_extract(url, '^[^?]+', 0) AS path_part,
+             |        regexp_extract(url, '[?](.*)$', 1) AS query
+             |      FROM u),
+             |h AS (SELECT doc_id, path_part, query,
+             |        regexp_extract(path_part, '^[^/]*//[^/]*', 0) AS host_part
+             |      FROM p),
+             |c AS (SELECT doc_id,
+             |        lower(host_part) ||
+             |        regexp_replace(substring(path_part, len(host_part) + 1), '/$', '') ||
+             |        CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
+             |                 q -> NOT (q LIKE 'utm_%' OR q LIKE 'ref=%')))) > 0
+             |             THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+             |                 q -> NOT (q LIKE 'utm_%' OR q LIKE 'ref=%'))), '&')
+             |             ELSE '' END AS url_canon
+             |      FROM h)
+             |SELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM c GROUP BY url_canon ORDER BY keep_id""".stripMargin),
+      doc = "canonical-URL keep-first dedup: lowercase host, tracking " +
+        "params dropped, params sorted, trailing slash stripped"),
+
     // MinHash + LSH dedup: signature → band keys → bucket-group → verify
     // each doc ONLY against its bucket's min doc_id → drop on Jaccard >=
     // 0.7 → emit the kept corpus. This is the 100 TB shape: a pair-list

@@ -98,6 +98,105 @@ object Graph {
              |SELECT node, deg, pr, CAST(pr AS DOUBLE) / 1000000000000.0 AS score
              |FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin),
       doc = "3-superstep integer-exact PageRank (d=0.85) over the " +
-        "customer↔supplier co-purchase graph; localCheckpoint lineage control")
+        "customer↔supplier co-purchase graph; localCheckpoint lineage control"),
+
+    // Q66 — triangle counting (Schank–Wagner degree-oriented edge
+    // iterator) over the k-NN graph of the embedding corpus: nodes are
+    // vectors, edges the symmetrized sim_knn_join top-3 neighbor pairs.
+    // Triangles here measure LOCAL CLUSTERING of the embedding manifold
+    // — the diversity/redundancy signal curation pipelines read (a
+    // triangle-dense neighborhood is a tight semantic clump; SemDeDup's
+    // targets are exactly the high-clustering regions). Why this graph:
+    // its density is scale-INVARIANT by construction (m ≤ 3n — a
+    // co-occurrence projection saturates to a clique as the corpus
+    // grows), so the wedge join's Σ outdeg² cost stays linear-ish in n
+    // at every sf. Every edge is oriented from the lower-(degree, id)
+    // endpoint to the higher; a wedge a→b, a→c (b≺c) closes into a
+    // triangle iff edge b→c exists — each triangle found EXACTLY once,
+    // Σ outdeg² bounded by O(m^1.5) (the standard distributed
+    // formulation; hub wedges never explode because hubs sit on the
+    // RECEIVING end of the orientation). The ≺ order rides in one
+    // integer key deg·2^40 + id (ids < 2^40; at bigger id spaces widen
+    // the shift — the q55 R0 rescaling note). Two self-equi-joins + one
+    // groupBy; no cartesian anywhere.
+    "q66_triangles" -> QueryDef(
+      (s, d) => {
+        import Similarity.{dotD, lshBucket, normD}
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding")).as("bucket"), normD(col("embedding")).as("nrm"))
+        val knn = emb
+          .join(emb.select(col("bucket"), col("vec_id").as("nbr_id"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("bucket"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            (dotD(col("embedding"), col("eb")) / (col("nrm") * col("nb"))).as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+        val pairs = knn.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(least(col("vec_id"), col("nbr_id")).as("u"),
+            greatest(col("vec_id"), col("nbr_id")).as("v"))
+          .distinct().localCheckpoint()
+        val deg = pairs.select(col("u").as("n"))
+          .union(pairs.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val shift = 1099511627776L // 2^40
+        val keyed = pairs
+          .join(deg.select(col("n").as("u"), (col("deg") * shift + col("u")).as("ku")), Seq("u"))
+          .join(deg.select(col("n").as("v"), (col("deg") * shift + col("v")).as("kv")), Seq("v"))
+        val e = keyed.select(
+            when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("a"),
+            when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("b"),
+            greatest(col("ku"), col("kv")).as("kb"))
+          .localCheckpoint()
+        val wedges = e.as("x").join(e.as("y"),
+            col("x.a") === col("y.a") && col("x.kb") < col("y.kb"))
+          .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+        val tri = wedges.join(e.as("z"),
+            col("tb") === col("z.a") && col("tc") === col("z.b"))
+          .select(explode(array(col("ta"), col("tb"), col("tc"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("tri"))
+        deg.join(tri, Seq("n"), "left")
+          .select(col("n").as("vec_id"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"))
+          .orderBy(col("tri").desc, col("vec_id")).limit(20)
+      },
+      Some {
+        import Similarity.{dotSql, lshBucketSql, normSql}
+        s"""WITH emb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+           |    ${normSql("embedding")} AS nrm FROM embeddings),
+           |knn AS (
+           |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+           |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+           |  FROM emb x JOIN emb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+           |pairs AS (SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+           |          FROM (SELECT vec_id, nbr_id,
+           |                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
+           |                FROM knn) WHERE rnk <= 3),
+           |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+           |          SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+           |        GROUP BY n),
+           |e AS (SELECT CASE WHEN du.deg * 1099511627776 + u < dv.deg * 1099511627776 + v
+           |                  THEN u ELSE v END AS a,
+           |             CASE WHEN du.deg * 1099511627776 + u < dv.deg * 1099511627776 + v
+           |                  THEN v ELSE u END AS b,
+           |             greatest(du.deg * 1099511627776 + u, dv.deg * 1099511627776 + v) AS kb
+           |      FROM pairs JOIN deg du ON pairs.u = du.n
+           |                 JOIN deg dv ON pairs.v = dv.n),
+           |closed AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+           |           FROM e x JOIN e y ON x.a = y.a AND x.kb < y.kb
+           |                    JOIN e z ON x.b = z.a AND y.b = z.b),
+           |tri AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
+           |          SELECT unnest(list_value(ta, tb, tc)) AS n FROM closed)
+           |        GROUP BY n)
+           |SELECT deg.n AS vec_id, deg.deg AS deg,
+           |  CAST(coalesce(tri.tri, 0) AS BIGINT) AS tri
+           |FROM deg LEFT JOIN tri ON deg.n = tri.n
+           |ORDER BY tri DESC, vec_id LIMIT 20""".stripMargin
+      },
+      doc = "degree-oriented edge-iterator triangle count over the " +
+        "symmetrized k-NN(3) embedding graph — local clustering of the " +
+        "manifold; m ≤ 3n edges, Σ outdeg² wedge bound")
   )
 }

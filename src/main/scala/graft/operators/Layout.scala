@@ -150,6 +150,49 @@ object Layout {
     path
   }
 
+  /** Write `df` deliberately FRAGMENTED (`files` small files) — the
+    * "streaming ingest left a mess" fixture compaction cleans up.
+    * Memoized like [[bucketedTable]]. */
+  def fragmentedLayout(dir: String, name: String, df: => DataFrame,
+      files: Int): String = {
+    val path = s"$layoutRoot/graft_frag_${name}_${dirKey(dir)}"
+    written.computeIfAbsent(s"$dir#$path", { _ =>
+      df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+      path
+    })
+    path
+  }
+
+  /** Small-file compaction: rewrite a fragmented layout as
+    * ⌈rows / targetRows⌉ range-partitioned files CLUSTERED on `keyCol`
+    * (global range partition + in-file sort), and return the new path.
+    *
+    * This is the maintenance op every streaming/incremental pipeline
+    * needs at scale: micro-batch sinks and per-task writers leave
+    * thousands of KB-sized files per partition, and scan throughput on
+    * 100 TB dies on open/footer overhead long before bytes do. The
+    * rewrite costs ONE shuffle (range exchange), and because the new
+    * files are key-clustered it simultaneously buys file-level min/max
+    * skipping on `keyCol` — compaction and clustering in the same pass
+    * (the Delta/Iceberg OPTIMIZE shape). Content preservation is proven
+    * in the spec with the q57 order-invariant checksum; file count,
+    * per-file bounds, and disjoint key ranges are asserted there too.
+    */
+  def compactLayout(spark: SparkSession, fragPath: String, keyCol: String,
+      targetRows: Long): String = {
+    val out = s"$fragPath-compact"
+    written.computeIfAbsent(s"compact#$out", { _ =>
+      val df = spark.read.parquet(fragPath)
+      val rows = df.count()
+      val nFiles = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+      df.repartitionByRange(nFiles, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      out
+    })
+    out
+  }
+
   /** Orders with the yyyymm partition key the month layout is keyed by. */
   private def ordersWithYm(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "orders").withColumn("ym",

@@ -1053,7 +1053,106 @@ object Relational {
       },
       None,
       doc = "per-day HLL sketches merged to per-type distinct-user counts " +
-        "(hll_sketch_agg + hll_union_agg): build once, merge any window; spec-gated")
+        "(hll_sketch_agg + hll_union_agg): build once, merge any window; spec-gated"),
+
+    // Q64 — LATERAL correlated subquery (per-group top-k as a join
+    // operator). The ORACLE text is the operator under test: a
+    // `nation, LATERAL (SELECT … WHERE correlated ORDER BY … LIMIT 2)`
+    // that both DuckDB and Spark 4 execute — Spark decorrelates the
+    // LIMIT-inside-lateral into exactly the window-rank plan
+    // (DecorrelateInnerQuery), which is what the DataFrame side
+    // declares directly. That window form engages WindowGroupLimit
+    // (partial mode: each map task keeps ≤2 rows per nation BEFORE the
+    // shuffle — the sample_weighted plan-gate), so per-group top-k over
+    // 100 TB moves k rows per group per task, never the group. The dim
+    // side stays broadcast.
+    "q64_lateral_topk" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val top = tbl(s, d, "customer")
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+        top.join(broadcast(tbl(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"),
+            cents(col("c_acctbal")).as("acctbal_c"))
+          .orderBy(col("n_name"), col("acctbal_c").desc, col("c_custkey"))
+      },
+      Some("""SELECT n.n_name AS n_name, t.c_custkey AS c_custkey, t.acctbal_c AS acctbal_c
+             |FROM nation n, LATERAL (
+             |  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c
+             |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             |ORDER BY n_name, acctbal_c DESC, c_custkey""".stripMargin),
+      doc = "per-nation top-2 via LATERAL (oracle text runs verbatim in " +
+        "Spark too); DataFrame side is the decorrelated WindowGroupLimit plan"),
+
+    // Q67 — data-quality contract check (the Deequ/dbt-test shape): a
+    // declared battery of table expectations evaluated in ONE scan plus
+    // one key join, emitting a per-check verdict row — the gate a 100 TB
+    // ingest runs before data is allowed downstream. Checks: column
+    // completeness (not-null), key uniqueness, a value-domain rule, a
+    // numeric SLA bound (deliberately tighter than the data, so the
+    // battery demonstrably FAILS a check rather than rubber-stamping),
+    // referential integrity (left-anti against the dim), and calendar
+    // completeness (missing order days in the table's own span). Scale
+    // shape: all single-table checks fuse into one aggregate over one
+    // scan (count/sum/countDistinct partials); the FK check is the only
+    // join; the 6 verdict rows come off two 1-row locally-checkpointed
+    // frames — re-reading them per verdict row costs nothing.
+    "q67_quality_contract" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val day = col("o_orderdate").cast("date")
+        val base = o.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+            sum(when(cents(col("o_totalprice")) <= 0L ||
+              cents(col("o_totalprice")) > 40000000L, 1L).otherwise(0L)).as("v_sla"),
+            sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_dom"),
+            (datediff(max(day), min(day)) + 1L - countDistinct(day)).as("v_days"))
+          .localCheckpoint()
+        val fk = o.join(tbl(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk")).localCheckpoint()
+        val m = base.crossJoin(fk)
+        def row(nm: String, viol: String) = m.select(lit(nm).as("check_name"),
+          col("n"), col(viol).as("n_violations"), (col(viol) === 0L).as("pass"))
+        row("completeness_o_custkey", "v_null")
+          .unionByName(row("uniqueness_o_orderkey", "v_uniq"))
+          .unionByName(row("sla_price_at_most_400k", "v_sla"))
+          .unionByName(row("domain_status_in_OFP", "v_dom"))
+          .unionByName(row("fk_orders_customer", "v_fk"))
+          .unionByName(row("calendar_no_missing_days", "v_days"))
+          .orderBy("check_name")
+      },
+      Some("""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+             |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+             |    CAST(sum(CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) <= 0
+             |                    OR CAST(round(o_totalprice*100) AS BIGINT) > 40000000
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_sla,
+             |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+             |    CAST(divide(epoch_us(CAST(max(CAST(o_orderdate AS DATE)) AS TIMESTAMP))
+             |           - epoch_us(CAST(min(CAST(o_orderdate AS DATE)) AS TIMESTAMP)), 86400000000)
+             |         + 1 - count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS v_days
+             |  FROM orders),
+             |fk AS (SELECT CAST(count(*) AS BIGINT) AS v_fk
+             |       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |       WHERE c.c_custkey IS NULL),
+             |m AS (SELECT * FROM base CROSS JOIN fk)
+             |SELECT check_name, n, n_violations, n_violations = 0 AS pass FROM (
+             |  SELECT 'completeness_o_custkey' AS check_name, n, v_null AS n_violations FROM m
+             |  UNION ALL SELECT 'uniqueness_o_orderkey', n, v_uniq FROM m
+             |  UNION ALL SELECT 'sla_price_at_most_400k', n, v_sla FROM m
+             |  UNION ALL SELECT 'domain_status_in_OFP', n, v_dom FROM m
+             |  UNION ALL SELECT 'fk_orders_customer', n, v_fk FROM m
+             |  UNION ALL SELECT 'calendar_no_missing_days', n, v_days FROM m)
+             |ORDER BY check_name""".stripMargin),
+      doc = "one-pass Deequ-style expectation battery: completeness, " +
+        "uniqueness, domain, SLA bound, FK integrity, calendar gaps")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

@@ -399,7 +399,105 @@ object Temporal {
              |  is_observed
              |FROM w ORDER BY user_id, day""".stripMargin),
       doc = "daily-grid resample with last-observation-carried-forward; " +
-        "single user_id partitioning shared by grid, join, and fill window"),
+        "single user_id partitioning shared by grid, join, and fill window",
+      ),
+
+    // Q65 — linear-interpolation gap fill: q46's grid, but interior gaps
+    // get the straight line between the surrounding observations instead
+    // of a carried-forward step (the resampling rule for continuous
+    // signals — prices, sensor readings — where LOCF biases downstream
+    // aggregates). Same single user_id partitioning for dedup window,
+    // grid explode, fill join, and the four carry windows. Exactness:
+    // interp = (prev·(dn−d) + next·(d−dp)) div (dn−dp) with both values
+    // SHIFTed to keep the numerator strictly positive — truncation
+    // toward zero (Spark div) and floor agree on non-negatives and the
+    // shift commutes through exact integer division, so both engines
+    // floor identically even if a future testdata generation ships
+    // negative values. Grid ends are observed by construction, so every
+    // interior gap has both neighbors and interp_c is never NULL.
+    "q65_interp_linear" -> QueryDef(
+      (s, d) => {
+        val Shift = 1000000000L
+        val wLast = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val daily = tbl(s, d, "events")
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+          .withColumn("rn", row_number().over(wLast))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), cents(col("value")).as("close_c"))
+          .localCheckpoint() // consumed twice: span→grid and the fill join
+        val grid = daily.groupBy("user_id")
+          .agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+          .select(col("user_id"), col("mind"),
+            explode(expr("sequence(0, datediff(maxd, mind))")).as("i"))
+          .select(col("user_id"), expr("date_add(mind, i)").as("day"))
+        val wPrev = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("pv", last(col("close_c"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(when(col("close_c").isNotNull, col("day")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("close_c"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(when(col("close_c").isNotNull, col("day")),
+            ignoreNulls = true).over(wNext))
+          .withColumn("interp_c", when(col("close_c").isNotNull, col("close_c"))
+            .otherwise(expr(s"((pv + $Shift) * datediff(nd, day) + (nv + $Shift) * datediff(day, pd)) " +
+              s"div datediff(nd, pd) - $Shift")))
+          .withColumn("is_observed", col("close_c").isNotNull)
+          .select(col("user_id"), col("day"), col("interp_c"), col("is_observed"))
+          .orderBy("user_id", "day")
+      },
+      // Same portability rules as q46: epoch_us day arithmetic, the
+      // gaps-and-islands pair instead of IGNORE NULLS. prev/next carry
+      // uses the island max trick in both directions (each island holds
+      // exactly one observed row).
+      Some("""WITH daily AS (
+             |  SELECT user_id, day, close_c FROM (
+             |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |      CAST(round(value*100) AS BIGINT) AS close_c,
+             |      row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+             |        ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM events) WHERE rn = 1),
+             |span AS (SELECT user_id, min(day) AS mind, max(day) AS maxd FROM daily GROUP BY user_id),
+             |grid AS (SELECT user_id, mind + CAST(i AS INTEGER) AS day
+             |         FROM (SELECT user_id, mind,
+             |                 unnest(generate_series(0, CAST(divide(
+             |                   epoch_us(CAST(maxd AS TIMESTAMP)) - epoch_us(CAST(mind AS TIMESTAMP)),
+             |                   86400000000) AS INTEGER))) AS i
+             |               FROM span)),
+             |w AS (SELECT g.user_id AS user_id, g.day AS day, d.close_c AS close_c,
+             |        sum(CASE WHEN d.close_c IS NOT NULL THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY g.user_id ORDER BY g.day
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pgrp,
+             |        sum(CASE WHEN d.close_c IS NOT NULL THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY g.user_id ORDER BY g.day
+             |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ngrp
+             |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+             |c AS (SELECT user_id, day, close_c,
+             |        max(close_c) OVER (PARTITION BY user_id, pgrp) AS pv,
+             |        max(CASE WHEN close_c IS NOT NULL THEN day END)
+             |          OVER (PARTITION BY user_id, pgrp) AS pd,
+             |        max(close_c) OVER (PARTITION BY user_id, ngrp) AS nv,
+             |        max(CASE WHEN close_c IS NOT NULL THEN day END)
+             |          OVER (PARTITION BY user_id, ngrp) AS nd
+             |      FROM w)
+             |SELECT user_id, day,
+             |  CAST(CASE WHEN close_c IS NOT NULL THEN close_c
+             |       ELSE divide((pv + 1000000000) * CAST(divide(
+             |              epoch_us(CAST(nd AS TIMESTAMP)) - epoch_us(CAST(day AS TIMESTAMP)),
+             |              86400000000) AS BIGINT)
+             |            + (nv + 1000000000) * CAST(divide(
+             |              epoch_us(CAST(day AS TIMESTAMP)) - epoch_us(CAST(pd AS TIMESTAMP)),
+             |              86400000000) AS BIGINT),
+             |            CAST(divide(
+             |              epoch_us(CAST(nd AS TIMESTAMP)) - epoch_us(CAST(pd AS TIMESTAMP)),
+             |              86400000000) AS BIGINT)) - 1000000000 END AS BIGINT) AS interp_c,
+             |  close_c IS NOT NULL AS is_observed
+             |FROM c ORDER BY user_id, day""".stripMargin),
+      doc = "daily-grid resample with LINEAR interpolation between the " +
+        "surrounding observations — exact integer, overflow/sign-proof"),
 
     // Q51 — SCD Type-2 dimension build (slowly-changing attribute history):
     // collapse each user's event stream into versioned [valid_from,
@@ -666,5 +764,65 @@ object Temporal {
              |FROM events GROUP BY event_type, day
              |ORDER BY event_type, day""".stripMargin),
       doc = "incremental aggregate maintenance: base+delta partial rollups " +
-        "merged by re-aggregation ≡ the one-shot rollup (oracle-gated)"))
+        "merged by re-aggregation ≡ the one-shot rollup (oracle-gated)"),
+
+    // Q62 — snapshot reconciliation diff: derive the CHANGESET between
+    // two table snapshots (q52 applies a given changeset; this produces
+    // one, and q57's checksum only says replicas differ — this says
+    // where). Snapshots are deterministic projections of `orders`:
+    //   A ("yesterday's replica") lacks keys ≡ 0 (mod 97);
+    //   B ("today")               lacks keys ≡ 0 (mod 101) and bumps the
+    //                             price on keys ≡ 0 (mod 89).
+    // Each side reduces a row to (key, 60-bit row digest) BEFORE the
+    // join, so the full-outer compare carries 16 bytes/row no matter how
+    // wide the table is; verdicts (inserted/deleted/changed/unchanged)
+    // come from null-sides and digest inequality. Output is the per-
+    // verdict count plus order-invariant key/digest checksums — the
+    // complete diff is provable without shipping it. Scale: ONE
+    // sort-merge full-outer shuffle on the key (plan-gated: no BNLJ) +
+    // a 4-row rollup; at 100 TB this is the textbook anti-entropy pass.
+    "q62_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            cents(col("o_totalprice")).as("price_c"),
+            col("o_orderdate").cast("date").cast("string").as("day"))
+        def digest(price: Column): Column = strHash(concat_ws("|",
+          col("k").cast("string"), col("st"), price.cast("string"), col("day")))
+        val a = o.filter(pmod(col("k"), lit(97L)) =!= 0L)
+          .select(col("k"), digest(col("price_c")).as("h_a"))
+        val b = o.filter(pmod(col("k"), lit(101L)) =!= 0L)
+          .select(col("k"), digest(col("price_c") +
+            when(pmod(col("k"), lit(89L)) === 0L, 500L).otherwise(0L)).as("h_b"))
+        a.join(b, Seq("k"), "full_outer")
+          .withColumn("verdict",
+            when(col("h_a").isNull, "inserted")
+              .when(col("h_b").isNull, "deleted")
+              .when(col("h_a") =!= col("h_b"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
+            sum(coalesce(col("h_b"), col("h_a"))).as("digest_sum"))
+          .orderBy("verdict")
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+              |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+              |    CAST(CAST(o_orderdate AS DATE) AS STRING) AS day FROM orders),
+              |a AS (SELECT k, ${strHashSql(
+                "CAST(k AS STRING) || '|' || st || '|' || CAST(price_c AS STRING) || '|' || day")} AS h_a
+              |      FROM o WHERE k % 97 <> 0),
+              |b AS (SELECT k, ${strHashSql(
+                "CAST(k AS STRING) || '|' || st || '|' || CAST(price_c + CASE WHEN k % 89 = 0 THEN 500 ELSE 0 END AS STRING) || '|' || day")} AS h_b
+              |      FROM o WHERE k % 101 <> 0),
+              |j AS (SELECT coalesce(a.k, b.k) AS k, h_a, h_b
+              |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+              |SELECT CASE WHEN h_a IS NULL THEN 'inserted'
+              |            WHEN h_b IS NULL THEN 'deleted'
+              |            WHEN h_a <> h_b THEN 'changed'
+              |            ELSE 'unchanged' END AS verdict,
+              |  CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+              |  CAST(sum(coalesce(h_b, h_a)) AS BIGINT) AS digest_sum
+              |FROM j GROUP BY 1 ORDER BY verdict""".stripMargin),
+      doc = "snapshot reconciliation: per-key row digests full-outer " +
+        "compared into a changeset; one SMJ shuffle, digests not rows"))
 }

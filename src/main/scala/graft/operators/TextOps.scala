@@ -430,6 +430,95 @@ object TextOps {
              |FROM supply CROSS JOIN total ORDER BY source""".stripMargin),
       doc = "domain-mixture sampling plan: weights x supply -> per-source rates, exact integers"),
 
+    // Temperature-scaled mixture sampling (the multilingual-LM standard:
+    // sample source i with p_i ∝ supply_i^T, T<1 — up-weights
+    // low-resource domains so the head domain can't drown them; T=0.5
+    // here, i.e. p ∝ √supply). sample_mixture_plan takes EXPLICIT
+    // weights; this derives them from the supply itself. Exactness
+    // discipline: √supply is quantized to integer micro-units
+    // (floor(sqrt·1e6) — sqrt/multiply/floor are bit-identical IEEE ops
+    // on the same integer-valued double in both engines), every later
+    // step is 64-bit integer arithmetic, and the target split avoids
+    // budget×ppm overflow by splitting budget at 1e6 (exact for budgets
+    // to ~9e18 tokens; w_micro·1e6 caps per-source supply at ~8.5e13
+    // tokens ≈ 340 TB of text — documented headroom, not a live bound).
+    // epochs_milli > 1000 on a source means temperature UP-samples it
+    // past one epoch — the signal mixture planners act on. Scale: one
+    // per-source rollup + a broadcast 1-row total; output rows = #sources.
+    "sample_temperature" -> QueryDef(
+      (s, d) => {
+        val supply = tbl(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply_tok"))
+          .withColumn("w_micro",
+            floor(sqrt(col("supply_tok").cast("double")) * lit(1000000d)).cast("long"))
+        val total = supply.agg(sum(col("w_micro")).as("w_total"),
+          sum(col("supply_tok")).as("budget_tok"))
+        supply.crossJoin(broadcast(total))
+          .withColumn("weight_ppm", expr("w_micro * 1000000 div w_total"))
+          .withColumn("target_tok", expr(
+            "(budget_tok div 1000000) * weight_ppm + ((budget_tok % 1000000) * weight_ppm) div 1000000"))
+          .withColumn("epochs_milli", expr("target_tok * 1000 div supply_tok"))
+          .select(col("source"), col("supply_tok"), col("weight_ppm"),
+            col("target_tok"), col("epochs_milli"))
+          .orderBy("source")
+      },
+      Some("""WITH supply AS (
+             |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply_tok,
+             |    CAST(floor(sqrt(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+             |  FROM documents GROUP BY source),
+             |total AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total,
+             |                 CAST(sum(supply_tok) AS BIGINT) AS budget_tok FROM supply),
+             |w AS (SELECT source, supply_tok, budget_tok,
+             |        divide(w_micro * 1000000, w_total) AS weight_ppm
+             |      FROM supply CROSS JOIN total),
+             |t AS (SELECT source, supply_tok, weight_ppm,
+             |        divide(budget_tok, 1000000) * weight_ppm
+             |          + divide((budget_tok % 1000000) * weight_ppm, 1000000) AS target_tok
+             |      FROM w)
+             |SELECT source, supply_tok, weight_ppm, target_tok,
+             |  divide(target_tok * 1000, supply_tok) AS epochs_milli
+             |FROM t ORDER BY source""".stripMargin),
+      doc = "temperature mixture (T=0.5): p ∝ √supply in exact integer " +
+        "micro-units; up-samples low-resource sources past one epoch"),
+
+    // Feature-hashed linear quality classifier — the fastText-style scale
+    // shape: token → hash bucket → fixed weight, document score = Σ w.
+    // The POINT is what is absent: no vocabulary join, no dictionary
+    // broadcast, no training-state shuffle — feature hashing turns
+    // classifier inference into pure per-row arithmetic + one
+    // map-side-combinable groupBy(doc_id), so scoring 100 TB costs one
+    // pass. Weights here are a deterministic stand-in derived from the
+    // token hash itself ((h mod 2001) − 1000 ∈ [−1000,1000]); a trained
+    // model would swap in a broadcast weight array indexed by the same
+    // bucket id (the functions.Bloom bitset-literal plumbing) without
+    // touching the plan shape. No signed division anywhere (Spark `div`
+    // and DuckDB `divide` disagree on negative truncation): the exact
+    // integer numerator + n_tok ship instead, and the keep verdict is a
+    // sign test (the text_dsir_weight precedent).
+    "text_clf_linear" -> QueryDef(
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score_num"),
+            sum(when(col("w") > 0L, 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("w") < 0L, 1L).otherwise(0L)).as("n_neg"))
+          .withColumn("keep", col("score_num") > 0L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              |w AS (SELECT doc_id, (${strHashSql("tok")} % 2001) - 1000 AS w FROM t)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |  CAST(sum(w) AS BIGINT) AS score_num,
+              |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              |  CAST(sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+              |  sum(w) > 0 AS keep
+              |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "feature-hashed linear classifier: no vocab join, one " +
+        "map-side-combinable pass; hash-derived stand-in weights"),
+
     // PII detection + redaction: regex-scrub emails and phone-shaped
     // strings before a corpus ships to training. The testdata carries no
     // PII, so each doc gets a DETERMINISTIC synthetic contact line

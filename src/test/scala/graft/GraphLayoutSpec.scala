@@ -169,7 +169,7 @@ class GraphLayoutSpec extends SparkSpec {
     // not the corpus. This is the property that makes the top-k-per-group
     // formulation scale; assert the optimization actually engages for the
     // queries built on it.
-    for (name <- Seq("sample_weighted", "q52_merge_upsert")) {
+    for (name <- Seq("sample_weighted", "q52_merge_upsert", "q64_lateral_topk")) {
       val plan = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
@@ -190,6 +190,91 @@ class GraphLayoutSpec extends SparkSpec {
     rows.foreach { r =>
       val pc = math.round(r.getAs[Double]("o_totalprice") * 100)
       assert(pc > 2.0 * avgByCust(r.getAs[Long]("o_custkey")))
+    }
+  }
+
+  test("q62 snapshot diff: one SMJ full-outer on digests, verdicts partition the key union") {
+    val df = q("q62_snapshot_diff")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"diff should be a sort-merge full-outer join\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val rows = df.collect().map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n")).toMap
+    val keys = Qh.tbl(spark, Sf0001, "orders")
+      .filter(expr("o_orderkey % 97 <> 0 OR o_orderkey % 101 <> 0")).count()
+    assert(rows.values.sum == keys, "verdicts must partition the key union")
+    // the planted drift rates are ~1/97, ~1/101, ~1/89 of the keyspace
+    assert(rows("inserted") > 0 && rows("deleted") > 0 && rows("changed") > 0)
+    assert(rows("unchanged") > 50L * rows("changed"))
+  }
+
+  test("text_clf_linear: feature hashing means a join-free single-pass plan") {
+    val df = q("text_clf_linear")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"hashed classifier must not join a vocabulary\n${plan.take(1500)}")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "doc rollup should be a (partial-combinable) hash aggregate")
+    // sanity: weights are signed and roughly balanced corpus-wide
+    val agg = df.agg(sum("n_pos").as("p"), sum("n_neg").as("n")).head
+    val (p, n) = (agg.getAs[Long]("p"), agg.getAs[Long]("n"))
+    assert(p > 0 && n > 0 && math.abs(p - n) < (p + n) / 2)
+  }
+
+  test("sample_temperature: T=0.5 compresses rate spread vs proportional sampling") {
+    val rows = q("sample_temperature", Sf001).collect()
+    // weights sum to ~1e6 (floor slack only)
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum > 999900L && wsum <= 1000000L, s"weight_ppm sum $wsum")
+    // temperature up-samples the smallest source relative to the largest:
+    // epochs_milli must be anti-monotone in supply
+    val bySupply = rows.sortBy(_.getAs[Long]("supply_tok"))
+    val eps = bySupply.map(_.getAs[Long]("epochs_milli"))
+    assert(eps.head >= eps.last,
+      s"smallest source should get >= epochs of the largest: ${eps.head} vs ${eps.last}")
+    // and the planned token total never exceeds the budget
+    val planned = rows.map(_.getAs[Long]("target_tok")).sum
+    val budget = rows.map(_.getAs[Long]("supply_tok")).sum
+    assert(planned <= budget)
+  }
+
+  test("layout_compact: small files merged, content checksum preserved, key ranges disjoint") {
+    def parts(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles.toSeq
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val docs = Qh.tbl(spark, Sf001, "documents")
+    val rows = docs.count()
+    val frag = Layout.fragmentedLayout(Sf001, "docs", docs, files = 64)
+    assert(parts(frag).length == 64, "fragmented fixture should have 64 files")
+
+    val target = (rows + 3) / 4 // aim for 4 compacted files
+    val out = Layout.compactLayout(spark, frag, "doc_id", target)
+    val outFiles = parts(out)
+    assert(outFiles.length == 4, s"expected 4 compacted files, got ${outFiles.length}")
+    // every compacted file is a real consolidation: larger than the
+    // biggest fragment, and within 2x of the even share
+    assert(outFiles.map(_.length).min > parts(frag).map(_.length).max)
+
+    // content preservation: order-invariant checksum over every column
+    def checksum(p: String): Long =
+      spark.read.parquet(p)
+        .select(Qh.strHash(concat_ws(":", col("doc_id").cast("string"),
+          col("text"), col("lang"), col("source"),
+          col("n_chars").cast("string"))).as("h"))
+        .agg(sum(col("h"))).head.getLong(0)
+    assert(checksum(frag) == checksum(out), "compaction changed the content")
+    assert(spark.read.parquet(out).count() == rows)
+
+    // clustering payoff: per-file doc_id ranges are pairwise disjoint, so
+    // a point/range predicate on doc_id can skip files by footer min/max
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { pair =>
+      if (pair.length == 2) assert(pair(0)._2 < pair(1)._1, "overlapping file ranges")
     }
   }
 }
