@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Qh}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1152,7 +1153,111 @@ object Relational {
              |  UNION ALL SELECT 'calendar_no_missing_days', n, v_days FROM m)
              |ORDER BY check_name""".stripMargin),
       doc = "one-pass Deequ-style expectation battery: completeness, " +
-        "uniqueness, domain, SLA bound, FK integrity, calendar gaps")
+        "uniqueness, domain, SLA bound, FK integrity, calendar gaps"),
+
+    // Q68 — equi-DEPTH histogram (the q53 equi-width companion and the
+    // statistic a cost-based optimizer and a range-partitioner both
+    // want): 10 deciles of equal row count with their value boundaries.
+    // ntile over a unique (value, key) order makes bucket assignment
+    // deterministic and oracle-exact. Scale note: the query form global-
+    // sorts (fine for an oracle-checked statistic); the production path
+    // at 100 TB is exactly what repartitionByRange already does —
+    // sample, pick boundaries, stream — or percentile_disc on a sample;
+    // the per-decile rollup itself is map-side combinable either way.
+    "q68_histogram_equidepth" -> QueryDef(
+      (s, d) => {
+        val w = Window.orderBy(col("price_c"), col("o_orderkey"))
+        tbl(s, d, "orders")
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), min(col("price_c")).as("lo_c"),
+            max(col("price_c")).as("hi_c"), sum(col("price_c")).as("sum_c"))
+          .orderBy("decile")
+      },
+      Some("""SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(price_c) AS BIGINT) AS lo_c,
+             |  CAST(max(price_c) AS BIGINT) AS hi_c,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_c
+             |FROM (SELECT CAST(ntile(10) OVER (ORDER BY price_c, o_orderkey) AS BIGINT) AS decile,
+             |        price_c
+             |      FROM (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+             |            FROM orders))
+             |GROUP BY decile ORDER BY decile""".stripMargin),
+      doc = "10-decile equi-depth histogram with exact boundaries; " +
+        "deterministic ntile over a unique order"),
+
+    // Q69 — one-pass column profiler (the "first look at a new table"
+    // primitive every ingest runs before schema contracts exist): for
+    // each profiled column, row count, null count, exact distinct
+    // count, and min/max rendered as strings — one row per column.
+    // ALL per-column metrics fuse into a single aggregate over a single
+    // scan (count/sum partials + one distinct-rewrite); the per-column
+    // verdict rows then come off the 1-row locally-checkpointed result
+    // (the q67 shape). Profiled columns are the string-renderable ones
+    // (keys, enums, dates): float columns are deliberately excluded
+    // because Spark's and DuckDB's double→string renderings differ —
+    // their profile belongs to q31/q49/q53, which keep them numeric.
+    "q69_profile" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .withColumn("day", col("o_orderdate").cast("date"))
+        def metrics(c: String, render: Column) = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          min(render).as(s"min_$c"), max(render).as(s"max_$c"))
+        val aggs = count(lit(1)).as("n") +:
+          (metrics("o_orderkey", col("o_orderkey").cast("string")) ++
+            metrics("o_custkey", col("o_custkey").cast("string")) ++
+            metrics("o_orderstatus", col("o_orderstatus")) ++
+            metrics("o_orderpriority", col("o_orderpriority")) ++
+            metrics("day", col("day").cast("string")))
+        val m = o.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+        def row(c: String) = m.select(lit(c).as("column_name"), col("n"),
+          col(s"null_$c").as("n_null"), col(s"dist_$c").as("n_distinct"),
+          // min/max of the RENDERED string, not the renderer of min/max:
+          // for zero-padded keys and ISO dates the two agree; declared so
+          // to keep the oracle text mechanical.
+          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "day")
+          .map(row).reduce(_ unionByName _)
+          .orderBy("column_name")
+      },
+      Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderkey,
+             |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dist_o_orderkey,
+             |    min(CAST(o_orderkey AS STRING)) AS min_o_orderkey,
+             |    max(CAST(o_orderkey AS STRING)) AS max_o_orderkey,
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_custkey,
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS dist_o_custkey,
+             |    min(CAST(o_custkey AS STRING)) AS min_o_custkey,
+             |    max(CAST(o_custkey AS STRING)) AS max_o_custkey,
+             |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderstatus,
+             |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS dist_o_orderstatus,
+             |    min(o_orderstatus) AS min_o_orderstatus,
+             |    max(o_orderstatus) AS max_o_orderstatus,
+             |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderpriority,
+             |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS dist_o_orderpriority,
+             |    min(o_orderpriority) AS min_o_orderpriority,
+             |    max(o_orderpriority) AS max_o_orderpriority,
+             |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_day,
+             |    CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS dist_day,
+             |    min(CAST(CAST(o_orderdate AS DATE) AS STRING)) AS min_day,
+             |    max(CAST(CAST(o_orderdate AS DATE) AS STRING)) AS max_day
+             |  FROM orders)
+             |SELECT column_name, n, n_null, n_distinct, min_s, max_s FROM (
+             |  SELECT 'o_orderkey' AS column_name, n, null_o_orderkey AS n_null,
+             |    dist_o_orderkey AS n_distinct, min_o_orderkey AS min_s, max_o_orderkey AS max_s FROM m
+             |  UNION ALL SELECT 'o_custkey', n, null_o_custkey, dist_o_custkey,
+             |    min_o_custkey, max_o_custkey FROM m
+             |  UNION ALL SELECT 'o_orderstatus', n, null_o_orderstatus, dist_o_orderstatus,
+             |    min_o_orderstatus, max_o_orderstatus FROM m
+             |  UNION ALL SELECT 'o_orderpriority', n, null_o_orderpriority, dist_o_orderpriority,
+             |    min_o_orderpriority, max_o_orderpriority FROM m
+             |  UNION ALL SELECT 'day', n, null_day, dist_day, min_day, max_day FROM m)
+             |ORDER BY column_name""".stripMargin),
+      doc = "one-scan column profiler: nulls, exact distincts, min/max " +
+        "per column as verdict rows — the new-table triage primitive")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

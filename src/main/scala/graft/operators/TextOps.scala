@@ -517,7 +517,60 @@ object TextOps {
               |  sum(w) > 0 AS keep
               |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "feature-hashed linear classifier: no vocab join, one " +
-        "map-side-combinable pass; hash-derived stand-in weights"),
+        "map-side-combinable pass; hash-derived stand-in weights",
+      ),
+
+    // Encoding-QA pass — the mojibake/corruption triage every crawl
+    // corpus runs before training: count U+FFFD replacement characters
+    // (the scar a broken charset decode leaves), control characters, and
+    // non-ASCII mass per document, and flag the clean ones. The testdata
+    // is clean ASCII, so each doc gets a DETERMINISTIC planted blemish
+    // by doc_id class (none / accented letter / U+FFFD / BEL control) —
+    // the text_pii_redact precedent: both engines build the identical
+    // string, so the detector's verdicts are oracle-exact. Counting
+    // discipline: specific-character counts are length-diffs of
+    // literal replace() (NO regex, no backslash-class portability trap);
+    // the non-ASCII mass uses the one backslash-free class '[ -~]'
+    // (printable ASCII by code range) under the 'g'-flagged
+    // regexp_replace shadow. The planted chars ride as RAW UTF-8
+    // literals, not chr(): Spark's chr() is mod-256 ASCII, so
+    // chr(65533) silently yields 'ý' there but U+FFFD in DuckDB — the
+    // literal spelling is the only engine-invariant one (chr(7) is safe,
+    // both agree below 256). Pure per-row arithmetic — embarrassingly
+    // parallel, no shuffle before the final ORDER BY.
+    "text_encoding_qa" -> QueryDef(
+      (s, d) => {
+        val blemish = when(pmod(col("doc_id"), lit(4L)) === 1L, lit(" café"))
+          .when(pmod(col("doc_id"), lit(4L)) === 2L, lit(" x�"))
+          .when(pmod(col("doc_id"), lit(4L)) === 3L, expr("chr(7)"))
+          .otherwise(lit(""))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), blemish).as("txt"))
+          .select(col("doc_id"),
+            length(col("txt")).cast("long").as("n_chars"),
+            (length(col("txt")) - length(expr("replace(txt, '�', '')")))
+              .cast("long").as("n_repl"),
+            (length(col("txt")) - length(expr("replace(txt, chr(7), '')")))
+              .cast("long").as("n_ctrl"),
+            length(regexp_replace(col("txt"), "[ -~]", "")).cast("long").as("n_nonascii"))
+          .withColumn("clean", col("n_repl") === 0L && col("n_ctrl") === 0L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    text || CASE WHEN doc_id % 4 = 1 THEN ' café'
+             |                 WHEN doc_id % 4 = 2 THEN ' x�'
+             |                 WHEN doc_id % 4 = 3 THEN chr(7)
+             |                 ELSE '' END AS txt
+             |  FROM documents)
+             |SELECT doc_id, CAST(len(txt) AS BIGINT) AS n_chars,
+             |  CAST(len(txt) - len(replace(txt, '�', '')) AS BIGINT) AS n_repl,
+             |  CAST(len(txt) - len(replace(txt, chr(7), '')) AS BIGINT) AS n_ctrl,
+             |  CAST(len(regexp_replace(txt, '[ -~]', '', 'g')) AS BIGINT) AS n_nonascii,
+             |  len(txt) - len(replace(txt, '�', '')) = 0
+             |    AND len(txt) - len(replace(txt, chr(7), '')) = 0 AS clean
+             |FROM t ORDER BY doc_id""".stripMargin),
+      doc = "encoding QA: U+FFFD / control-char / non-ASCII counts per " +
+        "doc, planted blemishes detected oracle-exactly; zero-shuffle"),
 
     // PII detection + redaction: regex-scrub emails and phone-shaped
     // strings before a corpus ships to training. The testdata carries no
