@@ -522,6 +522,67 @@ object Streaming {
         .drop("batch"))
     }
 
+  /** Record-level contract verdicts for [[contractGate]]: append a
+    * `reason` column naming the FIRST failed check (null = clean).
+    * Checks are the record-level half of q67's table battery —
+    * completeness (user_id), value domain (event_type ∈ `domain`),
+    * range SLA (0 ≤ value ≤ `maxValue`), and in-batch key uniqueness
+    * (keep-first on event_id, deterministic (ts, user_id) order).
+    * Cross-batch uniqueness is deliberately NOT this gate's job: that
+    * is the persistent-store pattern ([[curateBatch]]'s fingerprint
+    * store / [[dedupWithinWatermark]]'s state) — a record-level gate
+    * must stay a single self-contained pass so quarantine never blocks
+    * on external state. Used identically by the streaming gate and the
+    * batch caller, so batch ≡ stream is true by construction and
+    * spec-pinned anyway (ContractGateSpec). */
+  def recordChecks(df: DataFrame, domain: Seq[String],
+      maxValueC: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy("ts", "user_id")
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("reason",
+        when(col("user_id").isNull, "null_user_id")
+          .when(!col("event_type").isin(domain: _*), "unknown_event_type")
+          .when(col("value").isNull ||
+            round(col("value") * 100).cast("long") < 0L ||
+            round(col("value") * 100).cast("long") > maxValueC, "value_out_of_range")
+          .when(col("__rn") > 1, "duplicate_event_id")
+          .otherwise(lit(null).cast("string")))
+      .drop("__rn")
+  }
+
+  /** Streaming data-quality gate (the q67 contract battery at ingest
+    * time): every micro-batch is split into accepted rows
+    * (`acceptedDir/batch=N`) and quarantined rows with their failure
+    * reason (`quarantineDir/batch=N`) — accepted ∪ quarantine ≡ input,
+    * disjoint, so NOTHING is silently dropped: bad records stay
+    * replayable once the upstream bug is fixed (the dead-letter-queue
+    * shape every production ingest needs). Per-batch overwrite paths
+    * make checkpoint-recovery replays rewrite rather than duplicate
+    * (the [[nearDupIngest]] idempotence contract). */
+  def contractGate(stream: DataFrame, domain: Seq[String], maxValueC: Long,
+      acceptedDir: String, quarantineDir: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        contractBatch(batch, domain, maxValueC, acceptedDir, quarantineDir, batchId)
+      }
+
+  /** One [[contractGate]] micro-batch — public so recovery semantics are
+    * directly testable (the [[curateBatch]] precedent). */
+  def contractBatch(batch: DataFrame, domain: Seq[String], maxValueC: Long,
+      acceptedDir: String, quarantineDir: String, batchId: Long): Unit = {
+    val v = recordChecks(batch, domain, maxValueC).persist()
+    try {
+      v.filter(col("reason").isNull).drop("reason")
+        .write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
+      v.filter(col("reason").isNotNull)
+        .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+    } finally { v.unpersist(); () }
+  }
+
   /** Start a memory-sink query (testing aid; complete/update modes). */
   def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
