@@ -570,7 +570,126 @@ object TextOps {
              |    AND len(txt) - len(replace(txt, chr(7), '')) = 0 AS clean
              |FROM t ORDER BY doc_id""".stripMargin),
       doc = "encoding QA: U+FFFD / control-char / non-ASCII counts per " +
-        "doc, planted blemishes detected oracle-exactly; zero-shuffle"),
+        "doc, planted blemishes detected oracle-exactly; zero-shuffle",
+      ),
+
+    // Quality-signal rank fusion (Borda count) — how real curation
+    // pipelines COMBINE weak signals: three independent integer signals
+    // (lexical diversity = TTR permille, length score, and the
+    // feature-hashed classifier's score_num) each rank the corpus, and
+    // the fused rank-sum picks the top slice. Rank fusion beats score
+    // averaging because the signals live on incomparable scales — ranks
+    // are the only scale-free common currency, and integer rank sums
+    // are engine-exact where normalized float scores are not. Ties
+    // break by doc_id, so every rank is deterministic. Scale: the three
+    // global ranks are ONE total-order sort each (the repartitionByRange
+    // cost class — same as q68's deciles); at 100 TB rank WITHIN
+    // source/shard partitions (swap the window spec) or rank on the q68
+    // decile boundaries — the fusion arithmetic is unchanged.
+    "text_quality_ensemble" -> QueryDef(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        val perRow = tbl(s, d, "documents")
+          .select(col("doc_id"), size(t).cast("long").as("n_tok"),
+            size(array_distinct(t)).cast("long").as("n_dist"))
+          .withColumn("s_ttr", expr("n_dist * 1000 div n_tok"))
+          .withColumn("s_len", least(col("n_tok"), lit(100L)))
+        val clf = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
+          .groupBy("doc_id").agg(sum(col("w")).as("s_clf"))
+        def rk(c: String) = rank().over(
+          Window.orderBy(col(c).desc, col("doc_id"))).cast("long")
+        perRow.join(clf, Seq("doc_id"))
+          .withColumn("r_ttr", rk("s_ttr"))
+          .withColumn("r_len", rk("s_len"))
+          .withColumn("r_clf", rk("s_clf"))
+          .withColumn("borda", col("r_ttr") + col("r_len") + col("r_clf"))
+          .select(col("doc_id"), col("s_ttr"), col("s_len"), col("s_clf"),
+            col("r_ttr"), col("r_len"), col("r_clf"), col("borda"))
+          .orderBy(col("borda"), col("doc_id")).limit(100)
+      },
+      Some(s"""WITH per_row AS (
+              |  SELECT doc_id,
+              |    divide(len(list_distinct(string_split(text, ' '))) * 1000,
+              |           len(string_split(text, ' '))) AS s_ttr,
+              |    least(CAST(len(string_split(text, ' ')) AS BIGINT), 100) AS s_len
+              |  FROM documents),
+              |clf AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s_clf FROM (
+              |          SELECT doc_id, (${strHashSql("tok")} % 2001) - 1000 AS w
+              |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+              |        GROUP BY doc_id),
+              |j AS (SELECT per_row.doc_id AS doc_id, s_ttr, s_len, s_clf
+              |      FROM per_row JOIN clf ON per_row.doc_id = clf.doc_id),
+              |r AS (SELECT doc_id, s_ttr, s_len, s_clf,
+              |        CAST(rank() OVER (ORDER BY s_ttr DESC, doc_id) AS BIGINT) AS r_ttr,
+              |        CAST(rank() OVER (ORDER BY s_len DESC, doc_id) AS BIGINT) AS r_len,
+              |        CAST(rank() OVER (ORDER BY s_clf DESC, doc_id) AS BIGINT) AS r_clf
+              |      FROM j)
+              |SELECT doc_id, s_ttr, s_len, s_clf, r_ttr, r_len, r_clf,
+              |  r_ttr + r_len + r_clf AS borda
+              |FROM r ORDER BY borda, doc_id LIMIT 100""".stripMargin),
+      doc = "Borda rank fusion of three incomparable quality signals " +
+        "(TTR, length, hashed classifier) — exact integer rank sums"),
+
+    // Classifier evaluation sweep — the metrology step between training
+    // a quality classifier and trusting it on 100 TB: sweep the decision
+    // threshold and report the exact confusion matrix at each cut
+    // against a deterministic pseudo-label (the lexical-diversity +
+    // length rule — in production, a held-out human-labeled set). One
+    // pass computes each doc's (score, label); a small threshold-array
+    // explode (9 rows/doc) and one groupBy produce every operating
+    // point — precision/recall arrive as exact integer numerators
+    // (tp/fp/fn), never pre-divided floats, so downstream can plot the
+    // full PR curve without re-touching the corpus.
+    "text_clf_eval" -> QueryDef(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        // label rides the explode as one boolean (constant per doc) so
+        // the aggregate never shuffles the full text as a group key
+        val scored = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000 " +
+              "div size(split(text, ' ')) >= 500 " +
+              "AND size(split(text, ' ')) >= 20").as("label"),
+            explode(t).as("tok"))
+          .select(col("doc_id"), col("label"),
+            (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
+          .groupBy("doc_id", "label").agg(sum(col("w")).as("score"))
+          .select(col("doc_id"), col("score"), col("label"))
+        val thresholds = (-2000L to 2000L by 500L).toSeq
+        scored
+          .select(col("score"), col("label"),
+            explode(typedLit(thresholds)).as("threshold"))
+          .withColumn("pred", col("score") > col("threshold"))
+          .groupBy("threshold")
+          .agg(sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT s.doc_id AS doc_id, s.score AS score,
+              |    divide(len(list_distinct(string_split(d.text, ' '))) * 1000,
+              |           len(string_split(d.text, ' '))) >= 500
+              |      AND len(string_split(d.text, ' ')) >= 20 AS label
+              |  FROM (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM (
+              |          SELECT doc_id, (${strHashSql("tok")} % 2001) - 1000 AS w
+              |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+              |        GROUP BY doc_id) s
+              |    JOIN documents d ON s.doc_id = d.doc_id),
+              |sweep AS (SELECT score, label,
+              |            unnest(list_value(-2000, -1500, -1000, -500, 0, 500, 1000, 1500, 2000)) AS threshold
+              |          FROM scored)
+              |SELECT CAST(threshold AS BIGINT) AS threshold,
+              |  CAST(sum(CASE WHEN score > threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |  CAST(sum(CASE WHEN score > threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |  CAST(sum(CASE WHEN score <= threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |  CAST(sum(CASE WHEN score <= threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              |FROM sweep GROUP BY threshold ORDER BY threshold""".stripMargin),
+      doc = "threshold sweep of the hashed classifier vs a deterministic " +
+        "pseudo-label: exact confusion counts at 9 operating points"),
 
     // PII detection + redaction: regex-scrub emails and phone-shaped
     // strings before a corpus ships to training. The testdata carries no
