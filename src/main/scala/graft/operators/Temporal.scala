@@ -824,5 +824,88 @@ object Temporal {
               |  CAST(sum(coalesce(h_b, h_a)) AS BIGINT) AS digest_sum
               |FROM j GROUP BY 1 ORDER BY verdict""".stripMargin),
       doc = "snapshot reconciliation: per-key row digests full-outer " +
-        "compared into a changeset; one SMJ shuffle, digests not rows"))
+        "compared into a changeset; one SMJ shuffle, digests not rows"),
+
+    // Q70 — new-vs-returning user growth curve: per day, how many events
+    // came from users seen for the FIRST time that day vs. returning
+    // users, plus the cumulative distinct-user count. The standard
+    // product-analytics decomposition (and the corpus-analytics one: new
+    // vs. recurring contributors). A windowed COUNT(DISTINCT) is
+    // unsupported/quadratic in both engines; the scalable formulation is
+    // first-seen-day per user (one groupBy) + per-day rollup + one
+    // cumulative window over the tiny day-level table — shuffles scale
+    // with users and days, never events × days.
+    "q70_user_growth" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+        val daily = ev.join(firstSeen, Seq("user_id"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new_events"),
+            countDistinct(when(col("day") === col("first_day"), col("user_id")))
+              .as("n_new_users"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.withColumn("cum_users", sum(col("n_new_users")).over(w))
+          .select(col("day"), col("n_events"), col("n_new_events"),
+            col("n_new_users"), col("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |fs AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+             |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new_events,
+             |    CAST(count(DISTINCT CASE WHEN day = first_day THEN ev.user_id END) AS BIGINT) AS n_new_users
+             |  FROM ev JOIN fs ON ev.user_id = fs.user_id GROUP BY day)
+             |SELECT day, n_events, n_new_events, n_new_users,
+             |  CAST(sum(n_new_users) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM daily ORDER BY day""".stripMargin),
+      doc = "new-vs-returning decomposition + cumulative distinct users " +
+        "via first-seen-day — no windowed distinct, shuffles scale with users"),
+
+    // Q71 — heartbeat-gap detection: per user, the largest silent gap
+    // between consecutive events and where it happened — the
+    // outage/abandonment primitive (and, pipeline-side, the detector
+    // for stalled sources in an ingest ledger). One shuffle on user_id
+    // feeds the lag window; the per-user arg-max rides the SAME
+    // partitioning as a second window (rank by gap), so detection adds
+    // no exchange. Gaps in exact epoch seconds; flagged when over 24 h.
+    "q71_heartbeat_gaps" -> QueryDef(
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gaps = tbl(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+          .filter(col("prev_ts").isNotNull)
+          // micros first, ONE floor-div at the end: floor(a)-floor(b) per
+          // endpoint would drift ±1 s against the oracle on sub-second ts
+          .withColumn("gap_s",
+            expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000"))
+        val wTop = Window.partitionBy("user_id")
+          .orderBy(col("gap_s").desc, col("ts"), col("event_id"))
+        gaps.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("gap_s").as("max_gap_s"),
+            col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
+            (col("gap_s") > 86400L).as("stalled"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id,
+             |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |gg AS (SELECT user_id, ts, event_id, prev_ts,
+             |         divide(epoch_us(ts) - epoch_us(prev_ts), 1000000) AS gap_s
+             |       FROM g WHERE prev_ts IS NOT NULL),
+             |r AS (SELECT user_id, gap_s, prev_ts, ts,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY gap_s DESC, ts, event_id) AS rn
+             |      FROM gg)
+             |SELECT user_id, CAST(gap_s AS BIGINT) AS max_gap_s,
+             |  prev_ts AS gap_start, ts AS gap_end, gap_s > 86400 AS stalled
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      doc = "largest inter-event silence per user with its interval — " +
+        "lag + arg-max on one user_id partitioning; exact epoch seconds"))
 }

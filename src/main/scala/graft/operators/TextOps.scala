@@ -689,7 +689,51 @@ object TextOps {
               |  CAST(sum(CASE WHEN score <= threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
               |FROM sweep GROUP BY threshold ORDER BY threshold""".stripMargin),
       doc = "threshold sweep of the hashed classifier vs a deterministic " +
-        "pseudo-label: exact confusion counts at 9 operating points"),
+        "pseudo-label: exact confusion counts at 9 operating points",
+      ),
+
+    // Poisson bootstrap — error bars on corpus statistics in ONE pass,
+    // no resampling RNG, no data movement: each of 32 replicates
+    // reweights every document by a deterministic hash-derived count
+    // whose distribution approximates Poisson(1) (the standard
+    // distributed bootstrap — independent per-element weights need no
+    // global sample coordination, so it parallelizes trivially where
+    // classic with-replacement resampling cannot). Replicate weights
+    // come from PolyHash(doc_id:rep) mod 1000 cut at the Poisson(1) CDF
+    // (368/736/920/981 ‰ → w ∈ 0..4); the statistic here is corpus mean
+    // tokens/doc, shipped as exact integer numerator (weighted token
+    // sum) and denominator (weighted doc count) per replicate — the
+    // spread across the 32 rows IS the confidence interval. One explode
+    // (32 rows/doc) + one 32-group map-side-combinable aggregate.
+    "sample_bootstrap" -> QueryDef(
+      (s, d) => {
+        val h = pmod(strHash(concat(col("doc_id").cast("string"), lit(":"),
+          col("rep").cast("string"))), lit(1000L))
+        val w = when(h < 368L, 0L).when(h < 736L, 1L)
+          .when(h < 920L, 2L).when(h < 981L, 3L).otherwise(4L)
+        tbl(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+            explode(sequence(lit(0L), lit(31L))).as("rep"))
+          .select(col("rep"), col("n_tok"), w.as("w"))
+          .groupBy("rep")
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("n_tok")).as("tok_eff"))
+          .orderBy("rep")
+      },
+      Some(s"""WITH r AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              |    unnest(range(0, 32)) AS rep
+              |  FROM documents),
+              |w AS (SELECT rep, n_tok,
+              |        CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+              |             WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 ELSE 4 END AS w
+              |      FROM (SELECT rep, n_tok,
+              |              ${strHashSql("CAST(doc_id AS STRING) || ':' || CAST(rep AS STRING)")} % 1000 AS h
+              |            FROM r))
+              |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+              |  CAST(sum(w * n_tok) AS BIGINT) AS tok_eff
+              |FROM w GROUP BY rep ORDER BY rep""".stripMargin),
+      doc = "deterministic Poisson(1) bootstrap: 32 hash-reweighted " +
+        "replicates of mean tokens/doc in one pass — distributed error bars"),
 
     // PII detection + redaction: regex-scrub emails and phone-shaped
     // strings before a corpus ships to training. The testdata carries no
