@@ -190,6 +190,8 @@ class OperatorSpec extends SparkSpec {
       "text_dsir_weight", // crossJoin(broadcast(two 1-row total scalars))
       "q37_range_join",  // range containment vs broadcast 5-row tier dim
       "sample_mixture_plan", // crossJoin(broadcast(1-row total-budget scalar))
+      "sample_temperature",  // crossJoin(broadcast(1-row w_total/budget scalar))
+      "q67_quality_contract", // 1-row battery x 1-row FK count, both localCheckpointed
       "sim_sq8")         // crossJoin(broadcast(1-row quantized query vector))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
