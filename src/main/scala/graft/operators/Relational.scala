@@ -1099,8 +1099,10 @@ object Relational {
     // completeness (missing order days in the table's own span). Scale
     // shape: all single-table checks fuse into one aggregate over one
     // scan (count/sum/countDistinct partials); the FK check is the only
-    // join; the 6 verdict rows come off two 1-row locally-checkpointed
-    // frames — re-reading them per verdict row costs nothing.
+    // join; the 6 verdict rows come off ONE explode of a struct array
+    // over the joined 1-row frame — a single job, no union fan-out and
+    // no checkpoint (a 6-way union of the same 1-row aggregate would
+    // re-trigger the scan per branch or need an eager materialization).
     "q67_quality_contract" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
@@ -1113,19 +1115,22 @@ object Relational {
               cents(col("o_totalprice")) > 40000000L, 1L).otherwise(0L)).as("v_sla"),
             sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_dom"),
             (datediff(max(day), min(day)) + 1L - countDistinct(day)).as("v_days"))
-          .localCheckpoint()
         val fk = o.join(tbl(s, d, "customer"),
             col("o_custkey") === col("c_custkey"), "left_anti")
-          .agg(count(lit(1)).as("v_fk")).localCheckpoint()
-        val m = base.crossJoin(fk)
-        def row(nm: String, viol: String) = m.select(lit(nm).as("check_name"),
-          col("n"), col(viol).as("n_violations"), (col(viol) === 0L).as("pass"))
-        row("completeness_o_custkey", "v_null")
-          .unionByName(row("uniqueness_o_orderkey", "v_uniq"))
-          .unionByName(row("sla_price_at_most_400k", "v_sla"))
-          .unionByName(row("domain_status_in_OFP", "v_dom"))
-          .unionByName(row("fk_orders_customer", "v_fk"))
-          .unionByName(row("calendar_no_missing_days", "v_days"))
+          .agg(count(lit(1)).as("v_fk"))
+        def check(nm: String, viol: String) =
+          struct(lit(nm).as("check_name"), col(viol).as("n_violations"))
+        base.crossJoin(fk)
+          .select(col("n"), explode(array(
+            check("completeness_o_custkey", "v_null"),
+            check("uniqueness_o_orderkey", "v_uniq"),
+            check("sla_price_at_most_400k", "v_sla"),
+            check("domain_status_in_OFP", "v_dom"),
+            check("fk_orders_customer", "v_fk"),
+            check("calendar_no_missing_days", "v_days"))).as("c"))
+          .select(col("c.check_name").as("check_name"), col("n"),
+            col("c.n_violations").as("n_violations"),
+            (col("c.n_violations") === 0L).as("pass"))
           .orderBy("check_name")
       },
       Some("""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1191,36 +1196,38 @@ object Relational {
     // primitive every ingest runs before schema contracts exist): for
     // each profiled column, row count, null count, exact distinct
     // count, and min/max rendered as strings — one row per column.
-    // ALL per-column metrics fuse into a single aggregate over a single
-    // scan (count/sum partials + one distinct-rewrite); the per-column
-    // verdict rows then come off the 1-row locally-checkpointed result
-    // (the q67 shape). Profiled columns are the string-renderable ones
-    // (keys, enums, dates): float columns are deliberately excluded
+    // The scan UNPIVOTS first — each row explodes into 5 rendered
+    // (column_name, value) pairs — and ONE grouped aggregate computes
+    // every metric, with the distinct count a plain two-phase
+    // (column, value)-keyed partial. This is deliberately NOT the
+    // "5 countDistincts in one agg" spelling: Spark rewrites multiple
+    // distinct sets into an Expand(×6) feeding stacked SortAggregates
+    // over a 6-column group key (plan-audited: ~3× slower here), while
+    // the unpivoted form stays hash-aggregatable and its shuffle carries
+    // (name, value) partials. Profiled columns are the string-renderable
+    // ones (keys, enums, dates): float columns are deliberately excluded
     // because Spark's and DuckDB's double→string renderings differ —
     // their profile belongs to q31/q49/q53, which keep them numeric.
+    // min/max are over the RENDERED string (lexicographic but
+    // engine-identical), keeping the oracle text mechanical.
     "q69_profile" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
           .withColumn("day", col("o_orderdate").cast("date"))
-        def metrics(c: String, render: Column) = Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-          countDistinct(col(c)).as(s"dist_$c"),
-          min(render).as(s"min_$c"), max(render).as(s"max_$c"))
-        val aggs = count(lit(1)).as("n") +:
-          (metrics("o_orderkey", col("o_orderkey").cast("string")) ++
-            metrics("o_custkey", col("o_custkey").cast("string")) ++
-            metrics("o_orderstatus", col("o_orderstatus")) ++
-            metrics("o_orderpriority", col("o_orderpriority")) ++
-            metrics("day", col("day").cast("string")))
-        val m = o.agg(aggs.head, aggs.tail: _*).localCheckpoint()
-        def row(c: String) = m.select(lit(c).as("column_name"), col("n"),
-          col(s"null_$c").as("n_null"), col(s"dist_$c").as("n_distinct"),
-          // min/max of the RENDERED string, not the renderer of min/max:
-          // for zero-padded keys and ISO dates the two agree; declared so
-          // to keep the oracle text mechanical.
-          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "day")
-          .map(row).reduce(_ unionByName _)
+        def pair(nm: String, render: Column) =
+          struct(lit(nm).as("column_name"), render.as("v"))
+        o.select(explode(array(
+            pair("o_orderkey", col("o_orderkey").cast("string")),
+            pair("o_custkey", col("o_custkey").cast("string")),
+            pair("o_orderstatus", col("o_orderstatus")),
+            pair("o_orderpriority", col("o_orderpriority")),
+            pair("day", col("day").cast("string")))).as("c"))
+          .select(col("c.column_name").as("column_name"), col("c.v").as("v"))
+          .groupBy("column_name")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_s"), max(col("v")).as("max_s"))
           .orderBy("column_name")
       },
       Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,

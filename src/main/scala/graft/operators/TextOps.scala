@@ -644,18 +644,18 @@ object TextOps {
     // full PR curve without re-touching the corpus.
     "text_clf_eval" -> QueryDef(
       (s, d) => {
-        val t = split(col("text"), " ")
-        // label rides the explode as one boolean (constant per doc) so
-        // the aggregate never shuffles the full text as a group key
+        // score AND pseudo-label both derive from the one exploded token
+        // stream (sum of weights; distinct-token TTR + length) — no
+        // second text pass, no per-row array_distinct
         val scored = tbl(s, d, "documents")
-          .select(col("doc_id"),
-            expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000 " +
-              "div size(split(text, ' ')) >= 500 " +
-              "AND size(split(text, ' ')) >= 20").as("label"),
-            explode(t).as("tok"))
-          .select(col("doc_id"), col("label"),
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("tok"),
             (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
-          .groupBy("doc_id", "label").agg(sum(col("w")).as("score"))
+          .groupBy("doc_id")
+          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tok"),
+            countDistinct(col("tok")).as("n_dist"))
+          .withColumn("label",
+            expr("n_dist * 1000 div n_tok >= 500 AND n_tok >= 20"))
           .select(col("doc_id"), col("score"), col("label"))
         val thresholds = (-2000L to 2000L by 500L).toSeq
         scored
