@@ -583,6 +583,48 @@ object Streaming {
     } finally { v.unpersist(); () }
   }
 
+  /** Streaming sketch maintenance — the ingest half of q61's
+    * build-once/merge-cheap contract: every micro-batch appends its
+    * per-(event_type, day) HLL user sketches (plus exact event counts)
+    * under `sketchDir/batch=N`, and ANY later rollup window is a cheap
+    * union of those 12-KB states ([[sketchTotals]]) instead of a
+    * re-scan of the raw stream. HLL union is a register-wise max — a
+    * commutative, idempotent lattice join — so the read-side estimate
+    * is independent of batch boundaries and merge order; per-batch
+    * overwrite paths keep checkpoint-recovery replays idempotent (the
+    * [[nearDupIngest]] contract). At 100 TB this is how a distinct-users
+    * dashboard stays O(types × days × 12 KB) while the event stream is
+    * unbounded. */
+  def sketchIngest(stream: DataFrame, sketchDir: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchBatch(batch, sketchDir, batchId)
+      }
+
+  /** One [[sketchIngest]] micro-batch (public for replay tests). */
+  def sketchBatch(batch: DataFrame, sketchDir: String, batchId: Long): Unit =
+    batch
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"),
+        col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+
+  /** Merge every persisted daily sketch to per-type distinct-user
+    * estimates + exact event counts (the q61 read shape over the
+    * streaming store). */
+  def sketchTotals(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("event_type")
+
   /** Start a memory-sink query (testing aid; complete/update modes). */
   def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

@@ -238,6 +238,62 @@ class GraphLayoutSpec extends SparkSpec {
     assert(planned <= budget)
   }
 
+  test("q66 triangles: per-node counts equal the brute-force all-triple join on the same kNN graph") {
+    val r = q("q66_triangles").collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("tri")).toMap
+    // rebuild the same symmetrized kNN(3) edge set and count naively
+    import graft.operators.Similarity.{dotD, lshBucket, normD}
+    val emb = Qh.tbl(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding")).as("bucket"), normD(col("embedding")).as("nrm"))
+    val knn = emb.join(emb.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (dotD(col("embedding"), col("eb")) / (col("nrm") * col("nb"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+    val pairs = knn.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v")).distinct()
+    val brute = pairs.as("p1")
+      .join(pairs.as("p2"), col("p1.v") === col("p2.u"))
+      .join(pairs.as("p3"), col("p1.u") === col("p3.u") && col("p2.v") === col("p3.v"))
+      .select(explode(array(col("p1.u"), col("p1.v"), col("p2.v"))).as("n"))
+      .groupBy("n").count().collect()
+      .map(x => x.getAs[Long]("n") -> x.getAs[Long]("count")).toMap
+    val topBrute = brute.toSeq.sortBy { case (n, t) => (-t, n) }.take(r.size).toMap
+    assert(r == topBrute, s"edge-iterator top-${r.size} != brute force")
+  }
+
+  test("q65 linear interpolation: observed days exact, gaps strictly between neighbors") {
+    val rows = q("q65_interp_linear").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Any]("interp_c") != null))
+    // group per user in day order; every gap value must lie within the
+    // [min, max] of the surrounding observed closes (floor-div slack safe)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      var prevObs = Option.empty[Long]
+      var i = 0
+      while (i < seq.length) {
+        val r = seq(i)
+        val v = r.getAs[Long]("interp_c")
+        if (r.getAs[Boolean]("is_observed")) prevObs = Some(v)
+        else {
+          val next = seq.drop(i).find(_.getAs[Boolean]("is_observed"))
+            .map(_.getAs[Long]("interp_c"))
+          (prevObs, next) match {
+            case (Some(p), Some(n)) =>
+              assert(v >= math.min(p, n) - 1 && v <= math.max(p, n),
+                s"gap value $v outside [${math.min(p, n)}, ${math.max(p, n)}]")
+            case _ => fail("interior gap without both neighbors")
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
   test("layout_compact: small files merged, content checksum preserved, key ranges disjoint") {
     def parts(p: String): Seq[java.io.File] =
       new java.io.File(p).listFiles.toSeq
