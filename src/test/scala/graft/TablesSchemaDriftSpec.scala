@@ -117,4 +117,35 @@ class TablesSchemaDriftSpec extends SparkSpec {
     val Seq(a, b, c) = Seq(nsDir, ntzDir, ltzDir).map(derive)
     assert(a == b && a == c)
   }
+
+  test("every table loads at every sf with its contract columns (regeneration canary)") {
+    // The round-6 red round came from a driver-side testdata regeneration;
+    // this canary makes ANY table/column-level drift a single obvious
+    // failure instead of 20 cryptic query errors. Columns listed are the
+    // ones the query surface actually references.
+    val contract: Map[String, Seq[String]] = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    for (sf <- Seq(Sf0001, Sf001, "/root/testdata/sf0.1"); (t, cols) <- contract) {
+      val df = Tables(spark, sf, t)
+      val missing = cols.filterNot(df.columns.contains)
+      assert(missing.isEmpty, s"$sf/$t missing columns: $missing")
+      assert(df.limit(1).count() == 1, s"$sf/$t is empty")
+    }
+    // events.ts must arrive watermark-able regardless of physical layout
+    for (sf <- Seq(Sf0001, Sf001))
+      assert(Tables(spark, sf, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+  }
 }
