@@ -907,5 +907,48 @@ object Temporal {
              |  prev_ts AS gap_start, ts AS gap_end, gap_s > 86400 AS stalled
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin),
       doc = "largest inter-event silence per user with its interval — " +
-        "lag + arg-max on one user_id partitioning; exact epoch seconds"))
+        "lag + arg-max on one user_id partitioning; exact epoch seconds"),
+
+    // Q72 — burst detection on event volume: a (type, day) bursts when
+    // today's count exceeds 2× the mean of the trailing 7 observations —
+    // the volume-anomaly alarm an ingest ledger runs (a crawler gone
+    // rogue, a source flooding duplicates) and the q71 complement
+    // (silence vs. spike). Exact integer test (n·7 > trail7·2 — no
+    // float mean), armed only once 7 prior observations exist. The
+    // detector runs on the DAY-level rollup (types × days rows), so the
+    // window pass costs nothing next to the one map-side-combined
+    // rollup of the raw stream; trailing frame is ROWS-based — prior
+    // OBSERVATIONS, deterministic under calendar gaps.
+    "q72_burst_detect" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        daily
+          .withColumn("trail7", sum(col("n")).over(w))
+          .withColumn("n_prior", count(lit(1)).over(w))
+          .withColumn("burst",
+            when(col("n_prior") === 7L, col("n") * 7L > col("trail7") * 2L)
+              .otherwise(false))
+          .select(col("event_type"), col("day"), col("n"),
+            coalesce(col("trail7"), lit(0L)).as("trail7_n"), col("burst"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, day, n,
+             |        sum(n) OVER (PARTITION BY event_type ORDER BY day
+             |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail7,
+             |        count(*) OVER (PARTITION BY event_type ORDER BY day
+             |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+             |      FROM daily)
+             |SELECT event_type, day, n, CAST(coalesce(trail7, 0) AS BIGINT) AS trail7_n,
+             |  CASE WHEN n_prior = 7 THEN n * 7 > trail7 * 2 ELSE FALSE END AS burst
+             |FROM w ORDER BY event_type, day""".stripMargin),
+      doc = "volume-burst alarm: today > 2x trailing-7 mean in exact " +
+        "integers, armed after 7 observations; runs on the day rollup"))
 }

@@ -733,7 +733,58 @@ object TextOps {
               |  CAST(sum(w * n_tok) AS BIGINT) AS tok_eff
               |FROM w GROUP BY rep ORDER BY rep""".stripMargin),
       doc = "deterministic Poisson(1) bootstrap: 32 hash-reweighted " +
-        "replicates of mean tokens/doc in one pass — distributed error bars"),
+        "replicates of mean tokens/doc in one pass — distributed error bars",
+      ),
+
+    // Trending terms: top-5 tokens per source by document frequency with
+    // per-source share — the monitoring view a crawl operator reads
+    // (sudden boilerplate/spam injections surface as a term spiking in
+    // one source). Counting is DOCUMENT frequency (distinct doc per
+    // token), so a single spammy doc can't fake a trend; the per-source
+    // rank filter engages WindowGroupLimit (each map task keeps ≤5 rows
+    // per source BEFORE the window shuffle — the q64/sample_weighted
+    // plan shape), so per-group top-k never moves the full term table.
+    // Stopwords (the library-wide list) are excluded or the top-5 is all
+    // 'the'/'of'. Two shuffles: (source, token) distinct-doc rollup,
+    // then the rank window on source.
+    "text_trending_terms" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val nDocs = docs.groupBy("source").agg(countDistinct("doc_id").as("n_docs"))
+        val df = docs
+          .select(col("source"), col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+          .filter(!col("token").isin(Stopwords: _*) && length(col("token")) > 2)
+          .groupBy("source", "token")
+          .agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("df").desc, col("token"))
+        df.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .join(broadcast(nDocs), Seq("source"))
+          .select(col("source"), col("rnk"), col("token"), col("df"),
+            expr("df * 1000 div n_docs").as("df_milli"))
+          .orderBy("source", "rnk")
+      },
+      Some(s"""WITH nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |           FROM documents GROUP BY source),
+              |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS df
+              |       FROM (SELECT source, doc_id,
+              |               unnest(list_distinct(string_split(text, ' '))) AS token
+              |             FROM documents)
+              |       WHERE token NOT IN (${Stopwords.map(sw => s"'$sw'").mkString(", ")})
+              |         AND len(token) > 2
+              |       GROUP BY source, token),
+              |r AS (SELECT source, token, df,
+              |        CAST(row_number() OVER (PARTITION BY source
+              |          ORDER BY df DESC, token) AS BIGINT) AS rnk
+              |      FROM tf)
+              |SELECT r.source AS source, rnk, token, df,
+              |  divide(df * 1000, n_docs) AS df_milli
+              |FROM r JOIN nd ON r.source = nd.source
+              |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin),
+      doc = "top-5 document-frequency terms per source with permille " +
+        "share; WindowGroupLimit keeps k rows per group pre-shuffle"),
 
     // PII detection + redaction: regex-scrub emails and phone-shaped
     // strings before a corpus ships to training. The testdata carries no

@@ -169,7 +169,8 @@ class GraphLayoutSpec extends SparkSpec {
     // not the corpus. This is the property that makes the top-k-per-group
     // formulation scale; assert the optimization actually engages for the
     // queries built on it.
-    for (name <- Seq("sample_weighted", "q52_merge_upsert", "q64_lateral_topk")) {
+    for (name <- Seq("sample_weighted", "q52_merge_upsert", "q64_lateral_topk",
+        "text_trending_terms")) {
       val plan = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
