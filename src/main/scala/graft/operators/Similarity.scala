@@ -130,6 +130,10 @@ object Similarity {
     * it at object init. */
   val SemDedupTheta = 0.9
 
+  /** sim_kcenter sample size. Declared BEFORE `defs`: the oracle text
+    * interpolates it at object init (the [[SemDedupTheta]] rule). */
+  val KCenterK = 5
+
   // --- materialized IVF index: assign once, probe many times ------------
 
   /** Seed centroids — the fixed deterministic rule sim_ann_ivf declares:
@@ -822,6 +826,87 @@ object Similarity {
               |FROM enc CROSS JOIN q WHERE vec_id <> 0
               |ORDER BY adot DESC, vec_id LIMIT 10""".stripMargin),
       doc = "int8 scalar-quantized brute-force ANN: per-vector scale + " +
-        "integer inner product, oracle-exact ranking; 4x memory shrink at scale")
+        "integer inner product, oracle-exact ranking; 4x memory shrink at scale"),
+
+    // Greedy k-center diversity sampling (Gonzalez 2-approximation) —
+    // the coreset-selection op curation pipelines use to pick a small
+    // MAXIMALLY-SPREAD subset (seed prompts, eval anchors, dedup
+    // representatives): round r adds the vector whose nearest chosen
+    // center is FARTHEST (here: lowest max-cosine, ties to the smaller
+    // vec_id; seed = vec_id 0 by convention). Scale shape: the running
+    // max-cos column updates INCREMENTALLY against only the newest
+    // center (one broadcast + one scan per round, localCheckpoint
+    // truncating lineage — the PageRank/BPE iterative pattern), never
+    // k×n cosines per round; the per-round argmin is a 1-row driver
+    // collect, the bounded control-plane read. The oracle unrolls the
+    // identical greedy chain as K-1 CTE stages. far_cos is the max
+    // cosine to the previously-chosen set at selection time (seed: 1.0
+    // by convention) — monotonically NON-DECREASING by the greedy
+    // invariant (spec-pinned).
+    "sim_kcenter" -> QueryDef(
+      (s, d) => {
+        val K = KCenterK
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        def centerRow(id: Long) = emb.filter(col("vec_id") === id)
+          .select(col("embedding").as("ce"), col("nrm").as("cn"))
+        var chosen = Seq((1L, 0L, 1.0)) // (round, vec_id, far_cos)
+        var scored = emb.crossJoin(broadcast(centerRow(0L)))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            (dotD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("mc"))
+          .localCheckpoint()
+        for (r <- 2 to K) {
+          val pick = scored.filter(!col("vec_id").isin(chosen.map(_._2): _*))
+            .orderBy(col("mc").asc, col("vec_id")).limit(1)
+            .select(col("vec_id"), col("mc")).head()
+          chosen :+= ((r.toLong, pick.getLong(0), pick.getDouble(1)))
+          if (r < K) {
+            scored = scored.crossJoin(broadcast(centerRow(pick.getLong(0))))
+              .select(col("vec_id"), col("embedding"), col("nrm"),
+                greatest(col("mc"),
+                  dotD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("mc"))
+              .localCheckpoint()
+          }
+        }
+        val s2 = s
+        import s2.implicits._
+        chosen.toDF("sel_round", "vec_id", "far_cos").orderBy("sel_round")
+      },
+      Some {
+        val K = KCenterK
+        def cos(v: String, c: String) =
+          s"${dotSql(s"$v.embedding", s"$c.ce")} / ($v.nrm * $c.cn)"
+        val stages = new StringBuilder
+        stages ++= s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+                      |sel1 AS (SELECT embedding AS ce, nrm AS cn FROM e WHERE vec_id = 0),
+                      |m1 AS (SELECT e.vec_id AS vec_id, ${cos("e", "s")} AS mc
+                      |       FROM e CROSS JOIN sel1 s),
+                      |""".stripMargin
+        for (r <- 2 to K) {
+          val prevM = s"m${r - 1}"
+          val prevPicked =
+            if (r == 2) "SELECT 0 AS vec_id"
+            else s"SELECT 0 AS vec_id UNION ALL ${(2 until r).map(i => s"SELECT vec_id FROM pick$i").mkString(" UNION ALL ")}"
+          stages ++= s"""pick$r AS (SELECT vec_id, mc FROM $prevM
+                        |  WHERE vec_id NOT IN ($prevPicked)
+                        |  ORDER BY mc ASC, vec_id LIMIT 1),
+                        |""".stripMargin
+          if (r < K)
+            stages ++= s"""sel$r AS (SELECT e.embedding AS ce, e.nrm AS cn
+                          |  FROM e JOIN pick$r p ON e.vec_id = p.vec_id),
+                          |m$r AS (SELECT m.vec_id AS vec_id,
+                          |    greatest(m.mc, ${dotSql("e.embedding", "s.ce")} / (e.nrm * s.cn)) AS mc
+                          |  FROM $prevM m JOIN e ON m.vec_id = e.vec_id CROSS JOIN sel$r s),
+                          |""".stripMargin
+        }
+        val rows = (s"SELECT CAST(1 AS BIGINT) AS sel_round, CAST(0 AS BIGINT) AS vec_id, " +
+          "CAST(1.0 AS DOUBLE) AS far_cos") +:
+          (2 to K).map(r =>
+            s"SELECT CAST($r AS BIGINT), vec_id, CAST(mc AS DOUBLE) FROM pick$r")
+        stages.toString.stripSuffix(",\n").stripSuffix(",") +
+          "\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY sel_round"
+      },
+      doc = s"greedy k-center (Gonzalez) diversity sample, K=$KCenterK: " +
+        "incremental min-dist maintenance, 1-row argmin per round")
   )
 }

@@ -295,6 +295,31 @@ class GraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("sim_kcenter: greedy invariant (far_cos non-decreasing) and round-2 pick is the true farthest") {
+    val rows = q("sim_kcenter").collect().sortBy(_.getAs[Long]("sel_round"))
+    assert(rows.length == graft.operators.Similarity.KCenterK)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    val far = rows.map(_.getAs[Double]("far_cos"))
+    assert(far.head == 1.0)
+    // each later pick is nearer to the chosen set than the pick before it
+    far.drop(1).sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0) <= p(1) + 1e-12, s"greedy order violated: ${far.toSeq}")
+    }
+    // independent check of round 2: the true min-cosine vector vs the seed
+    import graft.operators.Similarity.{dotD, normD}
+    val emb = Qh.tbl(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val seed = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("ce"), col("nrm").as("cn"))
+    val truly = emb.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        (dotD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("c"))
+      .filter(col("vec_id") =!= 0L)
+      .orderBy(col("c").asc, col("vec_id")).limit(1).head()
+    assert(rows(1).getAs[Long]("vec_id") == truly.getLong(0))
+    assert(math.abs(rows(1).getAs[Double]("far_cos") - truly.getDouble(1)) < 1e-12)
+  }
+
   test("layout_compact: small files merged, content checksum preserved, key ranges disjoint") {
     def parts(p: String): Seq[java.io.File] =
       new java.io.File(p).listFiles.toSeq
