@@ -907,6 +907,87 @@ object Similarity {
           "\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY sel_round"
       },
       doc = s"greedy k-center (Gonzalez) diversity sample, K=$KCenterK: " +
-        "incremental min-dist maintenance, 1-row argmin per round")
+        "incremental min-dist maintenance, 1-row argmin per round"),
+
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    // diversity-aware retrieval that RAG stacks run between ANN and the
+    // context window: greedily pick K results maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-picked, so near-
+    // duplicate hits don't crowd out coverage. Query = vec_id 0 (the
+    // sim-family convention), λ = 0.7, round 1 ≡ pure argmax relevance
+    // (empty picked set ⇒ mc = 0). Same iterative shape as
+    // [[sim_kcenter]]: the max-sim-to-picked column updates against only
+    // the newest pick (broadcast + scan + localCheckpoint per round),
+    // 1-row driver argmax; the oracle unrolls the identical chain. The
+    // λ-blend is the same literal IEEE expression in both engines, so
+    // scores are oracle-exact doubles.
+    "sim_mmr" -> QueryDef(
+      (s, d) => {
+        val K = KCenterK
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        val qrow = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qe"), col("nrm").as("qn"))
+        def pickedRow(id: Long) = emb.filter(col("vec_id") === id)
+          .select(col("embedding").as("ce"), col("nrm").as("cn"))
+        var pool = emb.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(qrow))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            (dotD(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("rel"),
+            lit(0.0).as("mc"))
+          .localCheckpoint()
+        var chosen = Seq.empty[(Long, Long, Double, Double, Double)]
+        for (r <- 1 to K) {
+          val pick = pool
+            .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("mc"))
+            .orderBy(col("score").desc, col("vec_id")).limit(1)
+            .select(col("vec_id"), col("rel"), col("mc"), col("score")).head()
+          chosen :+= ((r.toLong, pick.getLong(0), pick.getDouble(1),
+            pick.getDouble(2), pick.getDouble(3)))
+          if (r < K) {
+            pool = pool.filter(col("vec_id") =!= pick.getLong(0))
+              .crossJoin(broadcast(pickedRow(pick.getLong(0))))
+              .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
+                greatest(col("mc"),
+                  dotD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("mc"))
+              .localCheckpoint()
+          }
+        }
+        val s2 = s
+        import s2.implicits._
+        chosen.toDF("sel_round", "vec_id", "rel", "max_sim_picked", "score")
+          .orderBy("sel_round")
+      },
+      Some {
+        val K = KCenterK
+        val sb = new StringBuilder
+        sb ++= s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+                  |qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+                  |m0 AS (SELECT e.vec_id AS vec_id,
+                  |    ${dotSql("e.embedding", "q.qe")} / (e.nrm * q.qn) AS rel,
+                  |    CAST(0.0 AS DOUBLE) AS mc
+                  |  FROM e CROSS JOIN qv q WHERE e.vec_id <> 0),
+                  |""".stripMargin
+        for (r <- 1 to K) {
+          val prevM = s"m${r - 1}"
+          sb ++= s"""p$r AS (SELECT vec_id, rel, mc, 0.7 * rel - 0.3 * mc AS score
+                    |  FROM $prevM ORDER BY score DESC, vec_id LIMIT 1),
+                    |""".stripMargin
+          if (r < K)
+            sb ++= s"""s$r AS (SELECT e.embedding AS ce, e.nrm AS cn
+                      |  FROM e JOIN p$r p ON e.vec_id = p.vec_id),
+                      |m$r AS (SELECT m.vec_id AS vec_id, m.rel AS rel,
+                      |    greatest(m.mc, ${dotSql("e.embedding", "s.ce")} / (e.nrm * s.cn)) AS mc
+                      |  FROM $prevM m JOIN e ON m.vec_id = e.vec_id CROSS JOIN s$r s
+                      |  WHERE m.vec_id NOT IN (SELECT vec_id FROM p$r)),
+                      |""".stripMargin
+        }
+        val rows = (1 to K).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS sel_round, vec_id, rel, mc AS max_sim_picked, score FROM p$r")
+        sb.toString.stripSuffix(",\n").stripSuffix(",") +
+          "\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY sel_round"
+      },
+      doc = s"MMR diversity-aware retrieval (λ=0.7, K=$KCenterK): greedy " +
+        "λ·rel − (1−λ)·max-sim-to-picked, incremental like sim_kcenter")
   )
 }

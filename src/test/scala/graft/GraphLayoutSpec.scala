@@ -320,6 +320,31 @@ class GraphLayoutSpec extends SparkSpec {
     assert(math.abs(rows(1).getAs[Double]("far_cos") - truly.getDouble(1)) < 1e-12)
   }
 
+  test("sim_mmr: picked scores non-increasing, round 1 is pure argmax relevance") {
+    val rows = q("sim_mmr").collect().sortBy(_.getAs[Long]("sel_round"))
+    assert(rows.length == graft.operators.Similarity.KCenterK)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    val scores = rows.map(_.getAs[Double]("score"))
+    scores.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0) >= p(1) - 1e-12,
+        s"MMR maximum must be non-increasing: ${scores.toSeq}")
+    }
+    assert(rows.head.getAs[Double]("max_sim_picked") == 0.0)
+    // round 1 ≡ argmax relevance over the pool
+    import graft.operators.Similarity.{dotD, normD}
+    val emb = Qh.tbl(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val top = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (dotD(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(1).head()
+    assert(rows.head.getAs[Long]("vec_id") == top.getLong(0))
+    // every max_sim_picked really is a cosine: bounded
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("max_sim_picked")) <= 1.0 + 1e-12))
+  }
+
   test("layout_compact: small files merged, content checksum preserved, key ranges disjoint") {
     def parts(p: String): Seq[java.io.File] =
       new java.io.File(p).listFiles.toSeq
