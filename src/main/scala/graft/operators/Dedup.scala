@@ -308,6 +308,52 @@ object Dedup {
       doc = "canonical-URL keep-first dedup: lowercase host, tracking " +
         "params dropped, params sorted, trailing slash stripped"),
 
+    // Template dedup — the C4-style boilerplate class exact hashing is
+    // blind to: receipts/invoices/notifications that differ ONLY in
+    // embedded numbers (ids, totals, dates). Masking digit runs to '#'
+    // before fingerprinting collapses every instance of a template into
+    // one group; n_variants (distinct EXACT fingerprints inside the
+    // group) is the tell — a template group has many variants, a true
+    // exact-dup group has one. Every 5th doc is rewritten into a planted
+    // invoice template (testdata text carries no digits; the
+    // text_pii_redact planting precedent), so the detector provably
+    // collapses 20% of the corpus into a single template while leaving
+    // organic docs alone. One groupBy on the 8-byte masked fingerprint.
+    "dedup_template" -> QueryDef(
+      (s, d) => {
+        val txt = when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(lit("invoice "), pmod(col("doc_id"), lit(40L)).cast("string"),
+            lit(" total "), pmod(col("doc_id") * 7L, lit(1000L)).cast("string"),
+            lit(" thank you for your purchase")))
+          .otherwise(col("text"))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), txt.as("txt"))
+          .select(col("doc_id"),
+            strHash(regexp_replace(lower(col("txt")), "[0-9]+", "#")).as("template_fp"),
+            strHash(lower(col("txt"))).as("exact_fp"))
+          .groupBy("template_fp")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"),
+            countDistinct(col("exact_fp")).as("n_variants"))
+          .orderBy("keep_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 5 = 0
+              |         THEN 'invoice ' || CAST(doc_id % 40 AS STRING) || ' total ' ||
+              |              CAST((doc_id * 7) % 1000 AS STRING) ||
+              |              ' thank you for your purchase'
+              |         ELSE text END AS txt
+              |  FROM documents),
+              |f AS (SELECT doc_id,
+              |    ${strHashSql("regexp_replace(lower(txt), '[0-9]+', '#', 'g')")} AS template_fp,
+              |    ${strHashSql("lower(txt)")} AS exact_fp
+              |  FROM t)
+              |SELECT template_fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(DISTINCT exact_fp) AS BIGINT) AS n_variants
+              |FROM f GROUP BY template_fp ORDER BY keep_id""".stripMargin),
+      doc = "digit-masked template dedup: collapses number-varying " +
+        "boilerplate exact hashing misses; n_variants >> 1 is the tell"),
+
     // MinHash + LSH dedup: signature → band keys → bucket-group → verify
     // each doc ONLY against its bucket's min doc_id → drop on Jaccard >=
     // 0.7 → emit the kept corpus. This is the 100 TB shape: a pair-list
