@@ -1264,7 +1264,64 @@ object Relational {
              |  UNION ALL SELECT 'day', n, null_day, dist_day, min_day, max_day FROM m)
              |ORDER BY column_name""".stripMargin),
       doc = "one-scan column profiler: nulls, exact distincts, min/max " +
-        "per column as verdict rows — the new-table triage primitive")
+        "per column as verdict rows — the new-table triage primitive"),
+
+    // Q73 — RFM segmentation (recency / frequency / monetary), the
+    // classic warehouse customer-scoring rollup: one pass over orders
+    // per customer (days since last order vs. the corpus max date,
+    // order count, exact cents), then three deterministic quintile
+    // scores via ntile over unique (metric, custkey) orders, composed
+    // into a 3-digit segment code. Integer-exact throughout (day
+    // arithmetic via datediff, money in cents); quintiles are global
+    // windows — the q68 statistic cost class, fine for a per-customer
+    // score table that's rebuilt once per load. Output: per-segment
+    // customer counts + exact aggregates (customer-level scores are the
+    // intermediate; the segment rollup keeps the result bounded).
+    "q73_rfm_segments" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"),
+            cents(col("o_totalprice")).as("price_c"))
+        val maxDay = o.agg(max(col("day")).as("max_day"))
+        val rfm = o.crossJoin(broadcast(maxDay))
+          .groupBy("o_custkey")
+          .agg(min(datediff(col("max_day"), col("day"))).cast("long").as("recency_d"),
+            count(lit(1)).as("frequency"), sum(col("price_c")).as("monetary_c"))
+        def quint(c: String, asc: Boolean) = ntile(5).over(
+          Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey"))).cast("long")
+        rfm
+          .withColumn("r_score", quint("recency_d", asc = true))
+          .withColumn("f_score", quint("frequency", asc = false))
+          .withColumn("m_score", quint("monetary_c", asc = false))
+          .withColumn("segment",
+            col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary_c")).as("sum_monetary_c"),
+            min(col("o_custkey")).as("example_custkey"))
+          .orderBy("segment")
+      },
+      Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),
+             |mx AS (SELECT max(day) AS max_day FROM o),
+             |rfm AS (SELECT o_custkey,
+             |    CAST(min(CAST(divide(epoch_us(CAST(max_day AS TIMESTAMP))
+             |      - epoch_us(CAST(day AS TIMESTAMP)), 86400000000) AS BIGINT)) AS BIGINT) AS recency_d,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    CAST(sum(price_c) AS BIGINT) AS monetary_c
+             |  FROM o CROSS JOIN mx GROUP BY o_custkey),
+             |sc AS (SELECT o_custkey, monetary_c,
+             |    CAST(ntile(5) OVER (ORDER BY recency_d ASC, o_custkey) AS BIGINT) AS r_score,
+             |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+             |    CAST(ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS BIGINT) AS m_score
+             |  FROM rfm)
+             |SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(sum(monetary_c) AS BIGINT) AS sum_monetary_c,
+             |  CAST(min(o_custkey) AS BIGINT) AS example_custkey
+             |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin),
+      doc = "RFM quintile segmentation: exact integer recency/frequency/" +
+        "monetary, deterministic ntiles, bounded per-segment rollup")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through
