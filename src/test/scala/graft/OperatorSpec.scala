@@ -192,6 +192,7 @@ class OperatorSpec extends SparkSpec {
       "sample_mixture_plan", // crossJoin(broadcast(1-row total-budget scalar))
       "sample_temperature",  // crossJoin(broadcast(1-row w_total/budget scalar))
       "q67_quality_contract", // 1-row battery x 1-row FK count, both localCheckpointed
+      "q73_rfm_segments",    // crossJoin(broadcast(1-row corpus max-date scalar))
       "sim_sq8")         // crossJoin(broadcast(1-row quantized query vector))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
