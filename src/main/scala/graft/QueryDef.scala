@@ -84,4 +84,93 @@ object Qh {
 
   /** Distinct whitespace tokens of `text`. */
   def toks(c: Column): Column = array_distinct(split(c, " "))
+
+  /** A frame carrying a freshly computed global row number plus the total
+    * row count n (known driver-side from the same bounds pass, so exact
+    * ntile arithmetic needs no extra job). */
+  final case class Ranked(df: DataFrame, n: Long)
+
+  /** Distributed global row_number over the total order `(value ASC, tie
+    * ASC)` — the scale-safe replacement for an unpartitioned WindowExec
+    * (which funnels the whole table through ONE task). Same two-pass
+    * bucketed prefix-sum shape as `TextOps.packSequences`:
+    *
+    *  1. ONE bounds pass: min/max of `value` and `tie`, and n.
+    *  2. Deterministic fixed-width bucketing on a single long sort proxy.
+    *     When `(span(value)+1) * (span(tie)+1)` fits in 62 bits the proxy
+    *     is the COMPOSITE `(value-lo)*(tieSpan) + (tie-tieLo)` — exactly
+    *     order-isomorphic to `(value, tie)` and immune to tie skew (a
+    *     quintile key like order-frequency has ~50 distinct values; value-
+    *     only buckets would put hundreds of millions of tied rows in one
+    *     task at 100 TB, while the composite spreads them by the unique
+    *     tie key). Wide-domain values (e.g. money) overflow the composite
+    *     and fall back to value-only buckets — there ties are negligible
+    *     by construction.
+    *  3. Per-bucket counts → driver-side exclusive prefix offsets
+    *     (bounded: ≤ `spark.graft.rank.buckets` rows, a control-plane
+    *     read of the same class as the dedup prune sets).
+    *  4. Bucket-local row_number (WindowExec keyed by bucket — parallel)
+    *     + broadcast offset = the global row number.
+    *
+    * `value` and `tie` must be long-valued and non-null, and `tie` must
+    * make the order total (unique); descending order = pass the negated
+    * column. Determinism across the two passes needs `df` deterministic
+    * (all graft inputs are); callers with expensive lineage should
+    * `localCheckpoint()` first. */
+  def globalRowNumber(df: DataFrame, value: Column, tie: Column,
+      out: String): Ranked = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets = spark.conf.get("spark.graft.rank.buckets", "256").toLong
+    val tagged = df.withColumn("__grk_v", value.cast("long"))
+      .withColumn("__grk_t", tie.cast("long"))
+    val b = tagged.agg(min(col("__grk_v")), max(col("__grk_v")),
+      min(col("__grk_t")), max(col("__grk_t")), count(lit(1))).head()
+    val n = b.getLong(4)
+    if (n == 0L)
+      return Ranked(tagged.withColumn(out, lit(0L))
+        .drop("__grk_v", "__grk_t"), 0L)
+    val (loV, hiV) = (b.getLong(0), b.getLong(1))
+    val (loT, hiT) = (b.getLong(2), b.getLong(3))
+    val tieSpan = BigInt(hiT) - BigInt(loT) + 1
+    val composite = (BigInt(hiV) - BigInt(loV) + 1) * tieSpan
+    val (keyed, span) =
+      if (composite < BigInt(1L << 62))
+        (tagged.withColumn("__grk_k",
+          (col("__grk_v") - loV) * tieSpan.toLong + (col("__grk_t") - loT)),
+          composite)
+      else
+        (tagged.withColumn("__grk_k", col("__grk_v") - loV),
+          BigInt(hiV) - BigInt(loV) + 1)
+    val width = math.max(1L, ((span - 1) / nBuckets + 1).toLong)
+    val bucketed = keyed
+      .withColumn("__grk_b", expr(s"__grk_k div ${width}L"))
+    val offs = {
+      val totals = bucketed.groupBy("__grk_b").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      totals.map { case (bkt, cnt) => val o = (bkt, acc); acc += cnt; o }
+    }.toSeq.toDF("__grk_b", "__grk_off")
+    val wLocal = Window.partitionBy("__grk_b")
+      .orderBy(col("__grk_k"), col("__grk_t"))
+    Ranked(bucketed
+      .join(broadcast(offs), Seq("__grk_b"))
+      .withColumn(out, row_number().over(wLocal).cast("long") + col("__grk_off"))
+      .drop("__grk_v", "__grk_t", "__grk_k", "__grk_b", "__grk_off"), n)
+  }
+
+  /** Exact SQL `ntile(k)` from a 1-based global row number over `n` rows:
+    * the first `n mod k` tiles get `n div k + 1` rows, the rest `n div k`
+    * — the standard semantics Spark and DuckDB share, reproduced in pure
+    * integer arithmetic so the distributed row number composes into
+    * oracle-exact tiles. */
+  def ntileFromRn(rn: String, n: Long, k: Long): Column = {
+    val q = n / k
+    val r = n % k
+    if (q == 0L) col(rn)
+    else expr(s"CASE WHEN $rn <= ${(q + 1) * r}L " +
+      s"THEN ($rn - 1) div ${q + 1}L + 1 " +
+      s"ELSE ${r}L + ($rn - ${(q + 1) * r}L - 1) div ${q}L + 1 END")
+  }
 }

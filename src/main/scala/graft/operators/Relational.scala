@@ -1163,18 +1163,22 @@ object Relational {
     // Q68 — equi-DEPTH histogram (the q53 equi-width companion and the
     // statistic a cost-based optimizer and a range-partitioner both
     // want): 10 deciles of equal row count with their value boundaries.
-    // ntile over a unique (value, key) order makes bucket assignment
-    // deterministic and oracle-exact. Scale note: the query form global-
-    // sorts (fine for an oracle-checked statistic); the production path
-    // at 100 TB is exactly what repartitionByRange already does —
-    // sample, pick boundaries, stream — or percentile_disc on a sample;
-    // the per-decile rollup itself is map-side combinable either way.
+    // The decile of a row is a pure function of its global row number in
+    // the unique (price, key) order, so the assignment is DISTRIBUTED:
+    // [[graft.Qh.globalRowNumber]]'s two-pass bucketed prefix-rank
+    // (deterministic fixed-width buckets on the composite sort proxy,
+    // per-bucket counts, broadcast exclusive offsets, bucket-local
+    // row_number) — no unpartitioned WindowExec anywhere in the plan, and
+    // [[graft.Qh.ntileFromRn]] reproduces SQL ntile(10) in exact integers
+    // from (rn, n). At 100 TB every pass is a 2-column pruned parallel
+    // scan; the single-task global sort this replaced is gone.
     "q68_histogram_equidepth" -> QueryDef(
       (s, d) => {
-        val w = Window.orderBy(col("price_c"), col("o_orderkey"))
-        tbl(s, d, "orders")
+        val base = tbl(s, d, "orders")
           .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val ranked = globalRowNumber(base, col("price_c"), col("o_orderkey"), "rn")
+        ranked.df
+          .withColumn("decile", ntileFromRn("rn", ranked.n, 10L))
           .groupBy("decile")
           .agg(count(lit(1)).as("n"), min(col("price_c")).as("lo_c"),
             max(col("price_c")).as("hi_c"), sum(col("price_c")).as("sum_c"))
@@ -1270,13 +1274,19 @@ object Relational {
     // classic warehouse customer-scoring rollup: one pass over orders
     // per customer (days since last order vs. the corpus max date,
     // order count, exact cents), then three deterministic quintile
-    // scores via ntile over unique (metric, custkey) orders, composed
-    // into a 3-digit segment code. Integer-exact throughout (day
-    // arithmetic via datediff, money in cents); quintiles are global
-    // windows — the q68 statistic cost class, fine for a per-customer
-    // score table that's rebuilt once per load. Output: per-segment
-    // customer counts + exact aggregates (customer-level scores are the
-    // intermediate; the segment rollup keeps the result bounded).
+    // scores over unique (metric, custkey) orders, composed into a
+    // 3-digit segment code. Integer-exact throughout (day arithmetic via
+    // datediff, money in cents). Each quintile is DISTRIBUTED:
+    // [[graft.Qh.globalRowNumber]] + exact [[graft.Qh.ntileFromRn]]
+    // arithmetic — descending metrics rank by the negated column. The
+    // frequency metric is exactly the tie-skew case the helper's
+    // composite bucketing exists for: ~dozens of distinct order counts
+    // over every customer, so value-only buckets would serialize; the
+    // (metric, custkey) composite spreads ties by the unique key. The
+    // per-customer rfm table is localCheckpoint'd once so the three
+    // rankings' bounds/counts passes don't re-aggregate orders. Output:
+    // per-segment customer counts + exact aggregates (customer-level
+    // scores are the intermediate; the segment rollup stays bounded).
     "q73_rfm_segments" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
@@ -1287,12 +1297,16 @@ object Relational {
           .groupBy("o_custkey")
           .agg(min(datediff(col("max_day"), col("day"))).cast("long").as("recency_d"),
             count(lit(1)).as("frequency"), sum(col("price_c")).as("monetary_c"))
-        def quint(c: String, asc: Boolean) = ntile(5).over(
-          Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey"))).cast("long")
-        rfm
-          .withColumn("r_score", quint("recency_d", asc = true))
-          .withColumn("f_score", quint("frequency", asc = false))
-          .withColumn("m_score", quint("monetary_c", asc = false))
+          .localCheckpoint()
+        def quint(df: org.apache.spark.sql.DataFrame, metric: Column,
+            out: String) = {
+          val r = globalRowNumber(df, metric, col("o_custkey"), "__rn")
+          r.df.withColumn(out, ntileFromRn("__rn", r.n, 5L)).drop("__rn")
+        }
+        quint(quint(quint(rfm,
+            col("recency_d"), "r_score"),
+            -col("frequency"), "f_score"),
+            -col("monetary_c"), "m_score")
           .withColumn("segment",
             col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
           .groupBy("segment")

@@ -581,11 +581,15 @@ object TextOps {
     // averaging because the signals live on incomparable scales — ranks
     // are the only scale-free common currency, and integer rank sums
     // are engine-exact where normalized float scores are not. Ties
-    // break by doc_id, so every rank is deterministic. Scale: the three
-    // global ranks are ONE total-order sort each (the repartitionByRange
-    // cost class — same as q68's deciles); at 100 TB rank WITHIN
-    // source/shard partitions (swap the window spec) or rank on the q68
-    // decile boundaries — the fusion arithmetic is unchanged.
+    // break by doc_id, so every rank order is total and unique — which
+    // makes rank() ≡ row_number(), so each global rank is computed
+    // DISTRIBUTED via [[graft.Qh.globalRowNumber]] (two-pass bucketed
+    // prefix-rank; descending = negated score). s_len is the tie-skew
+    // case the helper's composite (score, doc_id) bucketing absorbs:
+    // every doc ≥100 tokens shares one capped value, so value-only
+    // buckets would put most of a 100 TB corpus in one task. The scored
+    // table is localCheckpoint'd once so the three rankings' bounds/
+    // count passes don't re-run the classifier explode.
     "text_quality_ensemble" -> QueryDef(
       (s, d) => {
         val t = split(col("text"), " ")
@@ -598,12 +602,10 @@ object TextOps {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .select(col("doc_id"), (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
           .groupBy("doc_id").agg(sum(col("w")).as("s_clf"))
-        def rk(c: String) = rank().over(
-          Window.orderBy(col(c).desc, col("doc_id"))).cast("long")
-        perRow.join(clf, Seq("doc_id"))
-          .withColumn("r_ttr", rk("s_ttr"))
-          .withColumn("r_len", rk("s_len"))
-          .withColumn("r_clf", rk("s_clf"))
+        val scored = perRow.join(clf, Seq("doc_id")).localCheckpoint()
+        def rk(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
+          globalRowNumber(df, -col(c), col("doc_id"), out).df
+        rk(rk(rk(scored, "s_ttr", "r_ttr"), "s_len", "r_len"), "s_clf", "r_clf")
           .withColumn("borda", col("r_ttr") + col("r_len") + col("r_clf"))
           .select(col("doc_id"), col("s_ttr"), col("s_len"), col("s_clf"),
             col("r_ttr"), col("r_len"), col("r_clf"), col("borda"))

@@ -173,7 +173,8 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
-  test("no query plan contains a cartesian product or unintended nested-loop join") {
+  test("no query plan contains a cartesian product, unintended nested-loop " +
+      "join, or unpartitioned window over full-table input") {
     // The 100 TB guard: a CartesianProduct or a non-broadcast nested-loop
     // join in any registered query is a scale bug regardless of local
     // timings. BroadcastNestedLoopJoin is tolerated only where the
@@ -194,13 +195,32 @@ class OperatorSpec extends SparkSpec {
       "q67_quality_contract", // 1-row battery x 1-row FK count, both localCheckpointed
       "q73_rfm_segments",    // crossJoin(broadcast(1-row corpus max-date scalar))
       "sim_sq8")         // crossJoin(broadcast(1-row quantized query vector))
+    // An unpartitioned Window/WindowGroupLimit materializes its whole
+    // input in ONE task ("Moving all data to a single partition") — the
+    // scale-killer class the distributed two-pass prefix-rank
+    // ([[graft.Qh.globalRowNumber]]) exists to replace. Tolerated only
+    // where the window input is cardinality-bounded BY CONSTRUCTION:
+    val globalWindowOk = Set(
+      "q17_window_frame", // post-aggregate: one row per distinct day (calendar-bounded)
+      "q70_user_growth",  // post-aggregate: one row per day (calendar-bounded)
+      "layout_zorder")    // 16-row clustering diagnostic; the production
+                          // write path (zorderLayout) is repartitionByRange
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
+      val df = fn(spark, Sf0001)
+      val plan = df.queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !tinyBroadcastOk(name)
-      if (cartesian || bnlj) Some(s"$name (cartesian=$cartesian bnlj=$bnlj)") else None
+      val gwin = !globalWindowOk(name) && df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (cartesian || bnlj || gwin)
+        Some(s"$name (cartesian=$cartesian bnlj=$bnlj globalWindow=$gwin)")
+      else None
     }
-    assert(offenders.isEmpty, s"scale-hostile joins in: ${offenders.mkString(", ")}")
+    assert(offenders.isEmpty, s"scale-hostile plans in: ${offenders.mkString(", ")}")
   }
 
   test("sample_split never puts a near-dup pair across the train/eval boundary") {
