@@ -55,6 +55,21 @@ class IvfPqSpec extends SparkSpec {
       s"probe diverged from restricted full ranking:\n$probed\nvs\n$expected")
   }
 
+  test("registered sim_pq_adc serves the memoized index ≡ a fresh write+probe") {
+    // The registered entry must be the SERVING path: probe of the
+    // build-once materialized index, byte-identical to writing a fresh
+    // index and probing it — codebook training is a write cost, never a
+    // query cost (the dedup_cluster consume-the-table precedent).
+    val expect = Similarity.ivfPqProbe(spark, indexDir, qvec,
+        nprobe = 4, k = 5, excludeVecId = Some(0L))
+      .select($"vec_id", $"label", $"adc_sim").as[(Long, Long, Double)]
+      .collect().toSeq
+    val got = SparkEntry.queries("sim_pq_adc")(spark, Sf0001)
+      .select($"vec_id", $"label", $"adc_sim").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got == expect, s"registered entry diverged:\n$got\nvs\n$expect")
+  }
+
   test("probe scan is partition-pruned to the nprobe cells") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
