@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * partition-preserving `mapPartitions` with explicit batch shape (the
   * Scala analogue of an iterator-of-batches Pandas UDF — each underlying
   * codec call amortizes over `batchSize` records, mirroring how a
-  * vectorized UDF receives Arrow batches). The CODEC itself is stubbed:
-  * this container has no image/audio libraries, so `decodeStub` derives a
-  * deterministic feature vector from the bytes — swap [[MediaCodec]] for a
-  * real implementation in production; nothing else changes.
+  * vectorized UDF receives Arrow batches). The IMAGE leg is a real codec:
+  * [[ImageIoCodec]] decodes PNG/GIF/BMP through the in-JDK
+  * `javax.imageio` and emits exact integer pixel-channel aggregates.
+  * Audio/video remain stubbed ([[StubCodec]] derives a deterministic
+  * feature vector from the raw bytes — this container has no a/v codec
+  * libraries); swap [[MediaCodec]] for a full implementation in
+  * production and nothing else changes.
   */
 object Multimodal {
 
@@ -97,6 +100,126 @@ object Multimodal {
       (0 until n).map(i =>
         MediaFrame(r.media_id, i, i * everyMs, r.bytes.slice(i * win, (i + 1) * win)))
     }
+  }
+
+  /** REAL image codec over the in-JDK `javax.imageio` (PNG/GIF/BMP
+    * decode — zero dependencies beyond the JDK). The image half of the
+    * media boundary is genuinely decoded: features are exact integer
+    * pixel-channel aggregates in [[StubCodec]]'s milli discipline
+    * (per-dim Long accumulators, one terminal /1000f per dim — exact
+    * `toFloat` while accumulators stay < 2^24, i.e. any image up to
+    * ~64×64 at full channel range; the planted-PNG spec stays far
+    * inside). Non-image kinds and undecodable payloads fall back to the
+    * stub — audio/video remain the HONESTLY stubbed boundary (no codec
+    * libs in this container), exactly as documented.
+    *
+    * Feature map (dim → accumulator/1000):
+    *  0 width, 1 height, 2 pixel count (each ×1000 → exact),
+    *  3 ΣR, 4 ΣG, 5 ΣB, 6 ΣA (channel sums, 0..255 per pixel),
+    *  7 Σ luma where luma = (299R+587G+114B) div 1000 (integer),
+    *  8 count(luma ≥ 128) ×1000, 9 min luma ×1000, 10 max luma ×1000,
+    *  11 Σ luma over the left half (x < w div 2),
+    *  12 Σ luma over the top half (y < h div 2),
+    *  13 count(A = 255) ×1000,
+    *  14 PolyHash of the row-major (R,G,B) byte stream mod 1000003,
+    *  15 PolyHash of the row-major A byte stream mod 1000003.
+    * Deterministic by construction: row-major traversal of getRGB. */
+  object ImageIoCodec extends MediaCodec {
+    val Dim = StubCodec.Dim
+
+    private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    /** Exact integer milli-accumulators of a decoded image (the
+      * [[StubCodec.accMillis]] analogue; spec-pinned vs hand-computed
+      * planted pixels). */
+    def pixelAccMillis(img: java.awt.image.BufferedImage): Array[Long] = {
+      val acc = new Array[Long](Dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      acc(0) = w.toLong * 1000L
+      acc(1) = h.toLong * 1000L
+      acc(2) = w.toLong * h * 1000L
+      var minL = 255L
+      var maxL = 0L
+      var hRgb = 17L
+      var hA = 17L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val a = (argb >>> 24) & 0xff
+          val r = (argb >>> 16) & 0xff
+          val g = (argb >>> 8) & 0xff
+          val b = argb & 0xff
+          acc(3) += r; acc(4) += g; acc(5) += b; acc(6) += a
+          val luma = (299L * r + 587L * g + 114L * b) / 1000L
+          acc(7) += luma
+          if (luma >= 128L) acc(8) += 1000L
+          if (luma < minL) minL = luma
+          if (luma > maxL) maxL = luma
+          if (x < w / 2) acc(11) += luma
+          if (y < h / 2) acc(12) += luma
+          if (a == 255) acc(13) += 1000L
+          hRgb = (((hRgb * 31 + r) * 31 + g) * 31 + b) % 1000003L
+          hA = (hA * 31 + a) % 1000003L
+          x += 1
+        }
+        y += 1
+      }
+      acc(9) = minL * 1000L
+      acc(10) = maxL * 1000L
+      acc(14) = hRgb
+      acc(15) = hA
+      acc
+    }
+
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val real = if (r.kind == "image") decode(r.bytes) else None
+        real match {
+          case Some(img) =>
+            val acc = pixelAccMillis(img)
+            val f = new Array[Float](Dim)
+            var j = 0
+            while (j < Dim) { f(j) = acc(j).toFloat / 1000f; j += 1 }
+            MediaFeatures(r.media_id, r.kind, f)
+          case None => StubCodec.decodeBatch(Seq(r)).head
+        }
+      }
+
+    /** Real nearest-neighbor resize + deterministic JDK PNG re-encode.
+      * NN is chosen over AWT's rendering-hint interpolation because its
+      * pixel mapping `src = dst * srcDim div dstDim` is exact integer
+      * arithmetic — bit-identical across JVMs. */
+    override def resize(r: MediaRecord, w: Int, h: Int): MediaRecord =
+      (if (r.kind == "image") decode(r.bytes) else None) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, img.getRGB(
+                (x.toLong * img.getWidth / w).toInt,
+                (y.toLong * img.getHeight / h).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(bytes = bos.toByteArray, meta = r.meta.copy(width = w, height = h))
+        case None => StubCodec.resize(r, w, h)
+      }
+
+    /** Frames are a video/audio concept — delegate to the stub (those
+      * kinds are the documented stub boundary). */
+    override def sampleFrames(r: MediaRecord, everyMs: Long): Seq[MediaFrame] =
+      StubCodec.sampleFrames(r, everyMs)
   }
 
   /** Reference-shaped batch size: one codec call per `batchSize` records

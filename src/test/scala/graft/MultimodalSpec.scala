@@ -66,6 +66,110 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- ImageIoCodec: the REAL image decode over in-JDK javax.imageio ----
+
+  /** Encode planted ARGB pixels (row-major) as real PNG bytes. */
+  private def pngBytes(w: Int, h: Int, px: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w) { img.setRGB(x, y, px(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  private def argb(a: Int, r: Int, g: Int, b: Int): Int =
+    (a << 24) | (r << 16) | (g << 8) | b
+
+  /** Independent re-statement of the documented feature map, folding the
+    * KNOWN planted pixels directly (never through BufferedImage) — so a
+    * match proves the codec really recovered the pixel values from the
+    * PNG container. */
+  private def expectedAcc(w: Int, h: Int, px: Seq[Int]): Array[Long] = {
+    val acc = new Array[Long](16)
+    acc(0) = w * 1000L; acc(1) = h * 1000L; acc(2) = w.toLong * h * 1000L
+    var minL = 255L; var maxL = 0L; var hRgb = 17L; var hA = 17L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(y * w + x)
+      val a = (p >>> 24) & 0xff; val r = (p >>> 16) & 0xff
+      val g = (p >>> 8) & 0xff; val b = p & 0xff
+      acc(3) += r; acc(4) += g; acc(5) += b; acc(6) += a
+      val luma = (299L * r + 587L * g + 114L * b) / 1000L
+      acc(7) += luma
+      if (luma >= 128L) acc(8) += 1000L
+      minL = math.min(minL, luma); maxL = math.max(maxL, luma)
+      if (x < w / 2) acc(11) += luma
+      if (y < h / 2) acc(12) += luma
+      if (a == 255) acc(13) += 1000L
+      hRgb = (((hRgb * 31 + r) * 31 + g) * 31 + b) % 1000003L
+      hA = (hA * 31 + a) % 1000003L
+    }
+    acc(9) = minL * 1000L; acc(10) = maxL * 1000L
+    acc(14) = hRgb; acc(15) = hA
+    acc
+  }
+
+  private val plantedPx = Seq(
+    argb(255, 255, 0, 0), argb(255, 0, 255, 0),
+    argb(128, 0, 0, 255), argb(255, 10, 20, 30))
+  private def rec(id: Long, kind: String, bytes: Array[Byte]) =
+    MediaRecord(id, kind, bytes, MediaMeta("image/png", 2, 2, 0, 0L))
+
+  test("ImageIoCodec decodes a real planted PNG to exact pixel-channel aggregates") {
+    val got = ImageIoCodec.decodeBatch(
+      Seq(rec(7L, "image", pngBytes(2, 2, plantedPx)))).head
+    val want = expectedAcc(2, 2, plantedPx).map(_.toFloat / 1000f).toSeq
+    assert(got.features.toSeq == want,
+      s"decoded features ${got.features.toSeq} != planted $want")
+    // and the planted values exercise the interesting paths: mixed alpha,
+    // bright + dark lumas, asymmetric halves
+    assert(got.features(8) == 1.0f && got.features(13) == 3.0f)
+  }
+
+  test("ImageIoCodec falls back to the stub for non-images and undecodable bytes") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val audio = rec(1L, "audio", junk)
+    val broken = rec(2L, "image", junk)
+    assert(ImageIoCodec.decodeBatch(Seq(audio)).head.features.toSeq ==
+      StubCodec.decodeBatch(Seq(audio)).head.features.toSeq)
+    assert(ImageIoCodec.decodeBatch(Seq(broken)).head.features.toSeq ==
+      StubCodec.decodeBatch(Seq(broken)).head.features.toSeq)
+  }
+
+  test("ImageIoCodec resize is exact nearest-neighbor + decodable PNG re-encode") {
+    // 4x4: each quadrant a solid color; NN to 2x2 must pick src = dst*2,
+    // i.e. the top-left pixel of each quadrant.
+    val q = Seq(argb(255, 200, 0, 0), argb(255, 0, 200, 0),
+      argb(255, 0, 0, 200), argb(255, 50, 60, 70))
+    val px4 = for (y <- 0 until 4; x <- 0 until 4)
+      yield q((y / 2) * 2 + (x / 2))
+    val r4 = MediaRecord(9L, "image", pngBytes(4, 4, px4),
+      MediaMeta("image/png", 4, 4, 0, 0L))
+    val out = ImageIoCodec.resize(r4, 2, 2)
+    assert(out.meta.width == 2 && out.meta.height == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert(back != null, "resized payload is not a decodable PNG")
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    val got = for (y <- 0 until 2; x <- 0 until 2) yield back.getRGB(x, y)
+    assert(got == q, s"NN pixel mapping wrong: $got vs $q")
+  }
+
+  test("decodeFeatures with ImageIoCodec runs distributed over PNG payloads") {
+    val recs = (0L until 8L).map { i =>
+      // vary one pixel per record so features differ per id
+      val px = plantedPx.updated(3, argb(255, i.toInt * 10, 0, 0))
+      rec(i, "image", pngBytes(2, 2, px))
+    }
+    val ds = spark.createDataset(recs).repartition(3)
+    val dist = decodeFeatures(ds, ImageIoCodec, batchSize = 4)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val local = ImageIoCodec.decodeBatch(recs)
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(dist == local)
+    assert(dist.values.toSet.size == 8, "planted variation must reach the features")
+  }
+
   test("sampleFrames explodes media into deterministic frame windows") {
     val frames = sampleFrames(media.filter(col("kind") === "video").as[MediaRecord], 1000L)
     val counts = frames.groupBy("media_id").count()
