@@ -82,6 +82,19 @@ object Qh {
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(h, c) -> (h*31 + c) % ${HashP})"
 
+  /** 58-bit WIDE polynomial string digest (same fold, mod [[WinHashP]]) —
+    * for ROW DIGESTS where [[strHash]]'s ~20-bit modulus collides at
+    * scale (a q62 anti-entropy pass mis-reports a changed row 'unchanged'
+    * at ~1e-6 per changed row under mod 1e6, vs ~3.4e-18 here). Exact in
+    * signed 64-bit in both engines by the [[WinHashP]] construction. */
+  def strHashWide(c: Column): Column = graft.plans.PolyHash58.column(c)
+
+  /** DuckDB fragment for [[strHashWide]]. */
+  def strHashWideSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(h, c) -> (h*31 + c) % ${WinHashP})"
+
   /** Distinct whitespace tokens of `text`. */
   def toks(c: Column): Column = array_distinct(split(c, " "))
 

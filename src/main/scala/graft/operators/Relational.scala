@@ -1097,37 +1097,46 @@ object Relational {
     // battery demonstrably FAILS a check rather than rubber-stamping),
     // referential integrity (left-anti against the dim), and calendar
     // completeness (missing order days in the table's own span). Scale
-    // shape: all single-table checks fuse into one aggregate over one
-    // scan (count/sum/countDistinct partials); the FK check is the only
-    // join; the 6 verdict rows come off ONE explode of a struct array
-    // over the joined 1-row frame — a single job, no union fan-out and
-    // no checkpoint (a 6-way union of the same 1-row aggregate would
+    // shape: the non-distinct checks fuse into one aggregate over one
+    // scan; each DISTINCT count is its own single-distinct aggregate
+    // (column-pruned scan, hash-aggregatable — see the in-query note);
+    // the FK check is the only join; the 6 verdict rows come off ONE
+    // explode of a struct array over the joined 1-row frames — no union
+    // fan-out (a 6-way union of the same 1-row aggregate would
     // re-trigger the scan per branch or need an eager materialization).
     "q67_quality_contract" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
         val day = col("o_orderdate").cast("date")
+        // The two DISTINCT counts live in their OWN single-distinct
+        // aggregates: putting both in the battery agg triggers Spark's
+        // multi-distinct rewrite — Expand(×3) feeding stacked
+        // SortAggregates (the q69 plan trap, audited ~3× slower) —
+        // while three column-pruned scans each stay hash-aggregatable
+        // with map-side partials. All sides are 1-row frames.
         val base = o.agg(
             count(lit(1)).as("n"),
             sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
-            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
             sum(when(cents(col("o_totalprice")) <= 0L ||
               cents(col("o_totalprice")) > 40000000L, 1L).otherwise(0L)).as("v_sla"),
             sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_dom"),
-            (datediff(max(day), min(day)) + 1L - countDistinct(day)).as("v_days"))
+            (datediff(max(day), min(day)) + 1L).as("span_days"))
+        val du = o.agg(countDistinct(col("o_orderkey")).as("n_orderkey"))
+        val dd = o.agg(countDistinct(day).as("n_days"))
         val fk = o.join(tbl(s, d, "customer"),
             col("o_custkey") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).as("v_fk"))
-        def check(nm: String, viol: String) =
-          struct(lit(nm).as("check_name"), col(viol).as("n_violations"))
-        base.crossJoin(fk)
+        def check(nm: String, viol: Column) =
+          struct(lit(nm).as("check_name"), viol.as("n_violations"))
+        base.crossJoin(du).crossJoin(dd).crossJoin(fk)
           .select(col("n"), explode(array(
-            check("completeness_o_custkey", "v_null"),
-            check("uniqueness_o_orderkey", "v_uniq"),
-            check("sla_price_at_most_400k", "v_sla"),
-            check("domain_status_in_OFP", "v_dom"),
-            check("fk_orders_customer", "v_fk"),
-            check("calendar_no_missing_days", "v_days"))).as("c"))
+            check("completeness_o_custkey", col("v_null")),
+            check("uniqueness_o_orderkey", col("n") - col("n_orderkey")),
+            check("sla_price_at_most_400k", col("v_sla")),
+            check("domain_status_in_OFP", col("v_dom")),
+            check("fk_orders_customer", col("v_fk")),
+            check("calendar_no_missing_days",
+              col("span_days") - col("n_days")))).as("c"))
           .select(col("c.check_name").as("check_name"), col("n"),
             col("c.n_violations").as("n_violations"),
             (col("c.n_violations") === 0L).as("pass"))

@@ -773,21 +773,26 @@ object Temporal {
     //   A ("yesterday's replica") lacks keys ≡ 0 (mod 97);
     //   B ("today")               lacks keys ≡ 0 (mod 101) and bumps the
     //                             price on keys ≡ 0 (mod 89).
-    // Each side reduces a row to (key, 60-bit row digest) BEFORE the
+    // Each side reduces a row to (key, 58-bit row digest) BEFORE the
     // join, so the full-outer compare carries 16 bytes/row no matter how
     // wide the table is; verdicts (inserted/deleted/changed/unchanged)
-    // come from null-sides and digest inequality. Output is the per-
-    // verdict count plus order-invariant key/digest checksums — the
-    // complete diff is provable without shipping it. Scale: ONE
-    // sort-merge full-outer shuffle on the key (plan-gated: no BNLJ) +
-    // a 4-row rollup; at 100 TB this is the textbook anti-entropy pass.
+    // come from null-sides and digest inequality. The digest is the WIDE
+    // mod-2^58 fold ([[graft.Qh.strHashWide]]), NOT the ~20-bit strHash:
+    // a changed row whose old/new digests collide is mis-reported
+    // 'unchanged', and at mod 1e6 that is ~1e-6 per changed row —
+    // near-certain over a 100 TB anti-entropy pass — vs ~3.4e-18 at this
+    // width. Output is the per-verdict count plus order-invariant key-sum
+    // and digest-XOR checksums (xor, not sum: summing 58-bit digests
+    // overflows signed 64-bit) — the complete diff is provable without
+    // shipping it. Scale: ONE sort-merge full-outer shuffle on the key
+    // (plan-gated: no BNLJ) + a 4-row rollup.
     "q62_snapshot_diff" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
           .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
             cents(col("o_totalprice")).as("price_c"),
             col("o_orderdate").cast("date").cast("string").as("day"))
-        def digest(price: Column): Column = strHash(concat_ws("|",
+        def digest(price: Column): Column = strHashWide(concat_ws("|",
           col("k").cast("string"), col("st"), price.cast("string"), col("day")))
         val a = o.filter(pmod(col("k"), lit(97L)) =!= 0L)
           .select(col("k"), digest(col("price_c")).as("h_a"))
@@ -802,16 +807,16 @@ object Temporal {
               .otherwise("unchanged"))
           .groupBy("verdict")
           .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
-            sum(coalesce(col("h_b"), col("h_a"))).as("digest_sum"))
+            expr("bit_xor(coalesce(h_b, h_a))").as("digest_xor"))
           .orderBy("verdict")
       },
       Some(s"""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
               |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
               |    CAST(CAST(o_orderdate AS DATE) AS STRING) AS day FROM orders),
-              |a AS (SELECT k, ${strHashSql(
+              |a AS (SELECT k, ${strHashWideSql(
                 "CAST(k AS STRING) || '|' || st || '|' || CAST(price_c AS STRING) || '|' || day")} AS h_a
               |      FROM o WHERE k % 97 <> 0),
-              |b AS (SELECT k, ${strHashSql(
+              |b AS (SELECT k, ${strHashWideSql(
                 "CAST(k AS STRING) || '|' || st || '|' || CAST(price_c + CASE WHEN k % 89 = 0 THEN 500 ELSE 0 END AS STRING) || '|' || day")} AS h_b
               |      FROM o WHERE k % 101 <> 0),
               |j AS (SELECT coalesce(a.k, b.k) AS k, h_a, h_b
@@ -821,9 +826,9 @@ object Temporal {
               |            WHEN h_a <> h_b THEN 'changed'
               |            ELSE 'unchanged' END AS verdict,
               |  CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
-              |  CAST(sum(coalesce(h_b, h_a)) AS BIGINT) AS digest_sum
+              |  CAST(bit_xor(coalesce(h_b, h_a)) AS BIGINT) AS digest_xor
               |FROM j GROUP BY 1 ORDER BY verdict""".stripMargin),
-      doc = "snapshot reconciliation: per-key row digests full-outer " +
+      doc = "snapshot reconciliation: per-key wide row digests full-outer " +
         "compared into a changeset; one SMJ shuffle, digests not rows"),
 
     // Q70 — new-vs-returning user growth curve: per day, how many events

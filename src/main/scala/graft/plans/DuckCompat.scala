@@ -182,6 +182,11 @@ object DuckCompat {
     fn("json_valid", { case Seq(x) =>
       IsNotNull(call("get_json_object", x, Literal("$"))) }),
     fn("xor", { case Seq(a, b) => BitwiseXor(a, b) }),
+    // starts_with: DuckDB's literal-prefix test; Spark spells it
+    // startswith. Oracle texts use it where LIKE 'pfx%' would be wrong
+    // because the prefix itself contains LIKE metachars ('_' is a
+    // single-char wildcard — the 'utm_' tracking-param trap).
+    fn("starts_with", a => call("startswith", a: _*)),
     // epoch(ts): DOUBLE seconds (fraction kept) — micros over 1e6.
     fn("epoch", { case Seq(t) =>
       Divide(call("unix_micros", t), Literal(1000000.0)) }),

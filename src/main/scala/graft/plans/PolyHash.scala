@@ -68,6 +68,60 @@ object PolyHash {
   def column(c: Column): Column = GraftShim.column(PolyHash(GraftShim.expression(c)))
 }
 
+/** The 58-bit WIDE sibling of [[PolyHash]]: identical char fold but mod
+  * [[graft.Qh.WinHashP]] (~2^58) — for ROW DIGESTS, where [[PolyHash]]'s
+  * ~20-bit modulus collides at anti-entropy scale (q62: a changed row
+  * whose old/new digests collide is mis-reported 'unchanged'; at mod 1e6
+  * that is ~1e-6 per changed row — near-certain over 100 TB — vs ~3e-18
+  * here). The fold stays exact in signed 64-bit in BOTH engines by the
+  * [[graft.Qh.WinHashP]] construction: 31·(P−1) + maxCodePoint < 2^63−1.
+  * DuckDB mirror: [[graft.Qh.strHashWideSql]]. */
+case class PolyHash58(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_hash58 expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyHash58.hash(input.asInstanceOf[UTF8String].toString)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("phwStr")
+      val i = ctx.freshName("phwI")
+      s"""
+         |String $s = $c.toString();
+         |long ${ev.value}L0 = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  ${ev.value}L0 = (${ev.value}L0 * 31L + (long) $s.charAt($i)) % ${PolyHash58.Mod}L;
+         |}
+         |${ev.value} = ${ev.value}L0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash58 =
+    copy(child = newChild)
+}
+
+object PolyHash58 {
+  val Mod: Long = Qh.WinHashP
+
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 31L + s.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  /** Column form for direct library use (no registration needed). */
+  def column(c: Column): Column = GraftShim.column(PolyHash58(GraftShim.expression(c)))
+}
+
 /** SparkSessionExtensions installer: makes `graft_hash` available to SQL
   * (incl. inside SQL lambda expressions) on sessions built with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`, or
@@ -84,6 +138,7 @@ object GraftExtensions {
     (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), build)
 
   val graftHash: FnDef = fn("graft_hash", classOf[PolyHash], c => PolyHash(c.head))
+  val graftHash58: FnDef = fn("graft_hash58", classOf[PolyHash58], c => PolyHash58(c.head))
   val graftSimHash: FnDef = fn("graft_simhash", classOf[SimHash60], c => SimHash60(c.head))
   val graftMinHash: FnDef = fn("graft_minhash", classOf[MinHashSig], c => MinHashSig(c.head))
   val graftJaccard: FnDef = fn("graft_jaccard", classOf[JaccardSim], c => JaccardSim(c(0), c(1)))
@@ -96,7 +151,7 @@ object GraftExtensions {
   val graftLshBucket2: FnDef = fn("graft_lsh_bucket2", classOf[LshBucket64], c => LshBucket64(c.head, table = 1))
   val graftShingles: FnDef = fn("graft_shingles", classOf[Shingles3], c => Shingles3(c.head, distinct = true))
 
-  val all: Seq[FnDef] = Seq(graftHash, graftSimHash, graftMinHash,
+  val all: Seq[FnDef] = Seq(graftHash, graftHash58, graftSimHash, graftMinHash,
     graftJaccard, graftDot, graftSumSq, graftLshBucket, graftLshBucket2, graftShingles) ++
     DuckCompat.all // DuckDB-dialect aliases so oracle texts run verbatim in spark.sql
 

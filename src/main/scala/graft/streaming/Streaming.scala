@@ -537,8 +537,13 @@ object Streaming {
     * spec-pinned anyway (ContractGateSpec). */
   def recordChecks(df: DataFrame, domain: Seq[String],
       maxValueC: Long): DataFrame = {
+    // TOTAL order within an event_id: two rows sharing (ts, user_id) but
+    // differing in value/event_type must still pick the SAME survivor on
+    // every run/replay, or which copy lands in quarantine flips —
+    // breaking the replay-idempotence contract ContractGateSpec pins.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_id").orderBy("ts", "user_id")
+      .partitionBy("event_id")
+      .orderBy(col("ts"), col("user_id"), col("value"), col("event_type"))
     df.withColumn("__rn", row_number().over(w))
       .withColumn("reason",
         when(col("user_id").isNull, "null_user_id")

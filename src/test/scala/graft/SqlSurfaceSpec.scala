@@ -37,6 +37,7 @@ class SqlSurfaceSpec extends SparkSpec {
       ("recursive closure CTE dedups rounds with plain UNION, which Spark " +
         "rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE; UNION ALL would " +
         "not terminate on the cyclic near-dup graph)"),
+    "dedup_cluster_build" -> "same recursive-UNION closure as dedup_cluster",
     "sample_split" -> "consumes dedup_cluster's recursive-UNION closure",
     "corpus_manifest" -> "consumes dedup_cluster's recursive-UNION closure",
     "dedup_substring_cut" ->
