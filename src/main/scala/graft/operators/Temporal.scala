@@ -955,175 +955,5 @@ object Temporal {
              |  CASE WHEN n_prior = 7 THEN n * 7 > trail7 * 2 ELSE FALSE END AS burst
              |FROM w ORDER BY event_type, day""".stripMargin),
       doc = "volume-burst alarm: today > 2x trailing-7 mean in exact " +
-        "integers, armed after 7 observations; runs on the day rollup"),
-
-    // Q74 — AS-OF join (the point-in-time lookup feature stores and
-    // backtesting engines need, and an operator Spark has no native
-    // form for): each click is enriched with the user's most recent
-    // purchase AT OR BEFORE the click instant — never a later one (the
-    // leakage rule that makes point-in-time correctness a dedup-grade
-    // integrity property: a feature computed from a future purchase is
-    // train-time contamination). Spelled scale-safe as the union-tag
-    // cumulative window, NOT a range join: tag purchases 0 / clicks 1,
-    // ONE window per user over (ts, tag) computes the running max
-    // purchase-ts (purchases sort before same-instant clicks, so an
-    // exactly-simultaneous purchase is visible to the click), then one
-    // equi-join back on (user, asof_ts) fetches the purchase attributes.
-    // Cost: one user-partitioned window + one shuffle join — at 100 TB
-    // both partition by user_id; the naive inequality join this
-    // replaces is a per-user cross product. Same-instant duplicate
-    // purchases collapse column-wise to their max value/event id before
-    // tagging (deterministic in both engines; (user, ts) is unique in
-    // this corpus so the collapse is an identity here). Clicks with no
-    // prior purchase keep NULL attributes (left join) — the cold-start
-    // rows a feature pipeline must represent, not drop.
-    "q74_asof_join" -> QueryDef(
-      (s, d) => {
-        val ev = tbl(s, d, "events")
-          .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"), col("event_type"),
-            cents(col("value")).as("value_c"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .groupBy("user_id", "ts_us")
-          .agg(max(col("value_c")).as("p_value_c"),
-            max(col("event_id")).as("p_event_id"))
-        val tagged = p.select(col("user_id"), col("ts_us"),
-            lit(0L).as("tag"), lit(-1L).as("click_id"))
-          .unionByName(ev.filter(col("event_type") === "click")
-            .select(col("user_id"), col("ts_us"),
-              lit(1L).as("tag"), col("event_id").as("click_id")))
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts_us"), col("tag"), col("click_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tagged
-          .withColumn("asof_ts_us",
-            max(when(col("tag") === 0L, col("ts_us"))).over(w))
-          .filter(col("tag") === 1L)
-          .join(p.withColumnRenamed("ts_us", "asof_ts_us"),
-            Seq("user_id", "asof_ts_us"), "left")
-          .select(col("click_id").as("event_id"), col("user_id"),
-            col("ts_us"), col("asof_ts_us"), col("p_event_id"),
-            col("p_value_c"),
-            (col("ts_us") - col("asof_ts_us")).as("staleness_us"))
-          .orderBy("event_id")
-      },
-      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
-             |    CAST(round(value*100) AS BIGINT) AS value_c FROM events),
-             |p AS (SELECT user_id, ts_us, CAST(max(value_c) AS BIGINT) AS p_value_c,
-             |        CAST(max(event_id) AS BIGINT) AS p_event_id
-             |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
-             |t AS (SELECT user_id, ts_us, CAST(0 AS BIGINT) AS tag,
-             |        CAST(-1 AS BIGINT) AS click_id FROM p
-             |      UNION ALL
-             |      SELECT user_id, ts_us, CAST(1 AS BIGINT) AS tag, event_id
-             |      FROM ev WHERE event_type = 'click'),
-             |a AS (SELECT user_id, ts_us, tag, click_id,
-             |        max(CASE WHEN tag = 0 THEN ts_us END) OVER (
-             |          PARTITION BY user_id ORDER BY ts_us, tag, click_id
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts_us
-             |      FROM t)
-             |SELECT a.click_id AS event_id, a.user_id, a.ts_us, a.asof_ts_us,
-             |  p.p_event_id, p.p_value_c,
-             |  a.ts_us - a.asof_ts_us AS staleness_us
-             |FROM a LEFT JOIN p ON p.user_id = a.user_id AND p.ts_us = a.asof_ts_us
-             |WHERE a.tag = 1
-             |ORDER BY event_id""".stripMargin),
-      doc = "point-in-time AS-OF join: clicks enriched with the latest " +
-        "at-or-before purchase via union-tag cumulative window + " +
-        "equi-join back; NULL-attributed cold starts"),
-
-    // Q75 — ordered conversion funnel (signup → click → purchase), the
-    // product-analytics staple: a user counts at a step only if it
-    // happens AT OR AFTER their previous step (first signup, then first
-    // click ≥ that signup, then first purchase ≥ that click) — order
-    // matters, which is what separates a funnel from three filters.
-    // Spelled as a chain of per-user min-aggregates with equi-joins
-    // (each stage: one shuffle on user_id, map-side-combinable min) —
-    // at 100 TB every stage partitions by user; no window, no range
-    // join. The summary is a UNION of three DIFFERENT 1-row aggregates
-    // (each computed once — not the q67 same-aggregate fan-out trap),
-    // carrying exact integer user counts and summed step latencies in
-    // micros (numerators; consumers divide).
-    "q75_funnel" -> QueryDef(
-      (s, d) => {
-        val ev = tbl(s, d, "events")
-          .select(col("user_id"), col("event_type"),
-            unix_micros(col("ts")).as("ts_us"))
-        val su = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts_us")).as("s_ts"))
-        val cl = ev.filter(col("event_type") === "click")
-          .join(su, Seq("user_id"))
-          .filter(col("ts_us") >= col("s_ts"))
-          .groupBy("user_id")
-          .agg(min(col("ts_us")).as("c_ts"), max(col("s_ts")).as("s_ts"))
-        val pu = ev.filter(col("event_type") === "purchase")
-          .join(cl, Seq("user_id"))
-          .filter(col("ts_us") >= col("c_ts"))
-          .groupBy("user_id")
-          .agg(min(col("ts_us")).as("p_ts"), max(col("c_ts")).as("c_ts"))
-        def step(nm: String, df: org.apache.spark.sql.DataFrame,
-            lat: Column) = df.agg(count(lit(1)).as("n_users"),
-            coalesce(sum(lat), lit(0L)).as("sum_latency_us"))
-          .select(lit(nm).as("step"), col("n_users"), col("sum_latency_us"))
-        step("1_signup", su, lit(0L))
-          .unionByName(step("2_click", cl, col("c_ts") - col("s_ts")))
-          .unionByName(step("3_purchase", pu, col("p_ts") - col("c_ts")))
-          .orderBy("step")
-      },
-      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-             |su AS (SELECT user_id, min(ts_us) AS s_ts FROM ev
-             |       WHERE event_type = 'signup' GROUP BY 1),
-             |cl AS (SELECT e.user_id, min(e.ts_us) AS c_ts, max(su.s_ts) AS s_ts
-             |       FROM ev e JOIN su ON su.user_id = e.user_id
-             |       WHERE e.event_type = 'click' AND e.ts_us >= su.s_ts GROUP BY 1),
-             |pu AS (SELECT e.user_id, min(e.ts_us) AS p_ts, max(cl.c_ts) AS c_ts
-             |       FROM ev e JOIN cl ON cl.user_id = e.user_id
-             |       WHERE e.event_type = 'purchase' AND e.ts_us >= cl.c_ts GROUP BY 1)
-             |SELECT step, n_users, sum_latency_us FROM (
-             |  SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS n_users,
-             |    CAST(0 AS BIGINT) AS sum_latency_us FROM su
-             |  UNION ALL
-             |  SELECT '2_click', CAST(count(*) AS BIGINT),
-             |    CAST(coalesce(sum(c_ts - s_ts), 0) AS BIGINT) FROM cl
-             |  UNION ALL
-             |  SELECT '3_purchase', CAST(count(*) AS BIGINT),
-             |    CAST(coalesce(sum(p_ts - c_ts), 0) AS BIGINT) FROM pu)
-             |ORDER BY step""".stripMargin),
-      doc = "ordered signup→click→purchase funnel: per-user min-chain " +
-        "with order constraints, exact user counts + latency numerators"),
-
-    // Q76 — weekly retention cohorts, the growth-accounting matrix:
-    // users are cohorted by the week of their FIRST event; cell
-    // (cohort_week, week_offset) counts distinct cohort members active
-    // that many weeks later (offset 0 = the cohort size, so retention
-    // ratios are a downstream division of exact integers). Two shuffles
-    // total at any scale: the per-user min (first week) and the
-    // per-cell distinct count — both keyed aggregations; the join
-    // feeding the matrix is an equi-join on user_id. Weeks come from
-    // date_trunc('week', ·), which both engines anchor to Monday; the
-    // offset is exact day arithmetic div 7 (never float date math).
-    "q76_retention_cohort" -> QueryDef(
-      (s, d) => {
-        val ev = tbl(s, d, "events")
-          .select(col("user_id"),
-            date_trunc("week", col("ts")).cast("date").as("wk"))
-        val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-        ev.join(first, Seq("user_id"))
-          .select(col("cohort_wk"),
-            expr("CAST(datediff(wk, cohort_wk) AS BIGINT) div 7L")
-              .as("wk_offset"), col("user_id"))
-          .groupBy("cohort_wk", "wk_offset")
-          .agg(countDistinct(col("user_id")).as("n_active"))
-          .orderBy("cohort_wk", "wk_offset")
-      },
-      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
-             |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
-             |SELECT f.cohort_wk,
-             |  CAST(divide(divide(epoch_us(CAST(ev.wk AS TIMESTAMP))
-             |    - epoch_us(CAST(f.cohort_wk AS TIMESTAMP)), 86400000000), 7) AS BIGINT) AS wk_offset,
-             |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
-             |FROM ev JOIN f ON f.user_id = ev.user_id
-             |GROUP BY 1, 2 ORDER BY cohort_wk, wk_offset""".stripMargin),
-      doc = "weekly retention cohort matrix: first-week cohorts × " +
-        "week-offset distinct-active counts, exact integers"))
+        "integers, armed after 7 observations; runs on the day rollup"))
 }
