@@ -197,6 +197,89 @@ object Graph {
       },
       doc = "degree-oriented edge-iterator triangle count over the " +
         "symmetrized k-NN(3) embedding graph — local clustering of the " +
-        "manifold; m ≤ 3n edges, Σ outdeg² wedge bound")
+        "manifold; m ≤ 3n edges, Σ outdeg² wedge bound"),
+
+    // Q77 — k-hop BFS reachability (k=3) over the co-purchase graph from
+    // the 3 top-degree hubs: the third canonical bulk-iterative graph
+    // shape after fixed-point scoring (q55) and closure (dedup_cluster) —
+    // frontier expansion with min-distance semantics, the spine of
+    // neighborhood sampling (GraphSAGE fan-outs), blast-radius queries,
+    // and k-hop feature collection.
+    //
+    // Scale shape: each hop is ONE equi-join of the CURRENT FRONTIER
+    // (not the whole settled set) against the edge list, a distinct on
+    // the expansion, and an anti-join against settled nodes — the
+    // standard frontier-BFS; with localCheckpoint lineage cuts per hop,
+    // exactly the dedup_cluster loop discipline. Settled stays
+    // partitioned by node; nothing rescans prior frontiers. The oracle
+    // unrolls the equivalent min-dist closure over 3 hops — frontier
+    // BFS and min-dist relaxation provably agree on hop counts.
+    // Output is the per-level rollup (bounded: k+1 rows) — dist,
+    // reached-count, node-id checksum — so the gate pins the exact
+    // REACHED SET, not just its size.
+    "q77_khop_reach" -> QueryDef(
+      (s, d) => {
+        val edges = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val und = edges
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+        val seeds = und.groupBy("src").agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("src")).limit(3)
+          .select(col("src").as("node"))
+        var settled = seeds.withColumn("dist", lit(0L)).localCheckpoint()
+        var frontier = settled.select("node")
+        for (k <- 1 to 3) {
+          val next = und.join(frontier, und("src") === frontier("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(settled.select("node"), Seq("node"), "left_anti")
+            .withColumn("dist", lit(k.toLong))
+            .localCheckpoint()
+          settled = settled.union(next).localCheckpoint()
+          frontier = next.select("node")
+        }
+        settled.groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("node")).as("node_sum"),
+            min(col("node")).as("min_node"),
+            max(col("node")).as("max_node"))
+          .orderBy("dist")
+      },
+      Some("""WITH edges AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |und AS (SELECT src, dst FROM edges
+             |        UNION ALL SELECT dst, src FROM edges),
+             |seeds AS (SELECT src AS node
+             |          FROM (SELECT src, count(*) AS deg FROM und GROUP BY src)
+             |          ORDER BY deg DESC, src LIMIT 3),
+             |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+             |d1 AS (SELECT node, min(dist) AS dist FROM (
+             |         SELECT node, dist FROM d0
+             |         UNION ALL
+             |         SELECT u.dst AS node, d0.dist + 1 FROM und u
+             |         JOIN d0 ON u.src = d0.node) GROUP BY node),
+             |d2 AS (SELECT node, min(dist) AS dist FROM (
+             |         SELECT node, dist FROM d1
+             |         UNION ALL
+             |         SELECT u.dst AS node, d1.dist + 1 FROM und u
+             |         JOIN d1 ON u.src = d1.node) GROUP BY node),
+             |d3 AS (SELECT node, min(dist) AS dist FROM (
+             |         SELECT node, dist FROM d2
+             |         UNION ALL
+             |         SELECT u.dst AS node, d2.dist + 1 FROM und u
+             |         JOIN d2 ON u.src = d2.node) GROUP BY node)
+             |SELECT CAST(dist AS BIGINT) AS dist,
+             |  CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(sum(node) AS BIGINT) AS node_sum,
+             |  CAST(min(node) AS BIGINT) AS min_node,
+             |  CAST(max(node) AS BIGINT) AS max_node
+             |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin),
+      doc = "3-hop frontier BFS from the 3 top-degree co-purchase hubs: " +
+        "per-hop equi-join + distinct + anti-join vs settled; per-level " +
+        "rollup pins the exact reached set via node-id checksum")
   )
 }

@@ -955,5 +955,104 @@ object Temporal {
              |  CASE WHEN n_prior = 7 THEN n * 7 > trail7 * 2 ELSE FALSE END AS burst
              |FROM w ORDER BY event_type, day""".stripMargin),
       doc = "volume-burst alarm: today > 2x trailing-7 mean in exact " +
-        "integers, armed after 7 observations; runs on the day rollup"))
+        "integers, armed after 7 observations; runs on the day rollup"),
+
+    // Q74 — NEAREST-direction as-of join with tolerance, the operator
+    // family q32 (backward-only) does not cover: each purchase is matched
+    // to the same user's temporally CLOSEST click within ±30 min, in
+    // EITHER direction (pandas merge_asof direction='nearest'; kdb wj).
+    // Matching rules, all deterministic: |Δ| minimized; an exact distance
+    // tie prefers the backward candidate (the leakage-safe side); clicks
+    // sharing (user, ts) collapse to the max-event_id row before matching;
+    // candidates beyond the tolerance yield a NULL match (kept — the
+    // cold-start rows a feature pipeline must represent).
+    //
+    // Scale shape: the union-tag merge formulation run TWICE — one
+    // ascending window carries the latest at-or-before click ts, one
+    // descending window carries the earliest at-or-after click ts (both
+    // partitioned by user_id — fully parallel at 100 TB), then pure
+    // column arithmetic picks the nearer in-tolerance side and ONE
+    // equi-join on (user_id, chosen_ts) fetches the click payload. The
+    // naive formulation is a range join on |Δ| ≤ T — a per-user cross
+    // product this spelling exists to avoid. The oracle states the same
+    // rules as a correlated top-1 (fine for DuckDB at sf; ORDER BY
+    // abs(Δ), is-forward, ts reproduces the tie chain exactly).
+    "q74_asof_nearest" -> QueryDef(
+      (s, d) => {
+        val tolUs = 1800L * 1000000L
+        val ev = tbl(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"),
+            cents(col("value")).as("value_c"))
+        // max(struct) = lexicographic max on the unique event_id: the
+        // deterministic collapse of same-instant clicks.
+        val clk = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_us")
+          .agg(max(struct(col("event_id"), col("value_c"))).as("m"))
+          .select(col("user_id"), col("ts_us"),
+            col("m.event_id").as("c_event_id"), col("m.value_c").as("c_cents"))
+        val tagged = clk.select(col("user_id"), col("ts_us"),
+            lit(0L).as("tag"), lit(-1L).as("p_id"))
+          .unionByName(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"),
+              lit(1L).as("tag"), col("event_id").as("p_id")))
+        // Ascending pass: clicks (tag 0) sort before a same-instant
+        // purchase, so an exactly-simultaneous click is visible backward.
+        val wB = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("tag"), col("p_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Descending pass: same-instant clicks again precede the probe.
+        val wF = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("tag"), col("p_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cand = tagged
+          .withColumn("bwd", max(when(col("tag") === 0L, col("ts_us"))).over(wB))
+          .withColumn("fwd", min(when(col("tag") === 0L, col("ts_us"))).over(wF))
+          .filter(col("tag") === 1L)
+        val dB = col("ts_us") - col("bwd")
+        val dF = col("fwd") - col("ts_us")
+        val takeB = col("bwd").isNotNull && dB <= tolUs &&
+          (col("fwd").isNull || dF > tolUs || dB <= dF)
+        val takeF = !takeB && col("fwd").isNotNull && dF <= tolUs
+        cand
+          .withColumn("near_ts_us", when(takeB, col("bwd")).when(takeF, col("fwd")))
+          .withColumn("direction",
+            when(takeB, lit("backward")).when(takeF, lit("forward")))
+          .join(clk.withColumnRenamed("ts_us", "near_ts_us"),
+            Seq("user_id", "near_ts_us"), "left")
+          .select(col("p_id").as("event_id"), col("user_id"), col("ts_us"),
+            col("near_ts_us"), col("direction"),
+            col("c_event_id").as("near_event_id"),
+            col("c_cents").as("near_cents"),
+            (col("ts_us") - col("near_ts_us")).as("delta_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+             |    CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+             |c AS (SELECT user_id, ts_us, event_id AS c_event_id, value_c AS c_cents
+             |      FROM (SELECT user_id, ts_us, event_id, value_c,
+             |              row_number() OVER (PARTITION BY user_id, ts_us
+             |                ORDER BY event_id DESC) AS rn
+             |            FROM ev WHERE event_type = 'click') WHERE rn = 1),
+             |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+             |cand AS (SELECT p.event_id, c.ts_us AS c_ts,
+             |           row_number() OVER (PARTITION BY p.event_id
+             |             ORDER BY abs(c.ts_us - p.ts_us), (c.ts_us > p.ts_us), c.ts_us
+             |           ) AS rn
+             |         FROM p JOIN c ON c.user_id = p.user_id
+             |           AND c.ts_us >= p.ts_us - 1800000000
+             |           AND c.ts_us <= p.ts_us + 1800000000),
+             |best AS (SELECT event_id, c_ts FROM cand WHERE rn = 1)
+             |SELECT p.event_id, p.user_id, p.ts_us, best.c_ts AS near_ts_us,
+             |  CASE WHEN best.c_ts IS NULL THEN NULL
+             |       WHEN best.c_ts <= p.ts_us THEN 'backward'
+             |       ELSE 'forward' END AS direction,
+             |  c.c_event_id AS near_event_id, c.c_cents AS near_cents,
+             |  p.ts_us - best.c_ts AS delta_us
+             |FROM p LEFT JOIN best ON best.event_id = p.event_id
+             |LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us = best.c_ts
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "nearest-direction as-of join with ±30 min tolerance: two " +
+        "user-partitioned union-tag passes + one equi-join back; " +
+        "backward preferred on exact-distance ties, NULL cold starts"))
 }
