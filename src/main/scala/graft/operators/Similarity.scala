@@ -1026,6 +1026,81 @@ object Similarity {
           "\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY sel_round"
       },
       doc = s"MMR diversity-aware retrieval (λ=0.7, K=$KCenterK): greedy " +
-        "λ·rel − (1−λ)·max-sim-to-picked, incremental like sim_kcenter")
+        "λ·rel − (1−λ)·max-sim-to-picked, incremental like sim_kcenter"),
+
+    // Hybrid-retrieval rank fusion (RRF, Cormack et al. 2009 — the
+    // standard way to combine a lexical and a semantic retriever): the
+    // SEMANTIC list is cosine top-20 against query vector 0, the LEXICAL
+    // list is token-Jaccard top-20 against document 0 (vec_id and doc_id
+    // share the id space by construction of the test corpus), and each
+    // candidate scores Σ_lists 1e6 div (60 + rank) — the classic k=60
+    // constant, integer-exact so both engines agree bit-for-bit; a doc
+    // missing from one list contributes 0 from it (COALESCE, never a
+    // dropped row — one-list hits are exactly what fusion exists to
+    // rescue).
+    //
+    // Scale shape: each list is a TakeOrderedAndProject top-k (no global
+    // sort, no all-pairs — the candidate generation at 100 TB swaps in
+    // sim_ann_ivf / dedup_minhash_lsh, same fusion tail); the rank
+    // windows run over the ALREADY-LIMITED 20-row lists (cardinality
+    // bounded by construction — allowlisted in the plan gate exactly
+    // like layout_zorder's diagnostic), and the fusion is one 20×20
+    // full-outer equi-join.
+    "sim_rrf_fusion" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import Dedup.{jaccard, tokHashes}
+        val K = 20
+        val emb = tbl(s, d, "embeddings")
+        val qv = broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("e0"), normD(col("embedding")).as("n0")))
+        val sem = emb.filter(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id").as("id"),
+            (dotD(col("embedding"), col("e0")) /
+              (normD(col("embedding")) * col("n0"))).as("sim"))
+          .orderBy(col("sim").desc, col("id")).limit(K)
+          .select(col("id"), row_number()
+            .over(Window.orderBy(col("sim").desc, col("id")))
+            .cast("long").as("rank_sem"))
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), tokHashes(col("text")).as("tk"))
+        val qd = broadcast(docs.filter(col("doc_id") === 0)
+          .select(col("tk").as("tk0")))
+        val lex = docs.filter(col("doc_id") =!= 0).crossJoin(qd)
+          .select(col("doc_id").as("id"), jaccard(col("tk"), col("tk0")).as("jac"))
+          .orderBy(col("jac").desc, col("id")).limit(K)
+          .select(col("id"), row_number()
+            .over(Window.orderBy(col("jac").desc, col("id")))
+            .cast("long").as("rank_lex"))
+        sem.join(lex, Seq("id"), "full_outer")
+          .select(col("id"), col("rank_sem"), col("rank_lex"),
+            (coalesce(expr("1000000 div (60 + rank_sem)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)))
+              .as("rrf_ppm"))
+          .orderBy(col("rrf_ppm").desc, col("id"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS e0, ${normSql("embedding")} AS n0
+              |          FROM embeddings WHERE vec_id = 0),
+              |sem0 AS (SELECT vec_id AS id,
+              |    ${dotSql("embedding", "e0")} / (${normSql("embedding")} * n0) AS sim
+              |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+              |  ORDER BY sim DESC, id LIMIT 20),
+              |sem AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank_sem
+              |        FROM sem0),
+              |t AS (SELECT doc_id, ${Dedup.tokHashesSql("text")} AS tk FROM documents),
+              |qd AS (SELECT tk AS tk0 FROM t WHERE doc_id = 0),
+              |lex0 AS (SELECT doc_id AS id, ${Dedup.jaccardSql("tk", "tk0")} AS jac
+              |  FROM t CROSS JOIN qd WHERE doc_id <> 0
+              |  ORDER BY jac DESC, id LIMIT 20),
+              |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY jac DESC, id) AS BIGINT) AS rank_lex
+              |        FROM lex0)
+              |SELECT coalesce(sem.id, lex.id) AS id, rank_sem, rank_lex,
+              |  coalesce(divide(1000000, 60 + rank_sem), 0)
+              |    + coalesce(divide(1000000, 60 + rank_lex), 0) AS rrf_ppm
+              |FROM sem FULL OUTER JOIN lex ON sem.id = lex.id
+              |ORDER BY rrf_ppm DESC, coalesce(sem.id, lex.id)""".stripMargin),
+      doc = "reciprocal-rank fusion (k=60) of the cosine top-20 and " +
+        "token-Jaccard top-20 lists: integer-exact Σ 1e6 div (60+rank), " +
+        "full-outer so one-list hits survive")
   )
 }

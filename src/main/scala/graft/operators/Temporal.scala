@@ -1054,5 +1054,53 @@ object Temporal {
              |ORDER BY p.event_id""".stripMargin),
       doc = "nearest-direction as-of join with ±30 min tolerance: two " +
         "user-partitioned union-tag passes + one equi-join back; " +
-        "backward preferred on exact-distance ties, NULL cold starts"))
+        "backward preferred on exact-distance ties, NULL cold starts"),
+
+    // Q78 — exponentially weighted moving average per user, EXACT: the
+    // one classic time-series smoother the rolling family (q34 sum, q39
+    // TWAP, q46 LOCF, q65 interp) did not cover. Float EWMA is a
+    // recursive IEEE accumulation no two engines reproduce bit-for-bit,
+    // so this is the DYADIC form: α = 1/2 truncated to the last 16
+    // observations — weights 2^15..2^0 over [newest..oldest], emitted as
+    // the exact integer NUMERATOR plus the term count (denominator
+    // 2^n − 1 is the consumer's one division, the q59/text_dsir
+    // no-final-division discipline). The fold is Horner's rule over the
+    // REVERSED frame array (h → 2h + x puts weight 2^(n-1) on the
+    // newest sample); max |num| ≤ 2^16·max_cents — overflow-safe by
+    // construction.
+    //
+    // Scale shape: one user-partitioned window (ROWS 15 PRECEDING)
+    // collecting a ≤16-element array per row + a codegen'd fold — no
+    // self-join, no explode; at 100 TB this partitions by user like
+    // every operator in this file.
+    "q78_ewma" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("cents"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-15, 0)
+        ev
+          .withColumn("frame", collect_list(col("cents")).over(w))
+          .select(col("event_id"), col("user_id"), col("cents"),
+            size(col("frame")).cast("long").as("n_terms"),
+            aggregate(reverse(col("frame")), lit(0L),
+              (h, x) => h * 2 + x).as("ewma_num"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |f AS (SELECT event_id, user_id, cents,
+             |        array_agg(cents) OVER (PARTITION BY user_id
+             |          ORDER BY ts_us, event_id
+             |          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
+             |      FROM ev)
+             |SELECT event_id, user_id, cents,
+             |  CAST(len(frame) AS BIGINT) AS n_terms,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(frame)),
+             |    (h, x) -> h * 2 + x) AS ewma_num
+             |FROM f ORDER BY event_id""".stripMargin),
+      doc = "exact dyadic EWMA (α=1/2, 16-term frame): Horner fold over " +
+        "the reversed window array; integer numerator + term count, " +
+        "consumer divides by 2^n − 1"))
 }

@@ -1148,6 +1148,68 @@ object TextOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "log-free unigram-LM scoring: exact integer token-frequency stats per doc"),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, public arXiv
+    // 1911.00359): the corpus splits into head/middle/tail TERCILES of
+    // the LM quality score — the standard "keep head, sample middle,
+    // drop tail" curation gate. The score is text_unigram_lm's log-free
+    // mean_freq_ppb (lower = more surprising = tail), and the tercile
+    // assignment is EXACT ntile(3) over the total order
+    // (mean_freq_ppb, doc_id) — computed with the distributed two-pass
+    // bucketed prefix-rank ([[graft.Qh.globalRowNumber]]), NOT an
+    // unpartitioned window: at 100 TB the ranking of every document in
+    // the corpus is exactly the plan shape the r7 audit flagged, and
+    // this query exists to show the curation gate in its scale-safe
+    // form. Output is the 3-row bucket summary (sizes + score ranges +
+    // token mass), the table a mixture planner consumes.
+    "text_ccnet_buckets" -> QueryDef(
+      (s, d) => {
+        // Per-doc unigram score — the text_unigram_lm pipeline (same
+        // pre-agg discipline; see that entry for the scale notes).
+        val toksRel = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val cnts = toksRel.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val total = cnts.agg(sum(col("cnt")).as("total_tok"))
+        val scored = toksRel.join(cnts, Seq("token"))
+          .crossJoin(broadcast(total))
+          .withColumn("freq_ppb", expr("cnt * 1000000000 div total_tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            expr("sum(freq_ppb) div count(1)").as("mean_freq_ppb"))
+          .localCheckpoint() // two-pass rank needs a deterministic input
+        val ranked = globalRowNumber(scored, col("mean_freq_ppb"),
+          col("doc_id"), "rn")
+        ranked.df
+          .withColumn("tercile", ntileFromRn("rn", ranked.n, 3L))
+          .withColumn("bucket",
+            when(col("tercile") === 1L, "tail")
+              .when(col("tercile") === 2L, "middle").otherwise("head"))
+          .groupBy("tercile", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+            min(col("mean_freq_ppb")).as("lo_ppb"),
+            max(col("mean_freq_ppb")).as("hi_ppb"))
+          .orderBy("tercile")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+             |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tok FROM cnts),
+             |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |    CAST(divide(sum(divide(cnt * 1000000000, total_tok)), count(*)) AS BIGINT) AS mean_freq_ppb
+             |  FROM toks JOIN cnts USING (token) CROSS JOIN total
+             |  GROUP BY doc_id),
+             |ranked AS (SELECT n_tok, mean_freq_ppb,
+             |    CAST(ntile(3) OVER (ORDER BY mean_freq_ppb, doc_id) AS BIGINT) AS tercile
+             |  FROM scored)
+             |SELECT tercile,
+             |  CASE WHEN tercile = 1 THEN 'tail' WHEN tercile = 2 THEN 'middle'
+             |       ELSE 'head' END AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             |  CAST(min(mean_freq_ppb) AS BIGINT) AS lo_ppb,
+             |  CAST(max(mean_freq_ppb) AS BIGINT) AS hi_ppb
+             |FROM ranked GROUP BY tercile ORDER BY tercile""".stripMargin),
+      doc = "CCNet head/middle/tail terciles of the unigram-LM score via " +
+        "the distributed two-pass prefix-rank; 3-row mixture-planner summary"),
+
     // Bigram-LM quality scoring — the conditional-probability upgrade of
     // text_unigram_lm, same log-free integer-exact discipline: for every
     // adjacent token pair (w1, w2), cond_ppb = corpus-count(w1,w2) × 1e9

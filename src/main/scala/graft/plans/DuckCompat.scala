@@ -81,6 +81,9 @@ object DuckCompat {
     // use distinct lists in order-insensitive folds (min/sum/size), the
     // library-wide rule, so the value difference is unobservable.
     fn("list_distinct", a => call("array_distinct", a: _*)),
+    // Spark's reverse() covers both strings and arrays; DuckDB needs the
+    // list_ name for the array form.
+    fn("list_reverse", a => call("reverse", a: _*)),
     fn("list_min", a => call("array_min", a: _*)),
     fn("list_contains", a => call("array_contains", a: _*)),
     fn("list_intersect", a => call("array_intersect", a: _*)),

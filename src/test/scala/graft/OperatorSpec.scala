@@ -194,7 +194,8 @@ class OperatorSpec extends SparkSpec {
       "sample_temperature",  // crossJoin(broadcast(1-row w_total/budget scalar))
       "q67_quality_contract", // 1-row battery x 1-row FK count, both localCheckpointed
       "q73_rfm_segments",    // crossJoin(broadcast(1-row corpus max-date scalar))
-      "sim_sq8")         // crossJoin(broadcast(1-row quantized query vector))
+      "sim_sq8",         // crossJoin(broadcast(1-row quantized query vector))
+      "sim_rrf_fusion")  // crossJoin(broadcast(1-row query vector / 1-row query token set))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
@@ -203,8 +204,10 @@ class OperatorSpec extends SparkSpec {
     val globalWindowOk = Set(
       "q17_window_frame", // post-aggregate: one row per distinct day (calendar-bounded)
       "q70_user_growth",  // post-aggregate: one row per day (calendar-bounded)
-      "layout_zorder")    // 16-row clustering diagnostic; the production
+      "layout_zorder",    // 16-row clustering diagnostic; the production
                           // write path (zorderLayout) is repartitionByRange
+      "sim_rrf_fusion")   // rank windows run over the already-LIMIT-20
+                          // top-k lists (TakeOrdered feeds them)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, Sf0001)
       val plan = df.queryExecution.executedPlan.toString
