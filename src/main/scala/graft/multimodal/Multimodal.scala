@@ -426,6 +426,81 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic PNG corpus: the `image`-kind documents
+    * (doc_id ≡ 0 mod 3) carry a REAL 8×8 grayscale PNG whose pixels come
+    * from a closed-form recurrence — `g(j) = (gid·2654435761 + j·40503)
+    * mod 256` over row-major j = y·8+x, with `gid = doc_id div 6` so
+    * consecutive image ids (0,3), (6,9), … SHARE pixel content: planted
+    * near-dup pairs for the aHash grouping to find. As with
+    * [[syntheticWav]], the formula lives only here and in the oracle —
+    * the registered query must recover pixels by DECODING THE PNG. */
+  def syntheticPng(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .map { id =>
+        val gid = id / 6L
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < 64) {
+          val g = ((gid * 2654435761L + j * 40503L) % 256L).toInt
+          img.setRGB(j % 8, j / 8, (g << 16) | (g << 8) | g)
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", bos.toByteArray,
+          MediaMeta("image/png", 8, 8, 0, 0L))
+      }
+  }
+
+  /** Average-hash of one real-decoded image: luma per pixel (row-major),
+    * corpus-free mean threshold, 64 bits split into two signed-safe
+    * 32-bit halves. The perceptual-dedup fingerprint (aHash) — two
+    * images share (hi, lo) iff every pixel sits on the same side of its
+    * image's own mean. All integer arithmetic. */
+  final case class ImageAHash(
+      media_id: Long, w: Long, h: Long, mean_g: Long,
+      ahash_hi: Long, ahash_lo: Long)
+
+  def imageAHash(ds: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[ImageAHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) ImageAHash(r.media_id, -1L, -1L, -1L, -1L, -1L)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val n = w * h
+        val lum = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          val argb = img.getRGB(j % w, j / w)
+          val rC = (argb >>> 16) & 0xff
+          val gC = (argb >>> 8) & 0xff
+          val bC = argb & 0xff
+          lum(j) = (299L * rC + 587L * gC + 114L * bC) / 1000L
+          j += 1
+        }
+        val mean = lum.sum / n
+        var hi = 0L; var lo = 0L
+        j = 0
+        while (j < math.min(n, 64)) {
+          if (lum(j) >= mean) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        ImageAHash(r.media_id, w.toLong, h.toLong, mean, hi, lo)
+      }
+    }))
+  }
+
   import graft.QueryDef
 
   /** Oracle-gated multimodal queries. [[StubCodec]] is exact integer
@@ -566,7 +641,52 @@ object Multimodal {
              |ORDER BY media_id""".stripMargin),
       doc = "REAL RIFF/WAVE PCM16 decode via the hand-rolled chunk " +
         "walker; exact integer waveform features (peak/energy/zero-" +
-        "crossings/poly hash) gated against the closed-form oracle"))
+        "crossings/poly hash) gated against the closed-form oracle"),
+
+    // REAL image near-dup detection end-to-end: generate 8×8 grayscale
+    // PNGs (closed-form pixels; consecutive image ids share content —
+    // planted duplicate pairs), decode them through the in-JDK ImageIO
+    // reader, compute the perceptual average-hash, and count hash-bucket
+    // sizes — the visual analog of dedup_exact's fingerprint groupBy.
+    // The oracle recomputes everything from the generating recurrence,
+    // so the gate proves the PNG encode∘decode roundtrip AND the hash
+    // arithmetic; n_same > 1 rows are the planted (and any aHash-
+    // colliding) duplicate groups. Scale shape: batched mapPartitions
+    // decode + a window count partitioned by the HASH (the dedup
+    // bucket key) — at 100 TB the bucket count is the same
+    // fingerprint-keyed shuffle every exact-dedup pass uses.
+    "mm_image_ahash" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        imageAHash(syntheticPng(s, d)).toDF()
+          .withColumn("n_same",
+            count(lit(1)).over(Window.partitionBy("ahash_hi", "ahash_lo")))
+          .orderBy("media_id")
+      },
+      Some("""WITH im AS (SELECT doc_id, divide(doc_id, 6) AS gid
+             |          FROM documents WHERE doc_id % 3 = 0),
+             |px AS (SELECT doc_id, j,
+             |        (gid * 2654435761 + j * 40503) % 256 AS g
+             |      FROM (SELECT doc_id, gid,
+             |              unnest(generate_series(0, 63)) AS j FROM im)),
+             |m AS (SELECT doc_id, divide(sum(g), 64) AS mean_g
+             |      FROM px GROUP BY doc_id),
+             |h AS (SELECT px.doc_id, m.mean_g,
+             |        CAST(sum(CASE WHEN px.j >= 32 AND px.g >= m.mean_g
+             |          THEN CAST(pow(2, px.j - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash_hi,
+             |        CAST(sum(CASE WHEN px.j < 32 AND px.g >= m.mean_g
+             |          THEN CAST(pow(2, px.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash_lo
+             |      FROM px JOIN m ON px.doc_id = m.doc_id
+             |      GROUP BY px.doc_id, m.mean_g)
+             |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS w,
+             |  CAST(8 AS BIGINT) AS h, CAST(mean_g AS BIGINT) AS mean_g,
+             |  ahash_hi, ahash_lo,
+             |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS n_same
+             |FROM h ORDER BY media_id""".stripMargin),
+      doc = "perceptual average-hash near-dup over REAL decoded 8×8 " +
+        "PNGs: planted duplicate pairs resolve to shared (hi, lo) " +
+        "buckets; closed-form oracle proves the PNG roundtrip"))
 
   /** Batched real-WAV decode → exact integer waveform features. A record
     * whose payload fails the chunk walk yields the sentinel row

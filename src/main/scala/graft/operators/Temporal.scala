@@ -1102,5 +1102,48 @@ object Temporal {
              |FROM f ORDER BY event_id""".stripMargin),
       doc = "exact dyadic EWMA (α=1/2, 16-term frame): Horner fold over " +
         "the reversed window array; integer numerator + term count, " +
-        "consumer divides by 2^n − 1"))
+        "consumer divides by 2^n − 1"),
+
+    // Q79 — first-order Markov transition matrix of the per-user event
+    // stream: P(next event type | current event type), the clickstream
+    // model behind next-action prediction, funnel leak detection and
+    // session simulation (q58's journeys aggregate whole paths; this is
+    // the EDGE-level view). Each user's stream is ordered by
+    // (ts, event_id), consecutive pairs are counted per (cur, next),
+    // and the conditional probability ships as exact integer ppb —
+    // cnt·1e9 div row-total (the text_bigram_lm discipline applied to
+    // events; a terminal event contributes no pair). Scale shape: one
+    // user-partitioned lag window + one (cur,next) groupBy (map-side
+    // combinable) + a broadcast-size row-total join — the output is
+    // |event types|² rows, bounded by construction.
+    "q79_markov_transitions" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val pairs = tbl(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type").as("cur"))
+          .withColumn("nxt", lead(col("cur"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("cur").agg(sum(col("n")).as("row_n"))
+        pairs.join(broadcast(totals), Seq("cur"))
+          .withColumn("cond_ppb", expr("n * 1000000000 div row_n"))
+          .select(col("cur"), col("nxt"), col("n"), col("row_n"), col("cond_ppb"))
+          .orderBy("cur", "nxt")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    event_type AS cur FROM events),
+             |p AS (SELECT cur, lead(cur) OVER (PARTITION BY user_id
+             |        ORDER BY ts_us, event_id) AS nxt
+             |      FROM ev),
+             |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+             |      FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+             |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY cur)
+             |SELECT c.cur, c.nxt, c.n, t.row_n,
+             |  CAST(divide(c.n * 1000000000, t.row_n) AS BIGINT) AS cond_ppb
+             |FROM c JOIN t ON c.cur = t.cur
+             |ORDER BY c.cur, c.nxt""".stripMargin),
+      doc = "first-order Markov transition matrix over per-user event " +
+        "streams: lag-window pairs, exact integer cond_ppb; output " +
+        "bounded at |event types|²"))
 }
