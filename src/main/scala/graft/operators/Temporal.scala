@@ -1145,5 +1145,147 @@ object Temporal {
              |ORDER BY c.cur, c.nxt""".stripMargin),
       doc = "first-order Markov transition matrix over per-user event " +
         "streams: lag-window pairs, exact integer cond_ppb; output " +
-        "bounded at |event types|²"))
+        "bounded at |event types|²"),
+
+    // Q80 — chi-square independence test of event_type × ISO weekday
+    // (the "is behavior day-of-week dependent?" hypothesis test every
+    // analytics engine ships): per contingency cell, observed count,
+    // expected count under independence (row·col div N, in exact
+    // milli-units), and the χ² term (obs−exp)²/exp in micro-units —
+    // integer-exact in both engines, zero-expectation cells guarded to
+    // 0 (Spark ANSI division would throw). Consumers sum chi_micro and
+    // compare against the χ² critical value for (r−1)(c−1) dof.
+    // Scale shape: ONE scan feeds four keyed aggregates (cells, row
+    // totals, col totals, N — all map-side combinable); the grid is
+    // rebuilt join-free by exploding dows 1..7 under each row total
+    // and equi-joining the col totals, so absent cells still get their
+    // expected mass. Overflow bound: (obs·1000 − exp_milli)² needs
+    // N ≲ 3·10⁶ at this scaling; a 100 TB run drops the ×1000 (the
+    // q55 R0-rescaling note — same recurrence, rescaled constant).
+    "q80_chisq_independence" -> QueryDef(
+      (s, d) => {
+        val e = tbl(s, d, "events")
+          .select(col("event_type"),
+            (pmod(dayofweek(col("ts")) + 5, lit(7)) + 1).as("dow"))
+        val obs = e.groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+        val rows = e.groupBy("event_type").agg(count(lit(1)).as("row_n"))
+        val cols = e.groupBy("dow").agg(count(lit(1)).as("col_n"))
+        val n = e.agg(count(lit(1)).as("n"))
+        rows
+          .withColumn("dow", explode(sequence(lit(1), lit(7))))
+          .join(broadcast(cols), Seq("dow"))
+          .join(obs, Seq("event_type", "dow"), "left")
+          .crossJoin(broadcast(n))
+          .withColumn("obs", coalesce(col("obs"), lit(0L)))
+          .withColumn("exp_milli", expr("row_n * col_n * 1000 div n"))
+          .withColumn("chi_micro", expr(
+            "CASE WHEN exp_milli = 0 THEN 0 ELSE " +
+              "(obs * 1000 - exp_milli) * (obs * 1000 - exp_milli) div exp_milli END"))
+          .select(col("event_type"), col("dow").cast("long").as("dow"),
+            col("obs"), col("exp_milli"), col("chi_micro"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH e AS (SELECT event_type, isodow(ts) AS dow FROM events),
+             |o AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS obs
+             |      FROM e GROUP BY 1, 2),
+             |r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS row_n
+             |      FROM e GROUP BY 1),
+             |c AS (SELECT dow, CAST(count(*) AS BIGINT) AS col_n FROM e GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+             |grid AS (SELECT r.event_type, r.row_n, c.dow, c.col_n
+             |         FROM r CROSS JOIN c),
+             |f AS (SELECT g.event_type, g.dow,
+             |        coalesce(o.obs, 0) AS obs,
+             |        divide(g.row_n * g.col_n * 1000, n.n) AS exp_milli
+             |      FROM grid g CROSS JOIN n
+             |      LEFT JOIN o ON o.event_type = g.event_type AND o.dow = g.dow)
+             |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+             |  CAST(obs AS BIGINT) AS obs, CAST(exp_milli AS BIGINT) AS exp_milli,
+             |  CAST(CASE WHEN exp_milli = 0 THEN 0 ELSE
+             |    divide((obs * 1000 - exp_milli) * (obs * 1000 - exp_milli), exp_milli)
+             |  END AS BIGINT) AS chi_micro
+             |FROM f ORDER BY event_type, dow""".stripMargin),
+      doc = "χ² independence test of event_type × ISO weekday: exact " +
+        "integer contingency cells, expected milli-counts, per-cell " +
+        "χ² micro-terms; zero-expectation cells guarded"),
+
+    // Q81 — conversion attribution with a 7-day lookback window: for
+    // each purchase, the same user's FIRST-touch click (earliest in the
+    // window — the "what started the journey" credit), LAST-touch click
+    // (latest at-or-before — the "what closed it" credit), and the
+    // touch count, the three marketing-attribution primitives. Differs
+    // from q32/q74: those pick ONE nearest/latest event; attribution
+    // reads the whole bounded window per conversion.
+    //
+    // Scale shape: ONE union-tag pass with a RANGE frame on event-time
+    // micros — clicks and purchases merge-sort per user, and the
+    // trailing [−7 d, 0] range window computes min/max/count of click
+    // ts in the SAME frame (peers at equal ts all included, so tie
+    // order cannot affect the result — the q34 discipline). No
+    // correlated probe, no per-purchase re-scan; both engines state the
+    // identical RANGE window. Same-instant clicks collapse column-wise
+    // to max event_id first (the q74 rule), and the payload equi-joins
+    // back on (user, ts) once per touch endpoint.
+    "q81_attribution" -> QueryDef(
+      (s, d) => {
+        val lookUs = 7L * 86400L * 1000000L
+        val ev = tbl(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val clk = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_us")
+          .agg(max(col("event_id")).as("c_event_id"))
+        val tagged = clk.select(col("user_id"), col("ts_us"),
+            lit(0L).as("tag"), lit(-1L).as("p_id"))
+          .unionByName(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"),
+              lit(1L).as("tag"), col("event_id").as("p_id")))
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-lookUs, 0L)
+        val attributed = tagged
+          .withColumn("first_ts", min(when(col("tag") === 0L, col("ts_us"))).over(w))
+          .withColumn("last_ts", max(when(col("tag") === 0L, col("ts_us"))).over(w))
+          .withColumn("touches",
+            sum(when(col("tag") === 0L, 1L).otherwise(0L)).over(w))
+          .filter(col("tag") === 1L)
+        attributed
+          .join(clk.select(col("user_id"), col("ts_us").as("first_ts"),
+            col("c_event_id").as("first_click_id")), Seq("user_id", "first_ts"), "left")
+          .join(clk.select(col("user_id"), col("ts_us").as("last_ts"),
+            col("c_event_id").as("last_click_id")), Seq("user_id", "last_ts"), "left")
+          .select(col("p_id").as("event_id"), col("user_id"), col("ts_us"),
+            col("first_ts"), col("first_click_id"),
+            col("last_ts"), col("last_click_id"), col("touches"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+             |           FROM events),
+             |c AS (SELECT user_id, ts_us, CAST(max(event_id) AS BIGINT) AS c_event_id
+             |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+             |t AS (SELECT user_id, ts_us, CAST(0 AS BIGINT) AS tag,
+             |        CAST(-1 AS BIGINT) AS p_id FROM c
+             |      UNION ALL
+             |      SELECT user_id, ts_us, CAST(1 AS BIGINT) AS tag, event_id
+             |      FROM ev WHERE event_type = 'purchase'),
+             |a AS (SELECT user_id, ts_us, tag, p_id,
+             |        min(CASE WHEN tag = 0 THEN ts_us END) OVER (
+             |          PARTITION BY user_id ORDER BY ts_us
+             |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS first_ts,
+             |        max(CASE WHEN tag = 0 THEN ts_us END) OVER (
+             |          PARTITION BY user_id ORDER BY ts_us
+             |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS last_ts,
+             |        CAST(sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER (
+             |          PARTITION BY user_id ORDER BY ts_us
+             |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS touches
+             |      FROM t)
+             |SELECT a.p_id AS event_id, a.user_id, a.ts_us,
+             |  a.first_ts, cf.c_event_id AS first_click_id,
+             |  a.last_ts, cl.c_event_id AS last_click_id, a.touches
+             |FROM a
+             |LEFT JOIN c cf ON cf.user_id = a.user_id AND cf.ts_us = a.first_ts
+             |LEFT JOIN c cl ON cl.user_id = a.user_id AND cl.ts_us = a.last_ts
+             |WHERE a.tag = 1 ORDER BY a.p_id""".stripMargin),
+      doc = "7-day-lookback conversion attribution: first-touch, " +
+        "last-touch and touch count per purchase via ONE user-partitioned " +
+        "RANGE window over the union-tag stream; payload equi-joins back"))
 }

@@ -195,7 +195,8 @@ class OperatorSpec extends SparkSpec {
       "q67_quality_contract", // 1-row battery x 1-row FK count, both localCheckpointed
       "q73_rfm_segments",    // crossJoin(broadcast(1-row corpus max-date scalar))
       "sim_sq8",         // crossJoin(broadcast(1-row quantized query vector))
-      "sim_rrf_fusion")  // crossJoin(broadcast(1-row query vector / 1-row query token set))
+      "sim_rrf_fusion",  // crossJoin(broadcast(1-row query vector / 1-row query token set))
+      "q80_chisq_independence") // crossJoin(broadcast(1-row grand-total scalar))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
