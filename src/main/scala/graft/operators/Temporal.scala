@@ -984,13 +984,19 @@ object Temporal {
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("event_type"),
             cents(col("value")).as("value_c"))
-        // max(struct) = lexicographic max on the unique event_id: the
-        // deterministic collapse of same-instant clicks.
+        // Deterministic collapse of same-instant clicks to the
+        // max-event_id row. max + max_by (keyed by the UNIQUE event_id,
+        // so max_by's tie behavior can never engage) instead of
+        // max(struct): struct-max falls back to SortAggregate — an
+        // avoidable per-partition sort of the whole click stream —
+        // while these two stay in hash aggregation.
         val clk = ev.filter(col("event_type") === "click")
           .groupBy("user_id", "ts_us")
-          .agg(max(struct(col("event_id"), col("value_c"))).as("m"))
-          .select(col("user_id"), col("ts_us"),
-            col("m.event_id").as("c_event_id"), col("m.value_c").as("c_cents"))
+          .agg(max(col("event_id")).as("c_event_id"),
+            expr("max_by(value_c, event_id)").as("c_cents"))
+          // consumed twice (union-tag stream + payload join) — cut the
+          // lineage so the click scan+aggregate runs once, not per use
+          .localCheckpoint()
         val tagged = clk.select(col("user_id"), col("ts_us"),
             lit(0L).as("tag"), lit(-1L).as("p_id"))
           .unionByName(ev.filter(col("event_type") === "purchase")
@@ -1125,6 +1131,8 @@ object Temporal {
           .withColumn("nxt", lead(col("cur"), 1).over(w))
           .filter(col("nxt").isNotNull)
           .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+          // consumed twice (cells + row totals) — one window pass, not two
+          .localCheckpoint()
         val totals = pairs.groupBy("cur").agg(sum(col("n")).as("row_n"))
         pairs.join(broadcast(totals), Seq("cur"))
           .withColumn("cond_ppb", expr("n * 1000000000 div row_n"))
@@ -1155,11 +1163,12 @@ object Temporal {
     // integer-exact in both engines, zero-expectation cells guarded to
     // 0 (Spark ANSI division would throw). Consumers sum chi_micro and
     // compare against the χ² critical value for (r−1)(c−1) dof.
-    // Scale shape: ONE scan feeds four keyed aggregates (cells, row
-    // totals, col totals, N — all map-side combinable); the grid is
-    // rebuilt join-free by exploding dows 1..7 under each row total
-    // and equi-joining the col totals, so absent cells still get their
-    // expected mass. Overflow bound: (obs·1000 − exp_milli)² needs
+    // Scale shape: ONE scan builds the |types|×7-row cell table; row,
+    // column and grand totals are exact re-aggregations OF THE CELLS
+    // (marginals are sums of cells — never a second pass over events);
+    // the grid is rebuilt join-free by exploding dows 1..7 under each
+    // row total and equi-joining the col totals, so absent cells still
+    // get their expected mass. Overflow bound: (obs·1000 − exp_milli)² needs
     // N ≲ 3·10⁶ at this scaling; a 100 TB run drops the ×1000 (the
     // q55 R0-rescaling note — same recurrence, rescaled constant).
     "q80_chisq_independence" -> QueryDef(
@@ -1167,10 +1176,14 @@ object Temporal {
         val e = tbl(s, d, "events")
           .select(col("event_type"),
             (pmod(dayofweek(col("ts")) + 5, lit(7)) + 1).as("dow"))
+        // ONE scan: row/col/grand totals re-aggregate the |types|×7-row
+        // cell table (exact — marginals are sums of cells), instead of
+        // four passes over the event stream.
         val obs = e.groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
-        val rows = e.groupBy("event_type").agg(count(lit(1)).as("row_n"))
-        val cols = e.groupBy("dow").agg(count(lit(1)).as("col_n"))
-        val n = e.agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val rows = obs.groupBy("event_type").agg(sum(col("obs")).as("row_n"))
+        val cols = obs.groupBy("dow").agg(sum(col("obs")).as("col_n"))
+        val n = obs.agg(sum(col("obs")).as("n"))
         rows
           .withColumn("dow", explode(sequence(lit(1), lit(7))))
           .join(broadcast(cols), Seq("dow"))
@@ -1235,6 +1248,8 @@ object Temporal {
         val clk = ev.filter(col("event_type") === "click")
           .groupBy("user_id", "ts_us")
           .agg(max(col("event_id")).as("c_event_id"))
+          // consumed three times (union-tag stream + two touch joins)
+          .localCheckpoint()
         val tagged = clk.select(col("user_id"), col("ts_us"),
             lit(0L).as("tag"), lit(-1L).as("p_id"))
           .unionByName(ev.filter(col("event_type") === "purchase")
