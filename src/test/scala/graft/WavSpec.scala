@@ -110,6 +110,20 @@ class WavSpec extends SparkSpec {
     assert(f0 == expect)
   }
 
+  test("property: decode(encode(x)) == x for arbitrary PCM and sample rates") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pcmGen = Gen.listOf(Gen.choose(Short.MinValue, Short.MaxValue))
+      .map(_.toArray)
+    val rateGen = Gen.choose(1, 192000)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(pcmGen, rateGen) { (pcm, rate) =>
+        WavCodec.decodePcm16(WavCodec.encodePcm16(pcm, rate))
+          .exists { case (r, p) => r == rate && p.toSeq == pcm.toSeq }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("decode failure surfaces as the sentinel row, not a dropped record") {
     val bad = Seq(MediaRecord(99L, "audio", Array[Byte](1, 2, 3, 4),
       MediaMeta("audio/wav", 0, 0, 8000, 1L))).toDS()
