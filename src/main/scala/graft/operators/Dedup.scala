@@ -999,7 +999,100 @@ object Dedup {
               |ORDER BY d.doc_id""".stripMargin),
       doc = "per-document curation verdict: exact canonicality + near-dup " +
         "cluster/split + contamination + repetition quality + final keep — " +
-        "the library's primitives composed under one oracle")
+        "the library's primitives composed under one oracle"),
+
+    // Dedup-quality evaluation — DOC-LEVEL recall of a source-scoped
+    // MinHash-LSH keep-first rule against exact ground truth (the dedup
+    // twin of sim_ann_recall; "measure, don't guess" applied to the
+    // decision a curation pipeline actually trusts). The evaluated
+    // DECISION is "drop doc b": pair-level counting would punish the
+    // bucket-min candidate form for pairs keep-first semantics never
+    // needs. Truth: b should drop iff some EARLIER same-source doc has
+    // token-Jaccard ≥ 0.7 with it (the q28a all-pairs baseline shape at
+    // the LSH threshold, behind the same maxDocs guard — at scale the
+    // truth set is sampled, never computed in full; source scoping
+    // matches exact dedup / corpus_manifest's canonicalization).
+    // Prediction: per-source band buckets → bucket-min edge → exact
+    // verify ≥ 0.7 → drop. Every predicted drop carries a verified
+    // pair witness (precision 1), so the measurement is per-source
+    // recall; misses = earlier-dup docs whose banding never collides,
+    // or whose bucket-min verification fails though a DIFFERENT
+    // earlier dup exists — the rule's real blind spots, now measured.
+    "dedup_eval_recall" -> QueryDef(
+      (s, d) => {
+        val raw = tbl(s, d, "documents")
+        val cap = s.conf.get("spark.graft.q28a.maxDocs", "100000").toLong
+        val nDocs = raw.count()
+        require(nDocs <= cap,
+          s"dedup_eval_recall computes the exact all-pairs truth set: $nDocs docs exceeds " +
+            s"the $cap-doc guard. At scale, sample the truth panel (the sim_ann_recall " +
+            "pattern) or raise spark.graft.q28a.maxDocs for a deliberate baseline run.")
+        val base = raw.select(col("doc_id"), col("source"),
+            toks(col("text")).as("tk"), tokHashes(col("text")).as("th"))
+          .localCheckpoint()
+        val truthDrop = base.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
+          .join(base.select(col("source"), col("doc_id").as("b"), col("tk").as("tb")),
+            Seq("source"))
+          .filter(col("a") < col("b"))
+          .filter(jaccard(col("ta"), col("tb")) >= 0.7)
+          .select(col("source"), col("b")).distinct()
+        val sig = base.withColumn("mhs", minhashSig(col("th")))
+        val banded = bandExplode(sig, "mhs", Seq("doc_id", "source"))
+        val bucketMin = banded.groupBy("source", "band", "bkey")
+          .agg(min("doc_id").as("min_id"))
+        val cand = banded.join(bucketMin, Seq("source", "band", "bkey"))
+          .filter(col("doc_id") > col("min_id"))
+          .select("source", "doc_id", "min_id").distinct()
+        val predDrop = cand
+          .join(base.select(col("doc_id"), col("tk").as("ta")), Seq("doc_id"))
+          .join(base.select(col("doc_id").as("min_id"), col("tk").as("tb")), Seq("min_id"))
+          .filter(jaccard(col("ta"), col("tb")) >= 0.7)
+          .select(col("source"), col("doc_id").as("b")).distinct()
+        truthDrop
+          .join(predDrop.withColumn("hit", lit(1L)), Seq("source", "b"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_should_drop"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div n_should_drop"))
+          .orderBy("source")
+      },
+      Some {
+        val mhs = (0 until MinHashes).map(i => s"${minhashSql("th", i)} AS mh$i").mkString(",\n    ")
+        val bandRows = (0 until Bands).map(j =>
+          s"SELECT doc_id, source, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH base AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tk,
+           |    ${tokHashesSql("text")} AS th FROM documents),
+           |truth AS (SELECT DISTINCT x.source, y.doc_id AS b
+           |          FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id
+           |          WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.7),
+           |sig AS (SELECT doc_id, source,
+           |    $mhs
+           |  FROM base),
+           |banded AS ($bandRows),
+           |bucket_min AS (SELECT source, band, bkey, MIN(doc_id) AS min_id
+           |               FROM banded GROUP BY source, band, bkey),
+           |cand AS (SELECT DISTINCT b.source, b.doc_id, m.min_id FROM banded b
+           |         JOIN bucket_min m ON b.source = m.source AND b.band = m.band
+           |           AND b.bkey = m.bkey
+           |         WHERE b.doc_id > m.min_id),
+           |pred AS (SELECT DISTINCT c.source, c.doc_id AS b
+           |         FROM cand c
+           |         JOIN base x ON x.doc_id = c.doc_id
+           |         JOIN base y ON y.doc_id = c.min_id
+           |         WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.7)
+           |SELECT truth.source, CAST(count(*) AS BIGINT) AS n_should_drop,
+           |  CAST(coalesce(sum(CASE WHEN pred.b IS NOT NULL THEN 1 END), 0)
+           |    AS BIGINT) AS n_hit,
+           |  CAST(divide(coalesce(sum(CASE WHEN pred.b IS NOT NULL THEN 1 END), 0)
+           |    * 1000000, count(*)) AS BIGINT) AS recall_ppm
+           |FROM truth LEFT JOIN pred ON pred.source = truth.source AND pred.b = truth.b
+           |GROUP BY truth.source ORDER BY truth.source""".stripMargin
+      },
+      doc = "doc-level recall of the source-scoped MinHash-LSH keep-first " +
+        "decision vs the exact all-pairs truth set (guarded): per-source " +
+        "exact integer n_should_drop/n_hit/recall_ppm — the dedup twin " +
+        "of sim_ann_recall")
   )
 
   // ------------------------------------------------------------------
