@@ -224,12 +224,21 @@ object Graph {
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
+        // Hash-partition the edge list on src ONCE before the lineage
+        // cut: LogicalRDD keeps the partitioning, so all three hop joins
+        // (and the degree count) reuse it instead of re-shuffling the
+        // edges per hop — the dominant cost of the loop.
         val und = edges
           .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src"))
           .localCheckpoint()
         val seeds = und.groupBy("src").agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("src")).limit(3)
           .select(col("src").as("node"))
+        // Only the FRONTIER needs a lineage cut per hop (it feeds the
+        // next expansion); `settled` stays a shallow union of already-
+        // checkpointed frontiers — re-materializing the whole settled
+        // set every hop would write O(reached) rows k times.
         var settled = seeds.withColumn("dist", lit(0L)).localCheckpoint()
         var frontier = settled.select("node")
         for (k <- 1 to 3) {
@@ -238,7 +247,7 @@ object Graph {
             .join(settled.select("node"), Seq("node"), "left_anti")
             .withColumn("dist", lit(k.toLong))
             .localCheckpoint()
-          settled = settled.union(next).localCheckpoint()
+          settled = settled.union(next)
           frontier = next.select("node")
         }
         settled.groupBy("dist")
