@@ -59,8 +59,12 @@ object Graph {
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
+        // Hash-partition the edge list on src once before the lineage
+        // cut (the q77 discipline): every superstep's rank→edge join
+        // reuses the partitioning instead of re-shuffling the edges.
         val und = edges
           .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src"))
           .localCheckpoint()
         val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
         var rank = deg.select(col("src").as("node"), col("deg"), lit(R0).as("pr"))
