@@ -1302,5 +1302,63 @@ object Temporal {
              |WHERE a.tag = 1 ORDER BY a.p_id""".stripMargin),
       doc = "7-day-lookback conversion attribution: first-touch, " +
         "last-touch and touch count per purchase via ONE user-partitioned " +
-        "RANGE window over the union-tag stream; payload equi-joins back"))
+        "RANGE window over the union-tag stream; payload equi-joins back"),
+
+    // Q82 — CUSUM change-point detection on per-type daily volumes: the
+    // sequential drift detector (Page 1954) behind data-quality alarms
+    // ("did this source's volume level-shift?") — the LEVEL-SHIFT
+    // complement of q72's single-day burst ratio, which cannot see a
+    // persistent +30% drift that never doubles any one day. The
+    // textbook recursion S_i = max(0, S_{i-1} + (x_i − k)) is not a
+    // window function, but it has the exact closed form
+    // S_i = P_i − min_{0≤j≤i} P_j over the prefix sums P of (x − k) —
+    // a running sum plus a running min, both plain windows partitioned
+    // by event_type (day-level input: calendar-bounded, the q17/q70
+    // class). Reference level k = the type's global daily mean in
+    // exact integer micros (one bounded rollup + broadcast join);
+    // alarm when S exceeds h = 3k (all integer µ-day units).
+    "q82_cusum_changepoint" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // consumed by the mean and the scan
+        val ref = daily.groupBy("event_type")
+          .agg(expr("sum(n) * 1000000 div count(1)").as("k_micro"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(ref), Seq("event_type"))
+          .withColumn("p_micro",
+            sum(col("n") * 1000000L - col("k_micro")).over(w))
+          .withColumn("cusum_micro",
+            col("p_micro") - least(lit(0L), min(col("p_micro")).over(w)))
+          .withColumn("alarm", col("cusum_micro") > col("k_micro") * 3L)
+          .select(col("event_type"), col("day"), col("n"), col("k_micro"),
+            col("cusum_micro"), col("alarm"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |ref AS (SELECT event_type,
+             |    CAST(divide(sum(n) * 1000000, count(*)) AS BIGINT) AS k_micro
+             |  FROM daily GROUP BY 1),
+             |p AS (SELECT d.event_type, d.day, d.n, r.k_micro,
+             |        sum(d.n * 1000000 - r.k_micro) OVER (
+             |          PARTITION BY d.event_type ORDER BY d.day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_micro
+             |      FROM daily d JOIN ref r ON r.event_type = d.event_type),
+             |c AS (SELECT event_type, day, n, k_micro, p_micro,
+             |        CAST(p_micro - least(0, min(p_micro) OVER (
+             |          PARTITION BY event_type ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |          AS BIGINT) AS cusum_micro
+             |      FROM p)
+             |SELECT event_type, day, n, k_micro, cusum_micro,
+             |  cusum_micro > k_micro * 3 AS alarm
+             |FROM c ORDER BY event_type, day""".stripMargin),
+      doc = "CUSUM level-shift detector per event type: closed-form " +
+        "S = P − running-min(P) over exact integer µ-day prefix sums; " +
+        "alarm at 3× the type's mean daily volume"))
 }
