@@ -1360,5 +1360,58 @@ object Temporal {
              |FROM c ORDER BY event_type, day""".stripMargin),
       doc = "CUSUM level-shift detector per event type: closed-form " +
         "S = P − running-min(P) over exact integer µ-day prefix sums; " +
-        "alarm at 3× the type's mean daily volume"))
+        "alarm at 3× the type's mean daily volume"),
+
+    // Q83 — Benford first-digit audit of the money column: the classic
+    // fabricated-data detector (Benford 1938; the audit-analytics
+    // staple) — naturally-occurring amounts put ~30.1% of leading
+    // digits at 1, and a synthetic or tampered feed drifts toward
+    // uniform. Expected shares are the fixed constants
+    // round(log10(1+1/d)·1e6) — LITERALS interpolated identically into
+    // both engines, so no float log evaluates anywhere at query time;
+    // observed shares are exact integer ppm. Scale shape: one scan,
+    // one 9-row groupBy with map-side partials, one broadcast 1-row
+    // total. Consumers sum |dev_ppm| (or χ²-style terms via q80's
+    // recipe) against an audit threshold.
+    "q83_benford_audit" -> QueryDef(
+      (s, d) => {
+        val benford = "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 " +
+          "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+          "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 " +
+          "ELSE 45757 END"
+        val cts = tbl(s, d, "events")
+          .select(cents(col("value")).as("c"))
+          .filter(col("c") > 0L)
+          .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+        val byDigit = cts.groupBy("digit").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // consumed by the total and the shares
+        val total = byDigit.agg(sum(col("n")).as("total"))
+        byDigit.crossJoin(broadcast(total))
+          .withColumn("share_ppm", expr("n * 1000000 div total"))
+          .withColumn("benford_ppm", expr(benford))
+          .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+          .select(col("digit"), col("n"), col("share_ppm"),
+            col("benford_ppm").cast("long").as("benford_ppm"), col("dev_ppm"))
+          .orderBy("digit")
+      },
+      Some("""WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),
+             |dg AS (SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT) AS digit
+             |       FROM c WHERE c > 0),
+             |b AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY digit),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)
+             |SELECT digit, n,
+             |  CAST(divide(n * 1000000, total) AS BIGINT) AS share_ppm,
+             |  CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+             |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+             |    ELSE 45757 END AS BIGINT) AS benford_ppm,
+             |  CAST(abs(divide(n * 1000000, total) - CASE digit
+             |    WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+             |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+             |    WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END)
+             |    AS BIGINT) AS dev_ppm
+             |FROM b CROSS JOIN t ORDER BY digit""".stripMargin),
+      doc = "Benford first-digit audit of value cents: exact integer " +
+        "observed vs literal expected ppm shares; one scan, 9-row " +
+        "output, broadcast total"))
 }
