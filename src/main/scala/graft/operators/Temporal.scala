@@ -1413,5 +1413,169 @@ object Temporal {
              |FROM b CROSS JOIN t ORDER BY digit""".stripMargin),
       doc = "Benford first-digit audit of value cents: exact integer " +
         "observed vs literal expected ppm shares; one scan, 9-row " +
-        "output, broadcast total"))
+        "output, broadcast total"),
+
+    // Q84 — day-of-week seasonal anomaly detection: a traffic drop every
+    // Sunday is normal, the same count on a Tuesday is an incident. The
+    // baseline is the per-(event_type, ISO weekday) mean daily volume in
+    // exact integer micro-units; each day's deviation is reported as
+    // integer ppm of its own weekday baseline, with a 2×/½× alarm band
+    // (the classic seasonal-naive detector; CUSUM q82 catches level
+    // shifts, this catches single-day spikes/dips the running mean
+    // absorbs). Scale shape: one scan → day-level rollup (bounded rows:
+    // types × days), a ≤7·|types|-row baseline broadcast back — no
+    // global window, no self-join. The integer divisions are identical
+    // truncating ops in both engines (all operands non-negative).
+    "q84_dow_anomaly" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow", expr("pmod(dayofweek(day) + 5, 7) + 1").cast("long"))
+        val base = daily.groupBy("event_type", "dow")
+          .agg(expr("sum(n) * 1000000 div count(1)").as("dow_mean_micro"))
+        daily.join(broadcast(base), Seq("event_type", "dow"))
+          .withColumn("abs_dev_ppm",
+            expr("abs(n * 1000000 - dow_mean_micro) * 1000000 div dow_mean_micro"))
+          .withColumn("direction",
+            when(col("n") * 1000000L > col("dow_mean_micro"), "high")
+              .when(col("n") * 1000000L < col("dow_mean_micro"), "low")
+              .otherwise("flat"))
+          .withColumn("alarm",
+            col("n") * 1000000L > col("dow_mean_micro") * 2L ||
+              col("n") * 2000000L < col("dow_mean_micro"))
+          .select(col("event_type"), col("day"), col("dow"), col("n"),
+            col("dow_mean_micro"), col("abs_dev_ppm"), col("direction"), col("alarm"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |dd AS (SELECT event_type, day, n, CAST(isodow(day) AS BIGINT) AS dow FROM daily),
+             |base AS (SELECT event_type, dow,
+             |    CAST(divide(sum(n) * 1000000, count(*)) AS BIGINT) AS dow_mean_micro
+             |  FROM dd GROUP BY 1, 2)
+             |SELECT d.event_type, d.day, d.dow, d.n, b.dow_mean_micro,
+             |  CAST(divide(abs(d.n * 1000000 - b.dow_mean_micro) * 1000000,
+             |    b.dow_mean_micro) AS BIGINT) AS abs_dev_ppm,
+             |  CASE WHEN d.n * 1000000 > b.dow_mean_micro THEN 'high'
+             |       WHEN d.n * 1000000 < b.dow_mean_micro THEN 'low'
+             |       ELSE 'flat' END AS direction,
+             |  (d.n * 1000000 > b.dow_mean_micro * 2
+             |   OR d.n * 2000000 < b.dow_mean_micro) AS alarm
+             |FROM dd d JOIN base b ON b.event_type = d.event_type AND b.dow = d.dow
+             |ORDER BY d.event_type, d.day""".stripMargin),
+      doc = "day-of-week seasonal-naive anomaly detector: per-type ISO-" +
+        "weekday mean baseline in exact integer micro, deviation in ppm, " +
+        "2x/0.5x alarm band"),
+
+    // Q85 — cohort lifetime value (LTV): customers cohorted by first-
+    // order month; per (cohort, age-in-months) revenue in exact integer
+    // cents, cumulated over age, divided by cohort size — the standard
+    // subscription-analytics LTV curve (a revenue-weighted sibling of
+    // q36's retention counts). Age is computed as a pure integer month
+    // index difference (year*12+month), portable across engines with no
+    // interval arithmetic. Scale shape: one shuffle on o_custkey for the
+    // cohort min, one month-level rollup (bounded: months × months), a
+    // cumulative window PARTITIONED by cohort month (bounded
+    // cardinality), and a broadcast cohort-size join.
+    "q85_cohort_ltv" -> QueryDef(
+      (s, d) => {
+        val ord = tbl(s, d, "orders").localCheckpoint() // cohort + revenue scans
+        val cohort = ord.groupBy(col("o_custkey"))
+          .agg(date_trunc("month", min(col("o_orderdate"))).cast("date").as("cohort_mo"))
+          .localCheckpoint() // consumed by sizes and the revenue join
+        val sizes = cohort.groupBy("cohort_mo")
+          .agg(count(lit(1)).as("n_users"))
+        val rev = ord
+          .select(col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
+            cents(col("o_totalprice")).as("c"))
+          .join(cohort, Seq("o_custkey"))
+          .withColumn("age_mo",
+            (year(col("mo")) * 12 + month(col("mo"))
+              - year(col("cohort_mo")) * 12 - month(col("cohort_mo"))).cast("long"))
+          .groupBy("cohort_mo", "age_mo")
+          .agg(sum(col("c")).as("rev_cents"))
+        val w = Window.partitionBy("cohort_mo").orderBy("age_mo")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+          .join(broadcast(sizes), Seq("cohort_mo"))
+          .withColumn("ltv_cents_per_user", expr("cum_cents div n_users"))
+          .select(col("cohort_mo"), col("age_mo"), col("n_users"),
+            col("rev_cents"), col("cum_cents"), col("ltv_cents_per_user"))
+          .orderBy("cohort_mo", "age_mo")
+      },
+      Some("""WITH cohort AS (SELECT o_custkey,
+             |    CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_mo
+             |  FROM orders GROUP BY 1),
+             |sizes AS (SELECT cohort_mo, CAST(count(*) AS BIGINT) AS n_users
+             |  FROM cohort GROUP BY 1),
+             |rev AS (SELECT c.cohort_mo,
+             |    CAST((year(mo) * 12 + month(mo))
+             |      - (year(c.cohort_mo) * 12 + month(c.cohort_mo)) AS BIGINT) AS age_mo,
+             |    CAST(sum(cts) AS BIGINT) AS rev_cents
+             |  FROM (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             |          CAST(round(o_totalprice * 100) AS BIGINT) AS cts FROM orders) o
+             |  JOIN cohort c ON c.o_custkey = o.o_custkey
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT cohort_mo, age_mo, rev_cents,
+             |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_mo ORDER BY age_mo
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+             |  FROM rev)
+             |SELECT cohort_mo, age_mo, n_users, rev_cents, cum_cents,
+             |  CAST(divide(cum_cents, n_users) AS BIGINT) AS ltv_cents_per_user
+             |FROM cum JOIN sizes USING (cohort_mo)
+             |ORDER BY cohort_mo, age_mo""".stripMargin),
+      doc = "monthly-cohort cumulative LTV curve in exact integer cents " +
+        "per user; integer month-index age arithmetic, cohort-partitioned " +
+        "cumulative window"),
+
+    // Q86 — Gini concentration of user activity per event type: the
+    // standard inequality coefficient over per-user event counts,
+    // computed EXACTLY from the closed form over ascending-sorted counts
+    //   G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+    // reported in integer ppm. Ties on x are rank-order-invariant (a
+    // block of equal x permuted among consecutive ranks leaves Σ i·x_i
+    // unchanged), so the row_number tiebreak is cosmetic and the result
+    // deterministic. Scale shape: one shuffle to (type, user) counts,
+    // a window PARTITIONED by event_type (5 types here; bounded, q59
+    // precedent), one hash agg per type. Exactness bound: Σ i·x_i stays
+    // in signed 64-bit while n·n·avg(x) < 9.2e18 — ~3e8 users per type
+    // at x≈100; past that, switch consumers to a binned Lorenz curve.
+    "q86_gini_activity" -> QueryDef(
+      (s, d) => {
+        val ux = tbl(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("x").asc, col("user_id").asc)
+        ux.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
+            sum(col("i") * col("x")).as("rank_mass"))
+          .withColumn("gini_ppm",
+            expr("(2 * rank_mass - (n_users + 1) * total_events) * 1000000" +
+              " div (n_users * total_events)"))
+          .select(col("event_type"), col("n_users"), col("total_events"),
+            col("rank_mass"), col("gini_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ux AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, x,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY x, user_id) AS BIGINT) AS i
+             |  FROM ux),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(x) AS BIGINT) AS total_events,
+             |    CAST(sum(i * x) AS BIGINT) AS rank_mass
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n_users, total_events, rank_mass,
+             |  CAST(divide((2 * rank_mass - (n_users + 1) * total_events) * 1000000,
+             |    n_users * total_events) AS BIGINT) AS gini_ppm
+             |FROM a ORDER BY event_type""".stripMargin),
+      doc = "exact Gini coefficient of per-user activity per event type, " +
+        "integer ppm via the closed form over ascending ranks"))
 }
