@@ -1385,7 +1385,116 @@ object TextOps {
              |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS top_doc_id,
              |  CAST(max(CASE WHEN rn = 1 THEN tf END) AS BIGINT) AS top_tf
              |FROM r GROUP BY token ORDER BY token""".stripMargin),
-      doc = "inverted-index header per token: df, total tf, impact-ordered head posting")
+      doc = "inverted-index header per token: df, total tf, impact-ordered head posting"),
+
+    // Zipf-law fit of the corpus frequency spectrum: a healthy natural-
+    // language corpus has log(freq) ≈ a − s·log(rank) with s ≈ 1; a
+    // template-farm or deduplicated-to-death corpus bends the curve
+    // (Zipf 1949; the standard corpus-health diagnostic). The fit is an
+    // EXACT-integer OLS over (x, y) = (⌊log2 rank⌋, ⌊log2 freq⌋) of the
+    // top-256 tokens: ⌊log2 n⌋ = len(bin(n))−1 is a pure string-length
+    // integer op, identical in both engines (no libm log anywhere), and
+    // the slope's numerator/denominator are exact 64-bit sums — the
+    // output is the NEGATED slope in milli (Zipf slope is negative;
+    // keeping the division operands positive sidesteps the engines'
+    // floor-vs-truncate disagreement on negative integer division).
+    // Scale shape: token histogram (one shuffle, map-side combine) →
+    // top-256 TakeOrdered (never a global sort) → 256-row window + one
+    // 1-row aggregate. At any corpus size the post-histogram work is
+    // fixed-256-row.
+    "text_zipf_slope" -> QueryDef(
+      (s, d) => {
+        val freq = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("token").asc)
+          .limit(256)
+        val w = Window.orderBy(col("f").desc, col("token").asc)
+        val xy = freq
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select((length(bin(col("rn"))) - 1).cast("long").as("x"),
+            (length(bin(col("f"))) - 1).cast("long").as("y"))
+        xy.agg(count(lit(1)).as("n_points"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("neg_slope_milli",
+            expr("(sx * sy - n_points * sxy) * 1000 div (n_points * sxx - sx * sx)"))
+      },
+      Some("""WITH freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |  WHERE token <> '' GROUP BY token
+             |  ORDER BY f DESC, token LIMIT 256),
+             |xy AS (SELECT CAST(len(bin(CAST(row_number() OVER (ORDER BY f DESC, token) AS BIGINT))) - 1 AS BIGINT) AS x,
+             |    CAST(len(bin(f)) - 1 AS BIGINT) AS y
+             |  FROM freq),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM xy)
+             |SELECT n_points, sx, sy, sxy, sxx,
+             |  CAST(divide((sx * sy - n_points * sxy) * 1000,
+             |    n_points * sxx - sx * sx) AS BIGINT) AS neg_slope_milli
+             |FROM a""".stripMargin),
+      doc = "Zipf-law slope of the token frequency spectrum: exact-" +
+        "integer OLS over floor-log2 rank/freq of the top-256 tokens " +
+        "(len(bin(n))-1, no libm), negated-slope milli output"),
+
+    // Flesch-style readability battery per source: words-per-sentence
+    // and vowel-group-per-word ratios feed the classic reading-ease
+    // formula FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), evaluated in
+    // exact integer milli with truncating division (operands all
+    // non-negative; the subtraction may go negative, which is portable —
+    // only DIVISION disagrees across engines on negatives). Syllables
+    // use the standard vowel-group proxy ([aeiouy]+ runs in lowercased
+    // text) — deterministic and dictionary-free. Scale shape: pure
+    // per-row regexp counting (codegen'd) into one hash aggregate per
+    // source; no window, no join.
+    "text_readability" -> QueryDef(
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(col("source"),
+            size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+              .cast("long").as("sents"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+              .cast("long").as("words"),
+            size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+              .cast("long").as("syls"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            // per-doc clamps keep every divisor ≥ 1 (ANSI div-by-zero
+            // throws in Spark, errors in DuckDB — clamp identically)
+            sum(greatest(col("sents"), lit(1L))).as("n_sents"),
+            sum(greatest(col("words"), lit(1L))).as("n_words"),
+            sum(col("syls")).as("n_syls"))
+          .withColumn("wps_milli", expr("n_words * 1000 div n_sents"))
+          .withColumn("spw_milli", expr("n_syls * 1000 div n_words"))
+          .withColumn("fre_milli",
+            expr("206835 - (1015 * n_words div n_sents) - (84600 * n_syls div n_words)"))
+          .select(col("source"), col("n_docs"), col("n_sents"), col("n_words"),
+            col("n_syls"), col("wps_milli"), col("spw_milli"), col("fre_milli"))
+          .orderBy("source")
+      },
+      Some("""WITH perdoc AS (SELECT source,
+             |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT), 1) AS sents,
+             |    greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT), 1) AS words,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS syls
+             |  FROM documents),
+             |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(sents) AS BIGINT) AS n_sents,
+             |    CAST(sum(words) AS BIGINT) AS n_words,
+             |    CAST(sum(syls) AS BIGINT) AS n_syls
+             |  FROM perdoc GROUP BY source)
+             |SELECT source, n_docs, n_sents, n_words, n_syls,
+             |  CAST(divide(n_words * 1000, n_sents) AS BIGINT) AS wps_milli,
+             |  CAST(divide(n_syls * 1000, n_words) AS BIGINT) AS spw_milli,
+             |  CAST(206835 - divide(1015 * n_words, n_sents)
+             |    - divide(84600 * n_syls, n_words) AS BIGINT) AS fre_milli
+             |FROM agg ORDER BY source""".stripMargin),
+      doc = "Flesch reading-ease battery per source in exact integer " +
+        "milli: regexp sentence/word/vowel-group counts, one hash agg, " +
+        "no window")
   )
 
   /** Continuous sequence packing (see the pack_sequences entry above for

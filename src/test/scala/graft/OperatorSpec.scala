@@ -209,8 +209,11 @@ class OperatorSpec extends SparkSpec {
       "q70_user_growth",  // post-aggregate: one row per day (calendar-bounded)
       "layout_zorder",    // 16-row clustering diagnostic; the production
                           // write path (zorderLayout) is repartitionByRange
-      "sim_rrf_fusion")   // rank windows run over the already-LIMIT-20
+      "sim_rrf_fusion",   // rank windows run over the already-LIMIT-20
                           // top-k lists (TakeOrdered feeds them)
+      "text_zipf_slope")  // rank window over the already-LIMIT-256 token
+                          // head (TakeOrdered feeds it; fixed 256 rows at
+                          // any corpus size)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, Sf0001)
       val plan = df.queryExecution.executedPlan.toString
