@@ -1195,6 +1195,78 @@ object Similarity {
       doc = "recall@5 of single-bucket LSH AND 2-table multi-probe LSH " +
         "vs exact brute force over a 20-query panel: exact integer " +
         "n_hit/recall_ppm per strategy — the measurement that " +
-        "justifies sim_ann_lsh's multi-probe design")
+        "justifies sim_ann_lsh's multi-probe design"),
+
+    // Embedding drift / cluster-separation monitor: pairwise cosine
+    // between per-label centroid vectors — the embedding-space health
+    // check a training pipeline runs between corpus snapshots (two
+    // labels whose centroids converge signal label noise or encoder
+    // drift). Cross-row float sums are order-dependent, so the corpus
+    // pass quantizes each coordinate to exact integer micro
+    // (round(x·1e6) — float32·1e6 is exact in double, and both engines
+    // round half away from zero), making every per-(label,dim) sum an
+    // exact 64-bit integer; the ONLY float ops are the final
+    // sqrt/divide on identical integers — the same IEEE ops in both
+    // engines, so the rounded cosine is bit-stable. Scale shape: one
+    // posexplode pass with map-side combine into (labels × dims) rows,
+    // then a broadcast self-join on dim over that tiny centroid table;
+    // the corpus is touched exactly once.
+    "sim_centroid_drift" -> QueryDef(
+      (s, d) => {
+        val cent = tbl(s, d, "embeddings")
+          .select(col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000000d).cast("long")).as("em"))
+          .select(col("label"), posexplode(col("em")).as(Seq("p0", "v")))
+          .select(col("label"), (col("p0") + 1).cast("long").as("pos"), col("v"))
+          .groupBy("label", "pos")
+          // coordinate sums go NEGATIVE, where DuckDB's divide() floors
+          // and Spark's div truncates — route through |sum| so both
+          // engines truncate toward zero identically
+          .agg(expr("case when sum(v) >= 0 then sum(v) div count(1)" +
+            " else -((-sum(v)) div count(1)) end").as("c"))
+        val a = cent.select(col("label").as("label_a"), col("pos"),
+          col("c").as("ca"))
+        val b = cent.select(col("label").as("label_b"), col("pos"),
+          col("c").as("cb"))
+        a.join(broadcast(b), Seq("pos"))
+          .filter(col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(count(lit(1)).as("dim"),
+            sum(col("ca") * col("cb")).as("dot"),
+            sum(col("ca") * col("ca")).as("na2"),
+            sum(col("cb") * col("cb")).as("nb2"))
+          .withColumn("cos6", round(col("dot").cast("double")
+            / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6))
+          .select(col("label_a"), col("label_b"), col("dim"), col("dot"),
+            col("na2"), col("nb2"), col("cos6"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH e AS (SELECT label, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS em
+             |  FROM embeddings),
+             |p AS (SELECT label, em,
+             |    unnest(generate_series(1, len(em))) AS pos FROM e),
+             |m AS (SELECT label, CAST(pos AS BIGINT) AS pos,
+             |    list_extract(em, CAST(pos AS INTEGER)) AS v FROM p),
+             |cent AS (SELECT label, pos,
+             |    CAST(CASE WHEN sum(v) >= 0 THEN divide(sum(v), count(*))
+             |      ELSE -divide(-sum(v), count(*)) END AS BIGINT) AS c
+             |  FROM m GROUP BY 1, 2),
+             |pr AS (SELECT a.label AS label_a, b.label AS label_b,
+             |    a.c AS ca, b.c AS cb
+             |  FROM cent a JOIN cent b ON b.pos = a.pos AND a.label < b.label),
+             |agg AS (SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS dim,
+             |    CAST(sum(ca * cb) AS BIGINT) AS dot,
+             |    CAST(sum(ca * ca) AS BIGINT) AS na2,
+             |    CAST(sum(cb * cb) AS BIGINT) AS nb2
+             |  FROM pr GROUP BY 1, 2)
+             |SELECT label_a, label_b, dim, dot, na2, nb2,
+             |  round(CAST(dot AS DOUBLE)
+             |    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6) AS cos6
+             |FROM agg ORDER BY label_a, label_b""".stripMargin),
+      doc = "pairwise per-label centroid cosine: exact integer-micro " +
+        "coordinate sums (order-independent), float only in the final " +
+        "sqrt/divide on identical integers — bit-stable across engines")
   )
 }
