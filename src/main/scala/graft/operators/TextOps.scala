@@ -1494,7 +1494,98 @@ object TextOps {
              |FROM agg ORDER BY source""".stripMargin),
       doc = "Flesch reading-ease battery per source in exact integer " +
         "milli: regexp sentence/word/vowel-group counts, one hash agg, " +
-        "no window")
+        "no window"),
+
+    // Collocation extraction by pointwise mutual information (Church &
+    // Hanks 1990): bigrams whose joint count beats the independence
+    // expectation c1·c2/N. Ranked by the EXACT-integer PMI ratio
+    // c_ab·N·10⁶ / (c1·c2) — the monotone inside of the log, so no libm
+    // anywhere and the ranking is identical to log-PMI's. A min-count
+    // floor (≥5) drops the hapax noise PMI is notorious for. Scale
+    // shape: one bigram pass (map-side combine) → two vocab-sized
+    // marginal joins → TakeOrdered top-100 (never a global sort).
+    // Exactness bound: c_ab·N·10⁶ needs < 2⁶³ — holds while N·c_ab <
+    // 9.2e12; past that promote the expression to DECIMAL(38,0) (both
+    // engines exact) or pre-scale N.
+    "text_collocation_pmi" -> QueryDef(
+      (s, d) => {
+        val bg = tbl(s, d, "documents")
+          .select(split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+          .select(element_at(col("tk"), col("i")).as("w1"),
+            element_at(col("tk"), col("i") + 1).as("w2"))
+          .localCheckpoint() // three aggregations read it
+        val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        val heads = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val tails = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+        val total = bg.agg(count(lit(1)).as("n_total"))
+        pairs.join(heads, Seq("w1")).join(tails, Seq("w2"))
+          .crossJoin(broadcast(total))
+          .withColumn("pmi_ratio_ppm",
+            expr("c_ab * n_total * 1000000 div (c1 * c2)"))
+          .select(col("w1"), col("w2"), col("c_ab"), col("c1"), col("c2"),
+            col("pmi_ratio_ppm"))
+          .orderBy(col("pmi_ratio_ppm").desc, col("w1").asc, col("w2").asc)
+          .limit(100)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+             |bg AS (SELECT list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2
+             |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+             |        FROM t WHERE len(tk) >= 2)),
+             |pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+             |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+             |heads AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+             |tails AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+             |total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg)
+             |SELECT w1, w2, c_ab, c1, c2,
+             |  CAST(divide(c_ab * n_total * 1000000, c1 * c2) AS BIGINT) AS pmi_ratio_ppm
+             |FROM pairs JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN total
+             |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 100""".stripMargin),
+      doc = "top-100 collocations by exact-integer PMI ratio " +
+        "(c_ab*N*1e6 / c1*c2, the monotone inside of log-PMI), " +
+        "min-count 5, TakeOrdered head"),
+
+    // Sequence-length histogram in power-of-2 buckets — the planning
+    // input for pack_sequences/text_chunk (what fraction of the corpus
+    // needs splitting at a given context length, and how much padding a
+    // naive batcher would waste). Bucket index ⌊log2 tokens⌋ =
+    // len(bin(n))−1: a pure integer string-length op, identical in both
+    // engines. Scale shape: one per-row pass → ≤~30-bucket hash agg →
+    // 1-row totals broadcast back for exact ppm shares.
+    "text_length_histogram" -> QueryDef(
+      (s, d) => {
+        val perDoc = tbl(s, d, "documents")
+          .select(greatest(size(split(col("text"), " ")), lit(1))
+            .cast("long").as("n_tok"))
+        val hist = perDoc
+          .groupBy((length(bin(col("n_tok"))) - 1).cast("long").as("lg2_bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        val tot = hist.agg(sum(col("n_docs")).as("d_all"),
+          sum(col("total_tokens")).as("t_all"))
+        hist.crossJoin(broadcast(tot))
+          .withColumn("doc_share_ppm", expr("n_docs * 1000000 div d_all"))
+          .withColumn("token_share_ppm", expr("total_tokens * 1000000 div t_all"))
+          .select(col("lg2_bucket"), col("n_docs"), col("total_tokens"),
+            col("doc_share_ppm"), col("token_share_ppm"))
+          .orderBy("lg2_bucket")
+      },
+      Some("""WITH perdoc AS (SELECT greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_tok
+             |  FROM documents),
+             |hist AS (SELECT CAST(len(bin(n_tok)) - 1 AS BIGINT) AS lg2_bucket,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS total_tokens
+             |  FROM perdoc GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d_all,
+             |    CAST(sum(total_tokens) AS BIGINT) AS t_all FROM hist)
+             |SELECT lg2_bucket, n_docs, total_tokens,
+             |  CAST(divide(n_docs * 1000000, d_all) AS BIGINT) AS doc_share_ppm,
+             |  CAST(divide(total_tokens * 1000000, t_all) AS BIGINT) AS token_share_ppm
+             |FROM hist CROSS JOIN tot ORDER BY lg2_bucket""".stripMargin),
+      doc = "power-of-2 sequence-length histogram with exact ppm doc/" +
+        "token shares — the packing/chunking planner's input; " +
+        "len(bin(n))-1 bucket index, no libm")
   )
 
   /** Continuous sequence packing (see the pack_sequences entry above for

@@ -198,7 +198,9 @@ class OperatorSpec extends SparkSpec {
       "sim_rrf_fusion",  // crossJoin(broadcast(1-row query vector / 1-row query token set))
       "q80_chisq_independence", // crossJoin(broadcast(1-row grand-total scalar))
       "sim_ann_recall",  // crossJoin(broadcast(fixed 20-row query panel)) — the exact-recall baseline side
-      "q83_benford_audit") // crossJoin(broadcast(1-row grand-total scalar))
+      "q83_benford_audit", // crossJoin(broadcast(1-row grand-total scalar))
+      "text_collocation_pmi", // crossJoin(broadcast(1-row bigram-total scalar))
+      "text_length_histogram") // crossJoin(broadcast(1-row doc/token-total scalar))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
