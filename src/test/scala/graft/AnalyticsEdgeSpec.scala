@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-data proofs for the round-8 analytics/corpus-statistics
+  * operators (q84–q86, text_zipf_slope, text_readability,
+  * text_collocation_pmi, text_length_histogram, sim_centroid_drift).
+  * Each test hand-computes the documented closed form on an input built
+  * to hit the operator's boundary branches — values the organic-testdata
+  * oracle gate cannot guarantee to exercise (exact-equality Gini poles,
+  * a perfect power law, an exact 2× alarm edge, orthogonal centroids).
+  * Tables are written in the standard parquet layouts so the registered
+  * QueryDefs run end-to-end, loader included.
+  */
+class AnalyticsEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toAbsolutePath.toString
+
+  private def mkEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = tmp("graft-analytics-ev")
+    rows.toDF("event_id", "user_id", "es", "event_type", "value")
+      .withColumn("ts", col("es").cast("timestamp"))
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def mkDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = tmp("graft-analytics-doc")
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q86_gini_activity: equality pole is exactly 0, near-total " +
+      "concentration matches the closed form") {
+    // type "eq": 4 users x 3 events each -> G = 0 exactly.
+    // type "top": users 1..4 with 1 event, user 5 with 96:
+    //   sorted asc x = [1,1,1,1,96], n=5, S=100,
+    //   T = 1+2+3+4+5*96 = 490, G = (2*490 - 6*100)/(5*100) = 0.76.
+    var id = 0L
+    def burst(u: Long, k: Int, typ: String, base: Long) =
+      (1 to k).map { i => id += 1; (id, u, base + i, typ, 1.0) }
+    val dir = mkEvents(
+      (1L to 4L).flatMap(u => burst(u, 3, "eq", 1000000L)) ++
+        (1L to 4L).flatMap(u => burst(u, 1, "top", 1000000L)) ++
+        burst(5L, 96, "top", 1000000L))
+    val out = SparkEntry.queries("q86_gini_activity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("eq") == ((4L, 12L, 30L, 0L)),
+      s"equal activity must be Gini 0: ${out("eq")}")
+    assert(out("top") == ((5L, 100L, 490L, 760000L)),
+      s"planted concentration must be 760000 ppm: ${out("top")}")
+  }
+
+  test("q84_dow_anomaly: a 2x-edge spike alarms only on its own weekday " +
+      "baseline; same-count days stay flat") {
+    // Four full weeks of 10 events/day for type "t", except ONE Tuesday
+    // carrying 50. That Tuesday's own baseline becomes (10*3+50)/4 = 20
+    // events -> the spike is 50 > 2*20 (alarm), while the other three
+    // Tuesdays are 10 < 20 ("low") but NOT alarmed: 10*2 = 20 is not
+    // strictly below 20 — the exact alarm-band edge. Non-Tuesday days
+    // equal their baseline exactly ("flat").
+    val dayS = 86400L
+    // 2026-08-04 (a Tuesday) 00:00 UTC = 1785801600.
+    val tue0 = 1785801600L
+    var id = 0L
+    def day(off: Long, k: Int) = (1 to k).map { i =>
+      id += 1; (id, i.toLong, tue0 + off * dayS + i * 60, "t", 1.0)
+    }
+    val dir = mkEvents((0L until 28L).flatMap { off =>
+      day(off, if (off == 7L) 50 else 10) // spike on the second Tuesday
+    })
+    val rows = SparkEntry.queries("q84_dow_anomaly")(spark, dir).collect()
+    assert(rows.length == 28)
+    rows.foreach { r =>
+      val (dow, n, mean, dir0, alarm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6), r.getBoolean(7))
+      if (dow == 2L) { // Tuesdays: baseline 20e6
+        assert(mean == 20000000L, s"tuesday baseline: $r")
+        if (n == 50L) assert(dir0 == "high" && alarm, s"spike must alarm: $r")
+        else assert(n == 10L && dir0 == "low" && !alarm,
+          s"10 vs 20 sits ON the 0.5x edge - no alarm: $r")
+      } else {
+        assert(mean == 10000000L && dir0 == "flat" && !alarm,
+          s"uniform weekday must be flat: $r")
+      }
+    }
+  }
+
+  test("text_zipf_slope: a planted exact power law fits slope -1") {
+    // 16 tokens with f(r) = 2^(5 - floor(log2 r)): y = 5 - x exactly at
+    // every point, so the integer OLS slope is exactly -1 -> 1000 milli.
+    val toks = (1 to 16).flatMap { r =>
+      val f = 1 << (5 - (63 - java.lang.Long.numberOfLeadingZeros(r.toLong)))
+      Seq.fill(f)(f"t$r%02d")
+    }
+    val dir = mkDocs(Seq((1L, toks.mkString(" "), "s")))
+    val row = SparkEntry.queries("text_zipf_slope")(spark, dir).collect()(0)
+    assert(row.getLong(0) == 16L, s"n_points: $row")
+    assert(row.getLong(5) == 1000L, s"perfect Zipf must fit -1.000: $row")
+  }
+
+  test("text_readability: hand-counted Flesch battery") {
+    // "The cat sat. The dog ran." -> 2 sentence runs, 6 words, 6 vowel
+    // groups: wps = 3000 milli, spw = 1000 milli,
+    // fre = 206835 - 1015*6/2 - 84600*6/6 = 206835 - 3045 - 84600 = 119190.
+    val dir = mkDocs(Seq((1L, "The cat sat. The dog ran.", "s")))
+    val r = SparkEntry.queries("text_readability")(spark, dir).collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 6L, 6L)), s"$r")
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((3000L, 1000L, 119190L)), s"$r")
+  }
+
+  test("text_collocation_pmi: bound pair scores by the closed form; " +
+      "min-count floor drops a 4-count bigram") {
+    // doc1 "new york" x6 -> bigrams (new,york) x6 and (york,new) x5;
+    // doc2 "a b" x4 -> (a,b) x4 and (b,a) x3, both under the >=5 floor.
+    // N = 11 + 7 = 18:
+    //   pmi(new,york) = 6*18*1e6 / (6*6) = 3000000
+    //   pmi(york,new) = 5*18*1e6 / (5*5) = 3600000
+    val dir = mkDocs(Seq(
+      (1L, Seq.fill(6)("new york").mkString(" "), "s"),
+      (2L, Seq.fill(4)("a b").mkString(" "), "s")))
+    val out = SparkEntry.queries("text_collocation_pmi")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(out.keySet == Set(("new", "york"), ("york", "new")),
+      s"floor must drop the 4-count pair: ${out.keySet}")
+    assert(out(("new", "york")) == ((6L, 3000000L)))
+    assert(out(("york", "new")) == ((5L, 3600000L)))
+  }
+
+  test("text_length_histogram: power-of-2 buckets and exact ppm shares") {
+    // docs of 1, 2, 3, 8 tokens -> buckets lg2 = 0 {1}, 1 {2,3}, 3 {8};
+    // d_all = 4, t_all = 14.
+    val dir = mkDocs(Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"),
+      (4L, "a b c d e f g h", "s")))
+    val out = SparkEntry.queries("text_length_histogram")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(0L, 1L, 3L))
+    assert(out(0L) == ((1L, 1L, 250000L, 71428L)))
+    assert(out(1L) == ((2L, 5L, 500000L, 357142L)))
+    assert(out(3L) == ((1L, 8L, 250000L, 571428L)))
+  }
+
+  test("q85_cohort_ltv: hand-computed two-customer cohort curve") {
+    // customers 1 and 2 both first-order in 1995-01 (cohort size 2):
+    // age 0 revenue 100.00 + 200.00 = 30000 cents -> ltv 15000/user;
+    // age 1 revenue 50.00 -> cum 35000 -> ltv 17500/user.
+    val dir = tmp("graft-analytics-ord")
+    Seq(
+      (1L, 1L, "F", 100.00, "1995-01-10", "1-URGENT"),
+      (2L, 2L, "F", 200.00, "1995-01-20", "1-URGENT"),
+      (3L, 1L, "F", 50.00, "1995-02-05", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "od", "o_orderpriority")
+      .withColumn("o_orderdate", col("od").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q85_cohort_ltv")(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == ((2L, 30000L, 30000L, 15000L)), s"age 0: ${out(0L)}")
+    assert(out(1L) == ((2L, 5000L, 35000L, 17500L)), s"age 1: ${out(1L)}")
+  }
+
+  test("sim_centroid_drift: orthogonal centroids read 0, identical read 1") {
+    val dir = tmp("graft-analytics-emb")
+    // label 0: all (1,0); label 1: all (0,1); label 2: all (1,0).
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(1.0f, 0.0f), 2), (6L, Array(1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_centroid_drift")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(6)).toMap
+    assert(out((0, 1)) == 0.0 && out((1, 2)) == 0.0, s"orthogonal: $out")
+    assert(out((0, 2)) == 1.0, s"identical centroids: $out")
+  }
+}
