@@ -1225,6 +1225,7 @@ object Similarity {
           // engines truncate toward zero identically
           .agg(expr("case when sum(v) >= 0 then sum(v) div count(1)" +
             " else -((-sum(v)) div count(1)) end").as("c"))
+          .localCheckpoint() // labels x dims rows; both join sides read it
         val a = cent.select(col("label").as("label_a"), col("pos"),
           col("c").as("ca"))
         val b = cent.select(col("label").as("label_b"), col("pos"),

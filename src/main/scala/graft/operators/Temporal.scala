@@ -1433,6 +1433,7 @@ object Temporal {
             date_trunc("day", col("ts")).cast("date").as("day"))
           .agg(count(lit(1)).as("n"))
           .withColumn("dow", expr("pmod(dayofweek(day) + 5, 7) + 1").cast("long"))
+          .localCheckpoint() // day-level rollup; baseline + join both read it
         val base = daily.groupBy("event_type", "dow")
           .agg(expr("sum(n) * 1000000 div count(1)").as("dow_mean_micro"))
         daily.join(broadcast(base), Seq("event_type", "dow"))

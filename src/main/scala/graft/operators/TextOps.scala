@@ -1562,6 +1562,7 @@ object TextOps {
         val hist = perDoc
           .groupBy((length(bin(col("n_tok"))) - 1).cast("long").as("lg2_bucket"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+          .localCheckpoint() // ~30 rows; totals must not re-scan the corpus
         val tot = hist.agg(sum(col("n_docs")).as("d_all"),
           sum(col("total_tokens")).as("t_all"))
         hist.crossJoin(broadcast(tot))
