@@ -125,40 +125,8 @@ object Graph {
     // groupBy; no cartesian anywhere.
     "q66_triangles" -> QueryDef(
       (s, d) => {
-        import Similarity.{dotD, lshBucket, normD}
-        val emb = tbl(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            lshBucket(col("embedding")).as("bucket"), normD(col("embedding")).as("nrm"))
-        val knn = emb
-          .join(emb.select(col("bucket"), col("vec_id").as("nbr_id"),
-            col("embedding").as("eb"), col("nrm").as("nb")), Seq("bucket"))
-          .filter(col("vec_id") =!= col("nbr_id"))
-          .select(col("vec_id"), col("nbr_id"),
-            (dotD(col("embedding"), col("eb")) / (col("nrm") * col("nb"))).as("cosine"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
-        val pairs = knn.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(least(col("vec_id"), col("nbr_id")).as("u"),
-            greatest(col("vec_id"), col("nbr_id")).as("v"))
-          .distinct().localCheckpoint()
-        val deg = pairs.select(col("u").as("n"))
-          .union(pairs.select(col("v").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-        val shift = 1099511627776L // 2^40
-        val keyed = pairs
-          .join(deg.select(col("n").as("u"), (col("deg") * shift + col("u")).as("ku")), Seq("u"))
-          .join(deg.select(col("n").as("v"), (col("deg") * shift + col("v")).as("kv")), Seq("v"))
-        val e = keyed.select(
-            when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("a"),
-            when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("b"),
-            greatest(col("ku"), col("kv")).as("kb"))
-          .localCheckpoint()
-        val wedges = e.as("x").join(e.as("y"),
-            col("x.a") === col("y.a") && col("x.kb") < col("y.kb"))
-          .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
-        val tri = wedges.join(e.as("z"),
-            col("tb") === col("z.a") && col("tc") === col("z.b"))
+        val (_, deg, closed) = knnGraph(s, d)
+        val tri = closed
           .select(explode(array(col("ta"), col("tb"), col("tc"))).as("n"))
           .groupBy("n").agg(count(lit(1)).as("tri"))
         deg.join(tri, Seq("n"), "left")
@@ -167,30 +135,7 @@ object Graph {
           .orderBy(col("tri").desc, col("vec_id")).limit(20)
       },
       Some {
-        import Similarity.{dotSql, lshBucketSql, normSql}
-        s"""WITH emb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
-           |    ${normSql("embedding")} AS nrm FROM embeddings),
-           |knn AS (
-           |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
-           |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
-           |  FROM emb x JOIN emb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-           |pairs AS (SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
-           |          FROM (SELECT vec_id, nbr_id,
-           |                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
-           |                FROM knn) WHERE rnk <= 3),
-           |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
-           |          SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
-           |        GROUP BY n),
-           |e AS (SELECT CASE WHEN du.deg * 1099511627776 + u < dv.deg * 1099511627776 + v
-           |                  THEN u ELSE v END AS a,
-           |             CASE WHEN du.deg * 1099511627776 + u < dv.deg * 1099511627776 + v
-           |                  THEN v ELSE u END AS b,
-           |             greatest(du.deg * 1099511627776 + u, dv.deg * 1099511627776 + v) AS kb
-           |      FROM pairs JOIN deg du ON pairs.u = du.n
-           |                 JOIN deg dv ON pairs.v = dv.n),
-           |closed AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
-           |           FROM e x JOIN e y ON x.a = y.a AND x.kb < y.kb
-           |                    JOIN e z ON x.b = z.a AND y.b = z.b),
+        s"""$knnGraphSql,
            |tri AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
            |          SELECT unnest(list_value(ta, tb, tc)) AS n FROM closed)
            |        GROUP BY n)
@@ -202,6 +147,44 @@ object Graph {
       doc = "degree-oriented edge-iterator triangle count over the " +
         "symmetrized k-NN(3) embedding graph — local clustering of the " +
         "manifold; m ≤ 3n edges, Σ outdeg² wedge bound"),
+
+    // Q87 — global clustering coefficient (transitivity) of the same
+    // k-NN(3) embedding graph: C = 3·triangles / wedges with wedges =
+    // Σ_n deg·(deg−1)/2 — the one-number summary of how clumped the
+    // embedding manifold is (rising transitivity between corpus
+    // snapshots = growing semantic redundancy; the macro signal whose
+    // micro form is q66's per-node ranking). All-integer: the oriented
+    // closure counts each triangle exactly once, wedge mass is an exact
+    // per-node polynomial, and the coefficient is a truncating ppm
+    // division of non-negative 64-bit ints. Scale shape: shares q66's
+    // degree-oriented edge iterator (Σ outdeg² bounded, no cartesian);
+    // the three closing 1-row aggregates meet in broadcast cross joins.
+    "q87_clustering_coeff" -> QueryDef(
+      (s, d) => {
+        val (pairs, deg, closed) = knnGraph(s, d)
+        val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        val edges = pairs.agg(count(lit(1)).as("n_edges"))
+        val tris = closed.agg(count(lit(1)).as("n_triangles"))
+        nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tris))
+          .withColumn("global_cc_ppm",
+            expr("n_triangles * 3 * 1000000 div n_wedges"))
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"), col("global_cc_ppm"))
+      },
+      Some {
+        s"""$knnGraphSql,
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           |    CAST(sum(divide(deg * (deg - 1), 2)) AS BIGINT) AS n_wedges FROM deg),
+           |edg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+           |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM closed)
+           |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           |  CAST(divide(n_triangles * 3 * 1000000, n_wedges) AS BIGINT) AS global_cc_ppm
+           |FROM agg CROSS JOIN edg CROSS JOIN tri""".stripMargin
+      },
+      doc = "global clustering coefficient (transitivity) of the k-NN(3) " +
+        "embedding graph in exact integer ppm: 3*triangles over exact " +
+        "wedge mass; shares q66's oriented edge iterator"),
 
     // Q77 — k-hop BFS reachability (k=3) over the co-purchase graph from
     // the 3 top-degree hubs: the third canonical bulk-iterative graph
@@ -295,4 +278,81 @@ object Graph {
         "per-hop equi-join + distinct + anti-join vs settled; per-level " +
         "rollup pins the exact reached set via node-id checksum")
   )
+
+  /** Shared k-NN(3) embedding graph for q66/q87: symmetrized top-3
+    * cosine-neighbor pairs (via the LSH bucket equi-join, never
+    * all-pairs), node degrees, and the degree-oriented triangle closure
+    * (each triangle surfaced EXACTLY once — see q66's doc for the
+    * Schank–Wagner orientation argument). Returns (pairs(u,v),
+    * deg(n,deg), closed(ta,tb,tc)); `pairs` and the oriented edge list
+    * are localCheckpointed because both consumers fan out over them.
+    */
+  private def knnGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import Similarity.{dotD, lshBucket, normD}
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding")).as("bucket"), normD(col("embedding")).as("nrm"))
+    val knn = emb
+      .join(emb.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (dotD(col("embedding"), col("eb")) / (col("nrm") * col("nb"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+    val pairs = knn.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct().localCheckpoint()
+    val deg = pairs.select(col("u").as("n"))
+      .union(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val shift = 1099511627776L // 2^40
+    val keyed = pairs
+      .join(deg.select(col("n").as("u"), (col("deg") * shift + col("u")).as("ku")), Seq("u"))
+      .join(deg.select(col("n").as("v"), (col("deg") * shift + col("v")).as("kv")), Seq("v"))
+    val e = keyed.select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("a"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("b"),
+        greatest(col("ku"), col("kv")).as("kb"))
+      .localCheckpoint()
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.a") === col("y.a") && col("x.kb") < col("y.kb"))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    val closed = wedges.join(e.as("z"),
+        col("tb") === col("z.a") && col("tc") === col("z.b"))
+      .select(col("ta"), col("tb"), col("tc"))
+    (pairs, deg, closed)
+  }
+
+  /** Oracle CTE prefix shared by q66/q87: emb → knn → pairs → deg →
+    * oriented edges → closed triangles (ta, tb, tc). */
+  private def knnGraphSql: String = {
+    import Similarity.{dotSql, lshBucketSql, normSql}
+    s"""WITH emb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+       |    ${normSql("embedding")} AS nrm FROM embeddings),
+       |knn AS (
+       |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+       |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+       |  FROM emb x JOIN emb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |pairs AS (SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+       |          FROM (SELECT vec_id, nbr_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
+       |                FROM knn) WHERE rnk <= 3),
+       |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+       |          SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+       |        GROUP BY n),
+       |e AS (SELECT CASE WHEN du.deg * 1099511627776 + u < dv.deg * 1099511627776 + v
+       |                  THEN u ELSE v END AS a,
+       |             CASE WHEN du.deg * 1099511627776 + u < dv.deg * 1099511627776 + v
+       |                  THEN v ELSE u END AS b,
+       |             greatest(du.deg * 1099511627776 + u, dv.deg * 1099511627776 + v) AS kb
+       |      FROM pairs JOIN deg du ON pairs.u = du.n
+       |                 JOIN deg dv ON pairs.v = dv.n),
+       |closed AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+       |           FROM e x JOIN e y ON x.a = y.a AND x.kb < y.kb
+       |                    JOIN e z ON x.b = z.a AND y.b = z.b)""".stripMargin
+  }
 }

@@ -200,7 +200,8 @@ class OperatorSpec extends SparkSpec {
       "sim_ann_recall",  // crossJoin(broadcast(fixed 20-row query panel)) — the exact-recall baseline side
       "q83_benford_audit", // crossJoin(broadcast(1-row grand-total scalar))
       "text_collocation_pmi", // crossJoin(broadcast(1-row bigram-total scalar))
-      "text_length_histogram") // crossJoin(broadcast(1-row doc/token-total scalar))
+      "text_length_histogram", // crossJoin(broadcast(1-row doc/token-total scalar))
+      "q87_clustering_coeff") // crossJoin(broadcast(two 1-row count scalars))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
