@@ -1344,7 +1344,71 @@ object Relational {
              |  CAST(min(o_custkey) AS BIGINT) AS example_custkey
              |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin),
       doc = "RFM quintile segmentation: exact integer recency/frequency/" +
-        "monetary, deterministic ntiles, bounded per-segment rollup")
+        "monetary, deterministic ntiles, bounded per-segment rollup"),
+
+    // Q88 — referential-integrity orphan audit across the whole star
+    // schema: for each FK edge, the child rows whose key matches no
+    // parent (the anti-entropy check every warehouse runs before
+    // training joins; a silent orphan becomes a silently-dropped row in
+    // every inner join downstream — q04/q09's results are only trustable
+    // because this reads 0). One row per relation: child count, orphan
+    // count, orphan ppm. Scale shape: one LEFT ANTI join per edge — the
+    // parent side is the JOIN BUILD side and broadcasts when small
+    // (nation/region always; customer/part under AQE thresholds at
+    // higher sf the anti join shuffles on the FK, which is exactly the
+    // right plan); counts are 1-row rollups unioned into a fixed
+    // 7-row result.
+    "q88_fk_orphans" -> QueryDef(
+      (s, d) => {
+        def audit(rel: String, child: org.apache.spark.sql.DataFrame, fk: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String)
+            : org.apache.spark.sql.DataFrame = {
+          val total = child.agg(count(lit(1)).as("n_child"))
+          val orphans = child
+            .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          total.crossJoin(broadcast(orphans))
+            .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"),
+              expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+        }
+        val o = tbl(s, d, "orders"); val li = tbl(s, d, "lineitem")
+        val c = tbl(s, d, "customer"); val su = tbl(s, d, "supplier")
+        val p = tbl(s, d, "part"); val n = tbl(s, d, "nation")
+        val r = tbl(s, d, "region")
+        Seq(
+          audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+          audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+          audit("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+          audit("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+          audit("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+          audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+          audit("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"))
+          .reduce(_.unionAll(_))
+          .orderBy("relation")
+      },
+      Some {
+        def sql(rel: String, child: String, fk: String, parent: String,
+            pk: String): String =
+          s"""SELECT '$rel' AS relation,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+             |   WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = $fk)) AS n_orphans,
+             |  CAST(divide((SELECT count(*) FROM $child
+             |      WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = $fk)) * 1000000,
+             |    (SELECT count(*) FROM $child)) AS BIGINT) AS orphan_ppm""".stripMargin
+        Seq(
+          sql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          sql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          sql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          sql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          sql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+          sql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          sql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+      },
+      doc = "referential-integrity orphan audit over all 7 FK edges of " +
+        "the star schema: LEFT ANTI join per edge, exact orphan ppm, " +
+        "fixed 7-row result")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

@@ -173,6 +173,44 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out(1L) == ((2L, 5000L, 35000L, 17500L)), s"age 1: ${out(1L)}")
   }
 
+  test("q88_fk_orphans: planted orphans are counted; clean edges read 0") {
+    // The organic testdata is referentially clean (the registered run
+    // reads 0 everywhere) — this plants one orphaned order custkey and
+    // one orphaned lineitem partkey and proves they surface with exact
+    // ppm, while the other five edges stay 0.
+    val dir = tmp("graft-analytics-fk")
+    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("region", Seq((0, "r")).toDF("r_regionkey", "r_name"))
+    write("nation", Seq((0, "n", 0)).toDF("n_nationkey", "n_name", "n_regionkey"))
+    write("customer", Seq((1L, "c1", 0, 0.0, "m"), (2L, "c2", 0, 0.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    write("supplier", Seq((1L, "s1", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    write("part", Seq((1L, "p1", "b", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    write("orders", Seq(
+      (1L, 1L, "F", 1.0, "1995-01-01", "1"), (2L, 2L, "F", 1.0, "1995-01-01", "1"),
+      (3L, 99L, "F", 1.0, "1995-01-01", "1")) // orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "od", "o_orderpriority")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od"))
+    write("lineitem", Seq(
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-02"),
+      (2L, 77L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-02")) // orphan partkey
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "sd")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd"))
+    val out = SparkEntry.queries("q88_fk_orphans")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("orders.o_custkey->customer") == ((3L, 1L, 333333L)), s"$out")
+    assert(out("lineitem.l_partkey->part") == ((2L, 1L, 500000L)), s"$out")
+    Seq("customer.c_nationkey->nation", "lineitem.l_orderkey->orders",
+      "lineitem.l_suppkey->supplier", "nation.n_regionkey->region",
+      "supplier.s_nationkey->nation").foreach { rel =>
+      assert(out(rel)._2 == 0L && out(rel)._3 == 0L, s"$rel must be clean: $out")
+    }
+  }
+
   test("sim_centroid_drift: orthogonal centroids read 0, identical read 1") {
     val dir = tmp("graft-analytics-emb")
     // label 0: all (1,0); label 1: all (0,1); label 2: all (1,0).
