@@ -694,6 +694,65 @@ object TextOps {
         "pseudo-label: exact confusion counts at 9 operating points",
       ),
 
+    // Calibration / reliability table for the same classifier: docs
+    // binned into fixed 500-wide score bands (clamped to ±2000), each
+    // band reporting its observed positive rate — the reliability curve
+    // that decides whether a quality classifier's scores can be used as
+    // KEEP PROBABILITIES (as in quality-weighted sampling) or only as a
+    // ranking (text_clf_eval's view). Banding arithmetic stays in
+    // non-negative integers: band = (clamp(score)+2000) div 500, so the
+    // floor-vs-truncate negative-division trap never arises; the
+    // possibly-negative per-band score mass ships as an exact SUM (no
+    // division). Scale shape: one token pass (map-side combine), one
+    // ≤9-row hash agg — no window, no join.
+    "text_clf_calibration" -> QueryDef(
+      (s, d) => {
+        val scored = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
+          .groupBy("doc_id")
+          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tok"),
+            countDistinct(col("tok")).as("n_dist"))
+          .withColumn("label",
+            expr("n_dist * 1000 div n_tok >= 500 AND n_tok >= 20"))
+        scored
+          .withColumn("band",
+            expr("(greatest(-2000L, least(2000L, score)) + 2000) div 500"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("n_true"),
+            sum(col("score")).as("sum_score"))
+          .withColumn("band_lo", col("band") * 500L - 2000L)
+          .withColumn("true_rate_ppm", expr("n_true * 1000000 div n_docs"))
+          .select(col("band"), col("band_lo"), col("n_docs"), col("n_true"),
+            col("true_rate_ppm"), col("sum_score"))
+          .orderBy("band")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT s.doc_id AS doc_id, s.score AS score,
+              |    divide(len(list_distinct(string_split(d.text, ' '))) * 1000,
+              |           len(string_split(d.text, ' '))) >= 500
+              |      AND len(string_split(d.text, ' ')) >= 20 AS label
+              |  FROM (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM (
+              |          SELECT doc_id, (${strHashSql("tok")} % 2001) - 1000 AS w
+              |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+              |        GROUP BY doc_id) s
+              |  JOIN documents d ON d.doc_id = s.doc_id),
+              |b AS (SELECT CAST(divide(greatest(-2000, least(2000, score)) + 2000, 500) AS BIGINT) AS band,
+              |    score, label FROM scored)
+              |SELECT band, CAST(band * 500 - 2000 AS BIGINT) AS band_lo,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+              |  CAST(divide(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1000000,
+              |    count(*)) AS BIGINT) AS true_rate_ppm,
+              |  CAST(sum(score) AS BIGINT) AS sum_score
+              |FROM b GROUP BY band ORDER BY band""".stripMargin),
+      doc = "reliability/calibration table of the hashed classifier: " +
+        "fixed 500-wide score bands (negative-safe banding), exact " +
+        "observed positive rate per band",
+      ),
+
     // Poisson bootstrap — error bars on corpus statistics in ONE pass,
     // no resampling RNG, no data movement: each of 32 replicates
     // reweights every document by a deterministic hash-derived count
