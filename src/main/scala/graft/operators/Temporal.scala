@@ -1578,5 +1578,54 @@ object Temporal {
              |    n_users * total_events) AS BIGINT) AS gini_ppm
              |FROM a ORDER BY event_type""".stripMargin),
       doc = "exact Gini coefficient of per-user activity per event type, " +
-        "integer ppm via the closed form over ascending ranks"))
+        "integer ppm via the closed form over ascending ranks"),
+
+    // Q89 — funnel latency: the time-to-convert distribution from first
+    // signup to first subsequent purchase (q35 counts WHO converts; this
+    // measures HOW LONG conversion takes — the other half of every
+    // funnel dashboard). Delays are exact integer seconds (µs diff with
+    // truncating div); the order statistics use the percentile ↔
+    // quantile_cont pairing q31 already proves bit-stable (both engines
+    // interpolate the same rank convention over identical integers);
+    // the mean is an exact integer-milli division. Scale shape: two
+    // filtered scans → per-user min aggregates → one equi-join on
+    // user_id → a single 1-row aggregate. No window, no self-join.
+    "q89_funnel_latency" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+        val delays = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+          .join(su, Seq("user_id"))
+          .filter(col("ts") >= col("signup_ts"))
+          .groupBy("user_id")
+          .agg(min(col("ts")).as("first_purchase_ts"),
+            first(col("signup_ts")).as("signup_ts"))
+          .select(expr("(unix_micros(first_purchase_ts) - unix_micros(signup_ts))" +
+            " div 1000000").as("delay_s"))
+        delays.agg(count(lit(1)).as("n_converted"),
+          min(col("delay_s")).as("min_s"),
+          expr("percentile(delay_s, 0.5)").as("p50_s"),
+          expr("percentile(delay_s, 0.9)").as("p90_s"),
+          max(col("delay_s")).as("max_s"),
+          expr("sum(delay_s) * 1000 div count(1)").as("mean_milli_s"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS signup_ts
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |conv AS (SELECT e.user_id,
+             |    CAST(divide(epoch_us(min(e.ts)) - epoch_us(min(su.signup_ts)),
+             |      1000000) AS BIGINT) AS delay_s
+             |  FROM events e JOIN su ON su.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+             |  GROUP BY e.user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |  CAST(min(delay_s) AS BIGINT) AS min_s,
+             |  quantile_cont(delay_s, 0.5) AS p50_s,
+             |  quantile_cont(delay_s, 0.9) AS p90_s,
+             |  CAST(max(delay_s) AS BIGINT) AS max_s,
+             |  CAST(divide(sum(delay_s) * 1000, count(*)) AS BIGINT) AS mean_milli_s
+             |FROM conv""".stripMargin),
+      doc = "signup→first-purchase latency distribution: exact integer-" +
+        "second delays, q31-proven percentile pairing, integer-milli mean"))
 }
