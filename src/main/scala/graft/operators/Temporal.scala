@@ -1627,5 +1627,111 @@ object Temporal {
              |  CAST(divide(sum(delay_s) * 1000, count(*)) AS BIGINT) AS mean_milli_s
              |FROM conv""".stripMargin),
       doc = "signup→first-purchase latency distribution: exact integer-" +
-        "second delays, q31-proven percentile pairing, integer-milli mean"))
+        "second delays, q31-proven percentile pairing, integer-milli mean"),
+
+    // Q90 — incremental JOIN maintenance: q60 proves base+delta
+    // re-aggregation for rollups; this proves the JOIN half of view
+    // maintenance — Δ(A ⋈ B) for deltas on BOTH sides via the standard
+    // four-term algebra (B∪ΔA) ⋈ (C∪ΔC) = B⋈C ∪ B⋈ΔC ∪ ΔA⋈C ∪ ΔA⋈ΔC.
+    // Sides are split by deterministic key predicates (orders delta:
+    // keys ≡ 0 mod 10; customer delta: keys ≡ 0 mod 7), the four joins
+    // are unioned, and the result is rolled up per market segment — the
+    // oracle computes the ONE-SHOT join of the full tables, so an exact
+    // match certifies the algebra end-to-end (a row duplicated or
+    // dropped by any term breaks count or cents). Scale shape: the
+    // base⋈base term shuffles once on the key; the three delta terms
+    // have a small side each (AQE broadcasts them at real delta rates —
+    // deltas here are 1/10 and 1/7 of the table only because the
+    // testdata has no time axis on customer); the rollup is bounded at
+    // |segments|.
+    "q90_ivm_join" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("v"),
+            (pmod(col("o_orderkey"), lit(10L)) === 0L).as("is_delta"))
+        val c = tbl(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+            (pmod(col("c_custkey"), lit(7L)) === 0L).as("c_is_delta"))
+        val oB = o.filter(!col("is_delta")).drop("is_delta")
+        val oD = o.filter(col("is_delta")).drop("is_delta")
+        val cB = c.filter(!col("c_is_delta")).drop("c_is_delta")
+        val cD = c.filter(col("c_is_delta")).drop("c_is_delta")
+        oB.join(cB, Seq("o_custkey"))
+          .unionByName(oB.join(cD, Seq("o_custkey")))
+          .unionByName(oD.join(cB, Seq("o_custkey")))
+          .unionByName(oD.join(cD, Seq("o_custkey")))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_c"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      doc = "incremental join maintenance: four-term two-sided delta-join " +
+        "union rolled up per segment ≡ the one-shot join (oracle-gated)"),
+
+    // Q91 — Mann-Kendall monotone-trend test per event type over the
+    // daily volume series: S = Σ_{i<j} sign(n_j − n_i) — the standard
+    // nonparametric "is this metric drifting" test (Mann 1945; Kendall
+    // 1975), the formal complement of q82's CUSUM (which locates level
+    // SHIFTS; this scores sustained monotone DRIFT). Everything stays in
+    // exact integers: S, the pair counts, and the z>2 significance
+    // test in its squared form 18·S² > 4·n(n−1)(2n+5) (⇔ |z| > 2 with
+    // Var(S) = n(n−1)(2n+5)/18, tie correction omitted — documented,
+    // both engines identical). Scale shape: the pair join runs on the
+    // DAY-LEVEL rollup — calendar-bounded (~10⁴ day-pairs per type per
+    // year), so the O(days²) term is a constant-size problem at ANY
+    // corpus scale; one scan feeds it.
+    "q91_mann_kendall" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // both sides of the bounded pair join
+        val a = daily.select(col("event_type"), col("day"), col("n"))
+        val b = daily.select(col("event_type"), col("day").as("day2"), col("n").as("n2"))
+        a.join(b, Seq("event_type")).filter(col("day") < col("day2"))
+          .groupBy("event_type")
+          .agg(sum(signum(col("n2") - col("n")).cast("long")).as("s_stat"),
+            sum(when(col("n2") > col("n"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("n2") < col("n"), 1L).otherwise(0L)).as("n_neg"),
+            sum(when(col("n2") === col("n"), 1L).otherwise(0L)).as("n_tie"))
+          .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+            Seq("event_type"))
+          .withColumn("significant",
+            expr("18 * s_stat * s_stat > 4 * n_days * (n_days - 1) * (2 * n_days + 5)"))
+          .withColumn("trend",
+            when(col("significant") && col("s_stat") > 0L, "increasing")
+              .when(col("significant") && col("s_stat") < 0L, "decreasing")
+              .otherwise("no_trend"))
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            col("n_pos"), col("n_neg"), col("n_tie"), col("significant"), col("trend"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.event_type,
+             |    CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+             |    CAST(sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |    CAST(sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+             |    CAST(sum(CASE WHEN b.n = a.n THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+             |  FROM daily a JOIN daily b
+             |    ON b.event_type = a.event_type AND a.day < b.day
+             |  GROUP BY 1),
+             |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             |  FROM daily GROUP BY 1),
+             |j AS (SELECT pr.event_type, nd.n_days, pr.s_stat, pr.n_pos, pr.n_neg, pr.n_tie,
+             |    18 * pr.s_stat * pr.s_stat > 4 * nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) AS significant
+             |  FROM pr JOIN nd ON nd.event_type = pr.event_type)
+             |SELECT event_type, n_days, s_stat, n_pos, n_neg, n_tie, significant,
+             |  CASE WHEN significant AND s_stat > 0 THEN 'increasing'
+             |       WHEN significant AND s_stat < 0 THEN 'decreasing'
+             |       ELSE 'no_trend' END AS trend
+             |FROM j ORDER BY event_type""".stripMargin),
+      doc = "Mann-Kendall monotone-trend test per event type: exact " +
+        "integer S over calendar-bounded day pairs, squared-form z>2 " +
+        "significance, no floats anywhere"))
 }

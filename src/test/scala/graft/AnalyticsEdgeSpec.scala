@@ -211,6 +211,56 @@ class AnalyticsEdgeSpec extends SparkSpec {
     }
   }
 
+  test("q91_mann_kendall: planted monotone series are significant, " +
+      "a flat series is all ties and no_trend") {
+    // type "up": 10 days with counts 1..10 -> every pair concordant,
+    //   S = 45, 18*45^2 = 36450 > 4*10*9*25 = 9000 -> increasing.
+    // type "down": mirrored -> S = -45 -> decreasing.
+    // type "flat": 5 days x 2 events -> S = 0, 10 ties -> no_trend.
+    val dayS = 86400L
+    val base = 1785801600L
+    var id = 0L
+    def day(off: Int, k: Int, typ: String) = (1 to k).map { i =>
+      id += 1; (id, i.toLong, base + off * dayS + i * 60, typ, 1.0)
+    }
+    val dir = mkEvents(
+      (0 until 10).flatMap(o => day(o, o + 1, "up")) ++
+        (0 until 10).flatMap(o => day(o, 10 - o, "down")) ++
+        (0 until 5).flatMap(o => day(o, 2, "flat")))
+    val out = SparkEntry.queries("q91_mann_kendall")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6), r.getString(7))).toMap
+    assert(out("up") == ((10L, 45L, 45L, 0L, 0L, true, "increasing")), s"$out")
+    assert(out("down") == ((10L, -45L, 0L, 45L, 0L, true, "decreasing")), s"$out")
+    assert(out("flat") == ((5L, 0L, 0L, 0L, 10L, false, "no_trend")), s"$out")
+  }
+
+  test("q90_ivm_join: all four delta-join terms contribute and the union " +
+      "matches the hand-counted one-shot join") {
+    // customers: 1, 2 base; 7 delta (7 % 7 == 0). orders: keys 1-3 base,
+    // 10, 20 delta. Pairings hit all four algebra terms:
+    //   baseO(1)⋈baseC(1), baseO(2)⋈baseC(2), baseO(3)⋈deltaC(7),
+    //   deltaO(10)⋈baseC(1), deltaO(20)⋈deltaC(7).
+    val dir = tmp("graft-analytics-ivm")
+    Seq((1L, "c1", 0, 0.0, "A"), (2L, "c2", 0, 0.0, "B"), (7L, "c7", 0, 0.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 10.00), (2L, 2L, 20.00), (3L, 7L, 40.00),
+      (10L, 1L, 80.00), (20L, 7L, 160.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit("1995-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q90_ivm_join")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // A: orders 1 (10.00) + 3 (40.00) + 10 (80.00) + 20 (160.00) = 29000 c
+    // B: order 2 (20.00) = 2000 c
+    assert(out("A") == ((4L, 29000L)), s"$out")
+    assert(out("B") == ((1L, 2000L)), s"$out")
+  }
+
   test("sim_centroid_drift: orthogonal centroids read 0, identical read 1") {
     val dir = tmp("graft-analytics-emb")
     // label 0: all (1,0); label 1: all (0,1); label 2: all (1,0).
