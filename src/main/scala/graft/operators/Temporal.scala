@@ -1733,5 +1733,39 @@ object Temporal {
              |FROM j ORDER BY event_type""".stripMargin),
       doc = "Mann-Kendall monotone-trend test per event type: exact " +
         "integer S over calendar-bounded day pairs, squared-form z>2 " +
-        "significance, no floats anywhere"))
+        "significance, no floats anywhere"),
+
+    // Q92 — activity punch card: the (ISO weekday × hour-of-day) heat
+    // map of event volume and value mass — the canonical 168-cell
+    // dashboard matrix (GitHub punch card / ops heat map), and the 2-D
+    // histogram companion to q53 (1-D value) / q68 (equi-depth). Exact
+    // integers throughout: counts, cents, and ppm share of total via a
+    // broadcast 1-row grand total. Scale shape: one scan → a ≤168-row
+    // hash agg with map-side partials — the output is FIXED-size at any
+    // corpus scale.
+    "q92_punchcard" -> QueryDef(
+      (s, d) => {
+        val cells = tbl(s, d, "events")
+          .groupBy(expr("pmod(dayofweek(ts) + 5, 7) + 1").cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_c"))
+          .localCheckpoint() // ≤168 rows; total must not re-scan events
+        val tot = cells.agg(sum(col("n_events")).as("n_all"))
+        cells.crossJoin(broadcast(tot))
+          .withColumn("share_ppm", expr("n_events * 1000000 div n_all"))
+          .select(col("dow"), col("hr"), col("n_events"), col("sum_c"),
+            col("share_ppm"))
+          .orderBy("dow", "hr")
+      },
+      Some("""WITH cells AS (SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+             |    CAST(hour(ts) AS BIGINT) AS hr,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_all FROM cells)
+             |SELECT dow, hr, n_events, sum_c,
+             |  CAST(divide(n_events * 1000000, n_all) AS BIGINT) AS share_ppm
+             |FROM cells CROSS JOIN tot ORDER BY dow, hr""".stripMargin),
+      doc = "weekday x hour activity punch card: fixed 168-cell exact " +
+        "integer heat map with ppm shares — one scan, map-side partials"))
 }

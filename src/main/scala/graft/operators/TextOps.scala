@@ -41,6 +41,39 @@ object TextOps {
     "fr" -> Seq("merge", "sort", "stream", "value"),
     "zh" -> Seq("spark", "join", "scan", "column"))
 
+  /** Shared marker-word langid scorer (text_langid + text_langid_eval):
+    * per-language marker hit counts, argmax with first-language-wins
+    * ties (declaration order). Returns (doc_id, lang, predicted). */
+  private def langidScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = split(col("text"), " ")
+    val scored = LangMarkers.foldLeft(docs.withColumn("toks", t)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("toks"), x => x.isin(markers: _*))).cast("long"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, elseCol) =>
+      val others = langs.filterNot(_ == l).map(o => col(s"s_$o"))
+      when(col(s"s_$l") >= greatest(others: _*), lit(l)).otherwise(elseCol)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("predicted"))
+  }
+
+  /** SQL twin of [[langidScored]]: (score projections, predictor CASE). */
+  private def langidPredSql: (String, String) = {
+    val scores = LangMarkers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("list_value(", ", ", ")")
+      s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($lst, x))) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(s"'${langs.last}'") { (l, e) =>
+      val others = langs.filterNot(_ == l).map(o => s"s_$o").mkString(", ")
+      s"CASE WHEN s_$l >= greatest($others) THEN '$l' ELSE $e END"
+    }
+    (scores, pred)
+  }
+
   /** Process-lifetime memo of the eval-set bloom filter, keyed by
     * (corpus dir, shingle cap) — see text_decontam_bloom: eval sets are
     * fixed artifacts, and the corpus under a dir is ASSUMED immutable for
@@ -137,38 +170,53 @@ object TextOps {
     // Language-ID: marker-word frequency scoring with a fixed tie-break
     // order (north-star "text analysis"; n-gram heuristic family).
     "text_langid" -> QueryDef(
-      (s, d) => {
-        val t = split(col("text"), " ")
-        val scored = LangMarkers.foldLeft(tbl(s, d, "documents").withColumn("toks", t)) {
-          case (df, (lang, markers)) =>
-            df.withColumn(s"s_$lang",
-              size(filter(col("toks"), x => x.isin(markers: _*))).cast("long"))
-        }
-        val langs = LangMarkers.map(_._1)
-        val pred = langs.init.foldRight(lit(langs.last)) { (l, elseCol) =>
-          val others = langs.filterNot(_ == l).map(o => col(s"s_$o"))
-          when(col(s"s_$l") >= greatest(others: _*), lit(l)).otherwise(elseCol)
-        }
-        scored.select(col("doc_id"), col("lang"), pred.as("predicted"),
-          (pred === col("lang")).as("match"))
-          .orderBy("doc_id")
-      },
+      (s, d) => langidScored(tbl(s, d, "documents"))
+        .withColumn("match", col("predicted") === col("lang"))
+        .orderBy("doc_id"),
       Some {
-        val scores = LangMarkers.map { case (l, ms) =>
-          val lst = ms.map(m => s"'$m'").mkString("list_value(", ", ", ")")
-          s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($lst, x))) AS BIGINT) AS s_$l"
-        }.mkString(",\n    ")
-        val langs = LangMarkers.map(_._1)
-        val pred = langs.init.foldRight(s"'${langs.last}'") { (l, e) =>
-          val others = langs.filterNot(_ == l).map(o => s"s_$o").mkString(", ")
-          s"CASE WHEN s_$l >= greatest($others) THEN '$l' ELSE $e END"
-        }
+        val (scores, pred) = langidPredSql
         s"""SELECT doc_id, lang, $pred AS predicted, ($pred = lang) AS match
            |FROM (SELECT doc_id, lang, text,
            |    $scores
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // Language-ID EVALUATION: the confusion matrix of the marker-word
+    // detector against the corpus's ground-truth lang column — the
+    // measurement that turns "we have a langid heuristic" into "we know
+    // its per-language recall" (the sim_ann_recall / dedup_eval_recall
+    // discipline applied to the third classifier in the library). Exact
+    // integer cell counts and per-actual-language recall ppm. Scale
+    // shape: one per-row scoring pass → a ≤|langs|²-row hash agg → a
+    // broadcast per-language total join; no window.
+    "text_langid_eval" -> QueryDef(
+      (s, d) => {
+        val conf = langidScored(tbl(s, d, "documents"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // ≤25 rows; totals must not re-scan the corpus
+        val tot = conf.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+        conf.join(broadcast(tot), Seq("lang"))
+          .withColumn("cell_ppm", expr("n * 1000000 div n_lang"))
+          .select(col("lang"), col("predicted"), col("n"), col("n_lang"),
+            col("cell_ppm"))
+          .orderBy("lang", "predicted")
+      },
+      Some {
+        val (scores, pred) = langidPredSql
+        s"""WITH p AS (SELECT lang, $pred AS predicted
+           |  FROM (SELECT lang, text, $scores FROM documents)),
+           |conf AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+           |  FROM p GROUP BY 1, 2),
+           |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM conf GROUP BY 1)
+           |SELECT lang, predicted, n, n_lang,
+           |  CAST(divide(n * 1000000, n_lang) AS BIGINT) AS cell_ppm
+           |FROM conf JOIN tot USING (lang)
+           |ORDER BY lang, predicted""".stripMargin
+      },
+      doc = "langid confusion matrix vs the ground-truth lang column: " +
+        "exact cell counts + per-language recall ppm — the eval half " +
+        "of text_langid"),
 
     // Quality scoring: length / stopword-ratio / type-token-ratio composite
     // (north-star "quality scoring"). Pure int/int arithmetic.
