@@ -1767,5 +1767,105 @@ object Temporal {
              |  CAST(divide(n_events * 1000000, n_all) AS BIGINT) AS share_ppm
              |FROM cells CROSS JOIN tot ORDER BY dow, hr""".stripMargin),
       doc = "weekday x hour activity punch card: fixed 168-cell exact " +
-        "integer heat map with ppm shares — one scan, map-side partials"))
+        "integer heat map with ppm shares — one scan, map-side partials"),
+
+    // Q93 — Theil–Sen robust trend slope per event type: the median of
+    // all pairwise slopes (n_j − n_i)/(d_j − d_i) over the daily volume
+    // series — q91 tests trend DIRECTION; this estimates its MAGNITUDE
+    // with a 29% breakdown point (a month of outage days cannot drag it
+    // the way OLS would). Per-pair slopes are integer milli with
+    // sign-safe truncating division (negative slopes route through
+    // |·| so DuckDB's floor and Spark's truncate agree); the median is
+    // the q31-proven percentile ↔ quantile_cont pairing. Scale shape:
+    // like q91, the O(days²) pair join runs on the calendar-bounded
+    // day rollup — constant-size at any corpus scale.
+    "q93_theilsen_slope" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // both sides of the bounded pair join
+        val b = daily.select(col("event_type"), col("day").as("day2"),
+          col("n").as("n2"))
+        daily.join(b, Seq("event_type")).filter(col("day") < col("day2"))
+          .withColumn("slope_milli",
+            expr("case when n2 >= n then (n2 - n) * 1000 div datediff(day2, day)" +
+              " else -((n - n2) * 1000 div datediff(day2, day)) end"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("percentile(slope_milli, 0.5)").as("median_slope_milli"),
+            min(col("slope_milli")).as("min_slope_milli"),
+            max(col("slope_milli")).as("max_slope_milli"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.event_type,
+             |    CAST(CASE WHEN b.n >= a.n
+             |      THEN divide((b.n - a.n) * 1000,
+             |        divide(epoch_us(CAST(b.day AS TIMESTAMP)) - epoch_us(CAST(a.day AS TIMESTAMP)), 86400000000))
+             |      ELSE -divide((a.n - b.n) * 1000,
+             |        divide(epoch_us(CAST(b.day AS TIMESTAMP)) - epoch_us(CAST(a.day AS TIMESTAMP)), 86400000000))
+             |      END AS BIGINT) AS slope_milli
+             |  FROM daily a JOIN daily b
+             |    ON b.event_type = a.event_type AND a.day < b.day)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  quantile_cont(slope_milli, 0.5) AS median_slope_milli,
+             |  CAST(min(slope_milli) AS BIGINT) AS min_slope_milli,
+             |  CAST(max(slope_milli) AS BIGINT) AS max_slope_milli
+             |FROM pr GROUP BY 1 ORDER BY event_type""".stripMargin),
+      doc = "Theil-Sen robust trend slope per event type: median of " +
+        "pairwise integer-milli slopes over calendar-bounded day pairs, " +
+        "sign-safe division, 29% breakdown point"),
+
+    // Q94 — audience overlap matrix: pairwise Jaccard of the DISTINCT
+    // user sets of each event type — the cross-sell / cannibalization
+    // read ("do purchasers also click?"), and the entity-level sibling
+    // of q28a's document Jaccard. Exact integers end-to-end:
+    // |A∩B| from a self-join on the deduped (type, user) presence
+    // relation, |A∪B| = |A|+|B|−|A∩B|, Jaccard in ppm. Scale shape:
+    // one distinct pass (shuffle on user), a user-keyed self-join that
+    // emits ≤ |types|² pairs per user, a bounded |types|²-row agg, and
+    // a broadcast per-type-size join. Never a cross join of sets.
+    "q94_audience_overlap" -> QueryDef(
+      (s, d) => {
+        val pres = tbl(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .localCheckpoint() // sizes + both self-join sides
+        val sizes = pres.groupBy("event_type").agg(count(lit(1)).as("sz"))
+        val inter = pres
+          .join(pres.select(col("event_type").as("type_b"), col("user_id")),
+            Seq("user_id"))
+          .filter(col("event_type") < col("type_b"))
+          .groupBy(col("event_type").as("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        inter
+          .join(broadcast(sizes.select(col("event_type").as("type_a"),
+            col("sz").as("n_a"))), Seq("type_a"))
+          .join(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("sz").as("n_b"))), Seq("type_b"))
+          .withColumn("jaccard_ppm",
+            expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_both"), col("jaccard_ppm"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH pres AS (SELECT DISTINCT event_type, user_id FROM events),
+             |sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sz
+             |  FROM pres GROUP BY 1),
+             |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    CAST(count(*) AS BIGINT) AS n_both
+             |  FROM pres a JOIN pres b
+             |    ON b.user_id = a.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, sa.sz AS n_a, sb.sz AS n_b, n_both,
+             |  CAST(divide(n_both * 1000000, sa.sz + sb.sz - n_both) AS BIGINT) AS jaccard_ppm
+             |FROM inter JOIN sizes sa ON sa.event_type = type_a
+             |           JOIN sizes sb ON sb.event_type = type_b
+             |ORDER BY type_a, type_b""".stripMargin),
+      doc = "pairwise audience Jaccard between event types: exact " +
+        "integer intersection via user-keyed self-join, union by " +
+        "inclusion-exclusion, ppm output"))
 }
