@@ -1841,11 +1841,15 @@ object Temporal {
           .filter(col("event_type") < col("type_b"))
           .groupBy(col("event_type").as("type_a"), col("type_b"))
           .agg(count(lit(1)).as("n_both"))
-        inter
-          .join(broadcast(sizes.select(col("event_type").as("type_a"),
-            col("sz").as("n_a"))), Seq("type_a"))
-          .join(broadcast(sizes.select(col("event_type").as("type_b"),
-            col("sz").as("n_b"))), Seq("type_b"))
+        // the |types|² pair grid is built from the TINY sizes relation so
+        // DISJOINT audiences surface as explicit 0 rows (an inner join
+        // on inter would silently omit them — the worst dashboard bug)
+        sizes.select(col("event_type").as("type_a"), col("sz").as("n_a"))
+          .crossJoin(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("sz").as("n_b"))))
+          .filter(col("type_a") < col("type_b"))
+          .join(inter, Seq("type_a", "type_b"), "left")
+          .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
           .withColumn("jaccard_ppm",
             expr("n_both * 1000000 div (n_a + n_b - n_both)"))
           .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
@@ -1860,10 +1864,14 @@ object Temporal {
              |  FROM pres a JOIN pres b
              |    ON b.user_id = a.user_id AND a.event_type < b.event_type
              |  GROUP BY 1, 2)
-             |SELECT type_a, type_b, sa.sz AS n_a, sb.sz AS n_b, n_both,
-             |  CAST(divide(n_both * 1000000, sa.sz + sb.sz - n_both) AS BIGINT) AS jaccard_ppm
-             |FROM inter JOIN sizes sa ON sa.event_type = type_a
-             |           JOIN sizes sb ON sb.event_type = type_b
+             |SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             |  sa.sz AS n_a, sb.sz AS n_b,
+             |  CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
+             |  CAST(divide(coalesce(n_both, 0) * 1000000,
+             |    sa.sz + sb.sz - coalesce(n_both, 0)) AS BIGINT) AS jaccard_ppm
+             |FROM sizes sa CROSS JOIN sizes sb
+             |LEFT JOIN inter ON type_a = sa.event_type AND type_b = sb.event_type
+             |WHERE sa.event_type < sb.event_type
              |ORDER BY type_a, type_b""".stripMargin),
       doc = "pairwise audience Jaccard between event types: exact " +
         "integer intersection via user-keyed self-join, union by " +

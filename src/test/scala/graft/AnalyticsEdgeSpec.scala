@@ -261,6 +261,83 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out("B") == ((1L, 2000L)), s"$out")
   }
 
+  test("q93_theilsen_slope: a perfect line fits exactly; one outlier day " +
+      "cannot move the median") {
+    // type "lin": n = 10 + 2*day over 10 days -> every pairwise slope is
+    // exactly 2000 milli. type "out": same line but day 5 carries 100
+    // events -> 36 of 45 pair slopes are still 2000, so the median holds
+    // at 2000.0 while min/max are dragged far out (robustness).
+    val dayS = 86400L
+    val base = 1785801600L
+    var id = 0L
+    def day(off: Int, k: Int, typ: String) = (1 to k).map { i =>
+      id += 1; (id, i.toLong, base + off * dayS + i * 60, typ, 1.0)
+    }
+    val dir = mkEvents(
+      (0 until 10).flatMap(o => day(o, 10 + 2 * o, "lin")) ++
+        (0 until 10).flatMap(o => day(o, if (o == 5) 100 else 10 + 2 * o, "out")))
+    val out = SparkEntry.queries("q93_theilsen_slope")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("lin") == ((45L, 2000.0, 2000L, 2000L)), s"$out")
+    assert(out("out")._2 == 2000.0 && out("out")._3 < 0L && out("out")._4 > 2000L,
+      s"median must resist the outlier while min/max swing: $out")
+  }
+
+  test("q92_punchcard: planted cells carry exact counts and ppm shares") {
+    // 3 events Tue 10:xx, 1 event Wed 11:xx -> shares 750000 / 250000.
+    val tue10 = 1785801600L + 10 * 3600L // 2026-08-04 10:00 UTC (Tuesday)
+    val wed11 = 1785801600L + 86400L + 11 * 3600L
+    val dir = mkEvents(Seq(
+      (1L, 1L, tue10 + 60, "t", 1.00), (2L, 2L, tue10 + 120, "t", 2.00),
+      (3L, 3L, tue10 + 180, "t", 3.00), (4L, 4L, wed11 + 60, "t", 4.00)))
+    val out = SparkEntry.queries("q92_punchcard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set((2L, 10L), (3L, 11L)))
+    assert(out((2L, 10L)) == ((3L, 600L, 750000L)), s"$out")
+    assert(out((3L, 11L)) == ((1L, 400L, 250000L)), s"$out")
+  }
+
+  test("q94_audience_overlap: hand-counted Jaccard; disjoint audiences " +
+      "surface as explicit zero rows") {
+    // A users {1,2,3}, B users {2,3,4} -> |A∩B| = 2, |A∪B| = 4 -> 500000.
+    // C user {9} is disjoint from both -> rows (A,C) and (B,C) must
+    // EXIST with n_both = 0 (the silent-omission bug the pair grid
+    // exists to prevent).
+    var id = 0L
+    def ev(u: Long, typ: String) = { id += 1; (id, u, 1000000L + id, typ, 1.0) }
+    val dir = mkEvents(
+      Seq(1L, 2L, 3L).map(ev(_, "A")) ++ Seq(2L, 3L, 4L).map(ev(_, "B")) ++
+        Seq(ev(9L, "C"), ev(2L, "A"))) // duplicate presence must not double-count
+    val out = SparkEntry.queries("q94_audience_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("A", "B")) == ((3L, 3L, 2L, 500000L)), s"$out")
+    assert(out(("A", "C")) == ((3L, 1L, 0L, 0L)), s"disjoint row must exist: $out")
+    assert(out(("B", "C")) == ((3L, 1L, 0L, 0L)), s"disjoint row must exist: $out")
+  }
+
+  test("text_langid_eval: confusion cells match hand-placed marker words") {
+    // docs: two true-en docs predicted en; one es-labeled doc whose text
+    // is English markers -> cell (es, en); one es doc with es markers.
+    val dir = tmp("graft-analytics-lid")
+    Seq(
+      (1L, "the a table", "en"), (2L, "the data table", "en"),
+      (3L, "the a the a", "es"), (4L, "row batch row", "es"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_langid_eval")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("en", "en")) == ((2L, 2L, 1000000L)), s"$out")
+    assert(out(("es", "en")) == ((1L, 2L, 500000L)), s"$out")
+    assert(out(("es", "es")) == ((1L, 2L, 500000L)), s"$out")
+  }
+
   test("sim_centroid_drift: orthogonal centroids read 0, identical read 1") {
     val dir = tmp("graft-analytics-emb")
     // label 0: all (1,0); label 1: all (0,1); label 2: all (1,0).
