@@ -1408,7 +1408,53 @@ object Relational {
       },
       doc = "referential-integrity orphan audit over all 7 FK edges of " +
         "the star schema: LEFT ANTI join per edge, exact orphan ppm, " +
-        "fixed 7-row result")
+        "fixed 7-row result"),
+
+    // Q96 — exact-integer OLS regression: retail price (cents) on part
+    // size — the general linear-trend operator (Spark's regr_slope /
+    // regr_intercept are float-sum aggregates whose low bits depend on
+    // partition order; this house-style form accumulates the four
+    // co-moments as exact 64-bit integers, so numerator and denominator
+    // are bit-identical in both engines and the milli-slope is a
+    // sign-safe truncating division). text_zipf_slope is this same
+    // estimator on a log-log frequency spectrum; this is the plain
+    // linear form any metric-vs-metric trend reads. 64-bit bound:
+    // 1000·n·Σxy needs < 2⁶³ — holds to ~9e15 row·x·y mass; past that
+    // promote to DECIMAL(38,0). One scan, one 1-row aggregate.
+    "q96_price_size_ols" -> QueryDef(
+      (s, d) => {
+        tbl(s, d, "part")
+          .select(col("p_size").cast("long").as("x"),
+            cents(col("p_retailprice")).as("y"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope_num", expr("n_parts * sxy - sx * sy"))
+          .withColumn("slope_den", expr("n_parts * sxx - sx * sx"))
+          .withColumn("slope_milli",
+            expr("case when slope_num >= 0 then slope_num * 1000 div slope_den" +
+              " else -((-slope_num) * 1000 div slope_den) end"))
+          .select(col("n_parts"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+            col("slope_num"), col("slope_den"), col("slope_milli"))
+      },
+      Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             |    CAST(sum(p_size) AS BIGINT) AS sx,
+             |    CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sy,
+             |    CAST(sum(p_size * CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sxy,
+             |    CAST(sum(p_size * p_size) AS BIGINT) AS sxx
+             |  FROM part)
+             |SELECT n_parts, sx, sy, sxy, sxx,
+             |  CAST(n_parts * sxy - sx * sy AS BIGINT) AS slope_num,
+             |  CAST(n_parts * sxx - sx * sx AS BIGINT) AS slope_den,
+             |  CAST(CASE WHEN n_parts * sxy - sx * sy >= 0
+             |    THEN divide((n_parts * sxy - sx * sy) * 1000, n_parts * sxx - sx * sx)
+             |    ELSE -divide(-(n_parts * sxy - sx * sy) * 1000, n_parts * sxx - sx * sx)
+             |    END AS BIGINT) AS slope_milli
+             |FROM m""".stripMargin),
+      doc = "exact-integer OLS slope of price-cents on part size: " +
+        "order-independent 64-bit co-moments (vs regr_slope's float " +
+        "sums), sign-safe milli-slope division")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

@@ -1875,5 +1875,62 @@ object Temporal {
              |ORDER BY type_a, type_b""".stripMargin),
       doc = "pairwise audience Jaccard between event types: exact " +
         "integer intersection via user-keyed self-join, union by " +
-        "inclusion-exclusion, ppm output"))
+        "inclusion-exclusion, ppm output"),
+
+    // Q95 — lag-7 autocorrelation of daily volume per event type: the
+    // MEASUREMENT behind q84's day-of-week design — a high r₇ is what
+    // licenses a weekday-seasonal baseline at all (and its decay across
+    // corpus snapshots signals the seasonality assumption rotting). The
+    // Pearson r over (n_t, n_{t+7}) pairs runs on exact integer
+    // co-moments (q49's discipline applied to the lagged series); the
+    // ONLY float ops are the final sqrt/divide on identical 64-bit
+    // integers — the same IEEE ops in both engines, so round(r, 6) is
+    // bit-stable. Scale shape: day-level rollup (calendar-bounded) →
+    // type-partitioned lag window (bounded types, q59 precedent) → one
+    // hash agg per type.
+    "q95_autocorr7" -> QueryDef(
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("y", lead(col("x"), 7).over(w))
+          .filter(col("y").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("r7",
+            round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+          .select(col("event_type"), col("n_pairs"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy"), col("r7"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |lagged AS (SELECT event_type, x,
+             |    lead(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS y
+             |  FROM daily),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM lagged WHERE y IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n_pairs, sx, sy, sxy, sxx, syy,
+             |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+             |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6) AS r7
+             |FROM m ORDER BY event_type""".stripMargin),
+      doc = "lag-7 Pearson autocorrelation of daily volume per type: " +
+        "exact integer co-moments, float only in the final sqrt/divide " +
+        "on identical integers — the measurement licensing q84's " +
+        "weekday baselines"))
 }
