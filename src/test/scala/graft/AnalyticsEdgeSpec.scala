@@ -338,6 +338,39 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out(("es", "es")) == ((1L, 2L, 500000L)), s"$out")
   }
 
+  test("q95_autocorr7: a period-7 series reads exactly 1.0, a period-14 " +
+      "square wave reads exactly -1.0") {
+    // type "per7": counts cycle [10,20,30,40,50,60,70] over 21 days ->
+    // every lag-7 pair has x = y -> r7 = 1.0 exactly.
+    // type "anti": 7 days of 10, 7 of 2, 7 of 10 -> lag-7 pairs are the
+    // two symmetric points (10,2)/(2,10) -> r7 = -1.0 exactly
+    // (num = -3136, den = sqrt(3136)*sqrt(3136) = 3136).
+    val dayS = 86400L
+    val base = 1785801600L
+    var id = 0L
+    def day(off: Int, k: Int, typ: String) = (1 to k).map { i =>
+      id += 1; (id, i.toLong, base + off * dayS + i * 60, typ, 1.0)
+    }
+    val dir = mkEvents(
+      (0 until 21).flatMap(o => day(o, (o % 7 + 1) * 10, "per7")) ++
+        (0 until 21).flatMap(o => day(o, if (o / 7 == 1) 2 else 10, "anti")))
+    val out = SparkEntry.queries("q95_autocorr7")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(7))).toMap
+    assert(out("per7") == ((14L, 1.0)), s"$out")
+    assert(out("anti") == ((14L, -1.0)), s"$out")
+  }
+
+  test("q96_price_size_ols: a planted exact line recovers its slope") {
+    // price_c = 500 + 250*size -> slope_milli = 250000 exactly.
+    val dir = tmp("graft-analytics-ols")
+    Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).map { case (k, sz) =>
+      (k, s"p$k", "b", "t", sz, (500 + 250 * sz) / 100.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = SparkEntry.queries("q96_price_size_ols")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(7) == 250000L, s"$r")
+  }
+
   test("sim_centroid_drift: orthogonal centroids read 0, identical read 1") {
     val dir = tmp("graft-analytics-emb")
     // label 0: all (1,0); label 1: all (0,1); label 2: all (1,0).
