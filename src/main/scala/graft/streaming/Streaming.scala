@@ -630,6 +630,51 @@ object Streaming {
         sum(col("n_events")).as("n_events"))
       .orderBy("event_type")
 
+  /** Streaming materialized-join maintenance — the ingest half of q90's
+    * delta-join algebra. Each micro-batch of fact rows (orders shape:
+    * `o_orderkey, o_custkey, o_totalprice`) is joined against the
+    * CURRENT dim snapshot under `dimDir` and materialized under
+    * `viewDir/batch=N`; the view is the union of batch partitions, and
+    * the q90 algebra guarantees it equals the one-shot join of
+    * everything ingested against a static dim. Because every batch
+    * re-reads the snapshot, dim UPDATES between batches are captured
+    * with arrival-time consistency: each fact carries the dim row as of
+    * its own micro-batch (the streaming-enrichment contract; full
+    * history tracking is q51's SCD2, not this). Per-batch overwrite
+    * paths keep checkpoint-recovery replays idempotent (the
+    * [[nearDupIngest]] contract). At scale each batch is one
+    * broadcast/shuffle join of BATCH-sized facts — the unbounded fact
+    * history is never re-joined. */
+  def ivmJoinIngest(stream: DataFrame, dimDir: String, viewDir: String,
+      checkpoint: String, trigger: Trigger = DefaultTrigger)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivmJoinBatch(batch, dimDir, viewDir, batchId)
+      }
+
+  /** One [[ivmJoinIngest]] micro-batch (public for replay tests). */
+  def ivmJoinBatch(batch: DataFrame, dimDir: String, viewDir: String,
+      batchId: Long): Unit = {
+    val dim = batch.sparkSession.read.parquet(dimDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    batch
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.Qh.cents(col("o_totalprice")).as("v"))
+      .join(dim, Seq("o_custkey"))
+      .write.mode("overwrite").parquet(s"$viewDir/batch=$batchId")
+  }
+
+  /** Read the maintained view as q90's verification rollup (per-segment
+    * exact count + cents). */
+  def ivmJoinView(spark: SparkSession, viewDir: String): DataFrame =
+    spark.read.parquet(viewDir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_c"))
+      .orderBy("c_mktsegment")
+
   /** Start a memory-sink query (testing aid; complete/update modes). */
   def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
