@@ -1932,5 +1932,66 @@ object Temporal {
       doc = "lag-7 Pearson autocorrelation of daily volume per type: " +
         "exact integer co-moments, float only in the final sqrt/divide " +
         "on identical integers — the measurement licensing q84's " +
-        "weekday baselines"))
+        "weekday baselines"),
+
+    // Q97 — distribution drift between two corpus snapshots: the
+    // per-bucket value-histogram comparison whose half-L1 sum is the
+    // total-variation distance — the data-drift gate every training
+    // pipeline runs between refreshes (KL needs logs and explodes on
+    // empty buckets; TV is exact in integers and bounded in [0,1]).
+    // Snapshots are deterministic stand-ins (even vs odd event_id —
+    // two interleaved halves SHOULD read ≈0 drift, which is itself the
+    // test); buckets are fixed-width cents//1000 capped to [0,19], so
+    // the grid is closed and identical in both engines. Emits one row
+    // per bucket with both exact ppm shares and |Δ| ppm; consumers sum
+    // abs_diff_ppm div 2 against an alarm threshold. A missing-on-one-
+    // side bucket surfaces with an explicit 0 share (full-outer grid),
+    // never silently dropped. Scale shape: one scan → two ≤20-row hash
+    // aggs → full-outer on the bucket id → broadcast 1-row totals.
+    "q97_drift_tv" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+          .select(col("event_id"), cents(col("value")).as("c"))
+          .withColumn("bucket", least(lit(19L), greatest(lit(0L),
+            expr("c div 1000"))))
+        def hist(side: org.apache.spark.sql.DataFrame) =
+          side.groupBy("bucket").agg(count(lit(1)).as("n"))
+        val a = hist(ev.filter(pmod(col("event_id"), lit(2L)) === 0L))
+          .select(col("bucket"), col("n").as("n_a"))
+        val b = hist(ev.filter(pmod(col("event_id"), lit(2L)) === 1L))
+          .select(col("bucket"), col("n").as("n_b"))
+        val grid = a.join(b, Seq("bucket"), "full_outer")
+          .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+          .localCheckpoint() // ≤20 rows; totals must not re-scan events
+        val tot = grid.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+        grid.crossJoin(broadcast(tot))
+          .withColumn("share_a_ppm", expr("n_a * 1000000 div t_a"))
+          .withColumn("share_b_ppm", expr("n_b * 1000000 div t_b"))
+          .withColumn("abs_diff_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            col("share_a_ppm"), col("share_b_ppm"), col("abs_diff_ppm"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ev AS (SELECT event_id,
+             |    least(19, greatest(0, divide(CAST(round(value*100) AS BIGINT), 1000))) AS bucket
+             |  FROM events),
+             |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a
+             |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b
+             |  FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+             |grid AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             |    CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             |    CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+             |  FROM a FULL OUTER JOIN b ON b.bucket = a.bucket),
+             |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+             |    CAST(sum(n_b) AS BIGINT) AS t_b FROM grid)
+             |SELECT bucket, n_a, n_b,
+             |  CAST(divide(n_a * 1000000, t_a) AS BIGINT) AS share_a_ppm,
+             |  CAST(divide(n_b * 1000000, t_b) AS BIGINT) AS share_b_ppm,
+             |  CAST(abs(divide(n_a * 1000000, t_a) - divide(n_b * 1000000, t_b)) AS BIGINT) AS abs_diff_ppm
+             |FROM grid CROSS JOIN tot ORDER BY bucket""".stripMargin),
+      doc = "snapshot distribution drift: fixed 20-bucket value " +
+        "histograms on a full-outer grid, exact ppm shares, |delta| ppm " +
+        "per bucket — half the sum is the total-variation distance"))
 }

@@ -204,7 +204,8 @@ class OperatorSpec extends SparkSpec {
       "q87_clustering_coeff", // crossJoin(broadcast(two 1-row count scalars))
       "q88_fk_orphans",  // 7x crossJoin(broadcast(1-row orphan-count scalar))
       "q92_punchcard",   // crossJoin(broadcast(1-row grand-total scalar))
-      "q94_audience_overlap") // crossJoin(broadcast(|types|-row sizes)) pair grid
+      "q94_audience_overlap", // crossJoin(broadcast(|types|-row sizes)) pair grid
+      "q97_drift_tv")    // crossJoin(broadcast(1-row totals scalar))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
