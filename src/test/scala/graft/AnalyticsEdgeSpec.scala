@@ -371,6 +371,24 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(r.getLong(0) == 4L && r.getLong(7) == 250000L, s"$r")
   }
 
+  test("q97_drift_tv: fully-diverged planted snapshots read TV = 1; " +
+      "one-sided buckets surface as explicit zero rows") {
+    // even ids all land in bucket 0 (0.50 -> 50 cents), odd ids all in
+    // bucket 1 (15.00 -> 1500 cents; buckets are 1000-cent wide) ->
+    // each side's share is 1e6 in ITS bucket, 0 in the other's;
+    // abs_diff is 1e6 in both rows, so TV = sum/2 = 1e6 ppm.
+    val dir = mkEvents(Seq(
+      (2L, 1L, 1000000L, "t", 0.50), (4L, 2L, 1000001L, "t", 0.50),
+      (1L, 3L, 1000002L, "t", 15.00), (3L, 4L, 1000003L, "t", 15.00)))
+    val out = SparkEntry.queries("q97_drift_tv")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set(0L, 1L), s"one-sided buckets must appear: $out")
+    assert(out(0L) == ((2L, 0L, 1000000L, 0L, 1000000L)), s"$out")
+    assert(out(1L) == ((0L, 2L, 0L, 1000000L, 1000000L)), s"$out")
+    assert(out.values.map(_._5).sum / 2 == 1000000L, "TV must be exactly 1")
+  }
+
   test("sim_centroid_drift: orthogonal centroids read 0, identical read 1") {
     val dir = tmp("graft-analytics-emb")
     // label 0: all (1,0); label 1: all (0,1); label 2: all (1,0).
