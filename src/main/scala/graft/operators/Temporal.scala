@@ -1993,5 +1993,207 @@ object Temporal {
              |FROM grid CROSS JOIN tot ORDER BY bucket""".stripMargin),
       doc = "snapshot distribution drift: fixed 20-bucket value " +
         "histograms on a full-outer grid, exact ppm shares, |delta| ppm " +
-        "per bucket — half the sum is the total-variation distance"))
+        "per bucket — half the sum is the total-variation distance"),
+
+    // Q98 — pairwise two-sample Kolmogorov–Smirnov: for every pair of
+    // event types, the EXACT sup-distance between their value CDFs —
+    // q97 compares two snapshots on a coarse 20-bucket grid; this
+    // compares segments at full cent resolution and localizes WHERE the
+    // distributions diverge (d_at_cents). Everything exact integers:
+    // the per-(type, cent) rollup is value-domain-bounded (the money
+    // column is 2-decimal in a fixed range, so ≤ |types|·~49k rollup
+    // rows at ANY corpus scale — one full scan, then constant-size),
+    // CDF steps are ppm shares (q97's truncating-div spelling), and the
+    // argmax cent rides a collision-free composite max (diff·1e5 − c,
+    // c < 1e5) so ties resolve to the smallest cent deterministically —
+    // no max_by tie lottery. The cumsum windows are PARTITIONED by the
+    // type pair (bounded partitions, q59 precedent), never global. The
+    // only floats are the significance threshold's sqrt/divide on
+    // identical 64-bit integers (q95 discipline); 1.358 is the
+    // classical α=0.05 two-sample KS coefficient.
+    "q98_ks_pairwise" -> QueryDef(
+      (s, d) => {
+        val r = tbl(s, d, "events")
+          .groupBy(col("event_type"), cents(col("value")).as("c"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // sizes + both pair-grid sides; bounded
+        val sizes = r.groupBy("event_type").agg(sum(col("n")).as("t"))
+        val pairs = sizes.select(col("event_type").as("type_a"), col("t").as("t_a"))
+          .crossJoin(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("t").as("t_b"))))
+          .filter(col("type_a") < col("type_b"))
+        val pk = pairs.select("type_a", "type_b")
+        val pv = pk.join(r.select(col("event_type").as("type_a"), col("c")), Seq("type_a"))
+          .select("type_a", "type_b", "c")
+          .union(pk.join(r.select(col("event_type").as("type_b"), col("c")), Seq("type_b"))
+            .select("type_a", "type_b", "c"))
+          .distinct()
+        val g = pv
+          .join(r.select(col("event_type").as("type_a"), col("c"), col("n").as("n_a")),
+            Seq("type_a", "c"), "left")
+          .join(r.select(col("event_type").as("type_b"), col("c"), col("n").as("n_b")),
+            Seq("type_b", "c"), "left")
+          .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+          .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+        val w = Window.partitionBy("type_a", "type_b").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("ca", sum(col("n_a")).over(w))
+          .withColumn("cb", sum(col("n_b")).over(w))
+          .join(broadcast(pairs), Seq("type_a", "type_b"))
+          .withColumn("diff",
+            abs(expr("ca * 1000000 div t_a - cb * 1000000 div t_b")))
+          .groupBy(col("type_a"), col("type_b"), col("t_a"), col("t_b"))
+          .agg(max(col("diff")).as("d_ppm"),
+            max(expr("diff * 100000 - c")).as("__comp"))
+          .withColumn("d_at_cents", expr("d_ppm * 100000 - __comp"))
+          .withColumn("significant",
+            expr("CAST(d_ppm AS DOUBLE) > 1358000.0 * " +
+              "sqrt(CAST(t_a + t_b AS DOUBLE) / (CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)))"))
+          .select(col("type_a"), col("type_b"), col("t_a"), col("t_b"),
+            col("d_ppm"), col("d_at_cents"), col("significant"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH r AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |sizes AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM r GROUP BY 1),
+             |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.t AS t_a, b.t AS t_b
+             |  FROM sizes a CROSS JOIN sizes b WHERE a.event_type < b.event_type),
+             |pv AS (SELECT DISTINCT p.type_a, p.type_b, r.c
+             |  FROM pairs p JOIN r ON r.event_type = p.type_a OR r.event_type = p.type_b),
+             |g AS (SELECT pv.type_a, pv.type_b, pv.c,
+             |    CAST(coalesce(ra.n, 0) AS BIGINT) AS n_a,
+             |    CAST(coalesce(rb.n, 0) AS BIGINT) AS n_b
+             |  FROM pv LEFT JOIN r ra ON ra.event_type = pv.type_a AND ra.c = pv.c
+             |          LEFT JOIN r rb ON rb.event_type = pv.type_b AND rb.c = pv.c),
+             |cum AS (SELECT type_a, type_b, c, n_a, n_b,
+             |    sum(n_a) OVER (PARTITION BY type_a, type_b ORDER BY c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    sum(n_b) OVER (PARTITION BY type_a, type_b ORDER BY c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+             |  FROM g),
+             |dd AS (SELECT cum.type_a, cum.type_b, p.t_a, p.t_b, cum.c,
+             |    abs(divide(ca * 1000000, t_a) - divide(cb * 1000000, t_b)) AS diff
+             |  FROM cum JOIN pairs p ON p.type_a = cum.type_a AND p.type_b = cum.type_b)
+             |SELECT type_a, type_b, t_a, t_b,
+             |  CAST(max(diff) AS BIGINT) AS d_ppm,
+             |  CAST(max(diff) * 100000 - max(diff * 100000 - c) AS BIGINT) AS d_at_cents,
+             |  CAST(max(diff) AS DOUBLE) > 1358000.0 *
+             |    sqrt(CAST(t_a + t_b AS DOUBLE) / (CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE))) AS significant
+             |FROM dd GROUP BY 1, 2, 3, 4 ORDER BY type_a, type_b""".stripMargin),
+      doc = "pairwise two-sample Kolmogorov-Smirnov over event-type " +
+        "value distributions: exact ppm CDF sup-distance on the " +
+        "value-domain-bounded cent grid, deterministic argmax cent, " +
+        "alpha=0.05 significance — windows partitioned per pair"),
+
+    // Q99 — pairwise Mann–Whitney U: the rank-sum companion to q98 —
+    // KS asks "do the distributions differ ANYWHERE"; U asks the
+    // dashboard question "does one segment's spend stochastically
+    // DOMINATE the other", with an effect size (rank-biserial) that is
+    // comparable across pairs. Midrank tie handling is exact in
+    // integers by carrying DOUBLED rank sums (2R = Σ n_a·(2·before +
+    // n_v + 1) — always integral even when midranks are .5s), so
+    // u2_a = 2U_a and the tie-correction term Σ(n_v³ − n_v) are exact;
+    // rank-biserial is sign-safe truncating-div ppm (q93 discipline).
+    // The normal-approximation z is the only float — computed from
+    // identical 64-bit integers by the identical IEEE formula in both
+    // engines (q95 discipline). Same value-domain-bounded rollup and
+    // pair-partitioned cumsum shape as q98: one scan, constant-size
+    // downstream at any corpus scale.
+    "q99_mannwhitney" -> QueryDef(
+      (s, d) => {
+        val r = tbl(s, d, "events")
+          .groupBy(col("event_type"), cents(col("value")).as("c"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // sizes + both pair-grid sides; bounded
+        val sizes = r.groupBy("event_type").agg(sum(col("n")).as("t"))
+        val pairs = sizes.select(col("event_type").as("type_a"), col("t").as("t_a"))
+          .crossJoin(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("t").as("t_b"))))
+          .filter(col("type_a") < col("type_b"))
+        val pk = pairs.select("type_a", "type_b")
+        val pv = pk.join(r.select(col("event_type").as("type_a"), col("c")), Seq("type_a"))
+          .select("type_a", "type_b", "c")
+          .union(pk.join(r.select(col("event_type").as("type_b"), col("c")), Seq("type_b"))
+            .select("type_a", "type_b", "c"))
+          .distinct()
+        val g = pv
+          .join(r.select(col("event_type").as("type_a"), col("c"), col("n").as("n_a")),
+            Seq("type_a", "c"), "left")
+          .join(r.select(col("event_type").as("type_b"), col("c"), col("n").as("n_b")),
+            Seq("type_b", "c"), "left")
+          .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+          .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+        val w = Window.partitionBy("type_a", "type_b").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("ca", sum(col("n_a")).over(w))
+          .withColumn("cb", sum(col("n_b")).over(w))
+          .withColumn("before", col("ca") + col("cb") - col("n_a") - col("n_b"))
+          .groupBy("type_a", "type_b")
+          .agg(sum(expr("n_a * (2 * before + n_a + n_b + 1)")).as("r2_a"),
+            sum(expr("(n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b)"))
+              .as("sum_ties"))
+          .join(broadcast(pairs), Seq("type_a", "type_b"))
+          .withColumn("u2_a", expr("r2_a - t_a * (t_a + 1)"))
+          .withColumn("rb_ppm",
+            expr("CASE WHEN u2_a - t_a * t_b >= 0 " +
+              "THEN (u2_a - t_a * t_b) * 1000000 div (t_a * t_b) " +
+              "ELSE -((t_a * t_b - u2_a) * 1000000 div (t_a * t_b)) END"))
+          .withColumn("z",
+            expr("CAST(u2_a - t_a * t_b AS DOUBLE) / (2.0 * " +
+              "sqrt((CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE) / 12.0) * " +
+              "(CAST(t_a + t_b + 1 AS DOUBLE) - CAST(sum_ties AS DOUBLE) / " +
+              "(CAST(t_a + t_b AS DOUBLE) * CAST(t_a + t_b - 1 AS DOUBLE)))))"))
+          .withColumn("significant", expr("abs(z) > 1.96"))
+          .withColumn("z4", round(col("z"), 4))
+          .select(col("type_a"), col("type_b"), col("t_a"), col("t_b"),
+            col("u2_a"), col("sum_ties"), col("rb_ppm"), col("z4"),
+            col("significant"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH r AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |sizes AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM r GROUP BY 1),
+             |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.t AS t_a, b.t AS t_b
+             |  FROM sizes a CROSS JOIN sizes b WHERE a.event_type < b.event_type),
+             |pv AS (SELECT DISTINCT p.type_a, p.type_b, r.c
+             |  FROM pairs p JOIN r ON r.event_type = p.type_a OR r.event_type = p.type_b),
+             |g AS (SELECT pv.type_a, pv.type_b, pv.c,
+             |    CAST(coalesce(ra.n, 0) AS BIGINT) AS n_a,
+             |    CAST(coalesce(rb.n, 0) AS BIGINT) AS n_b
+             |  FROM pv LEFT JOIN r ra ON ra.event_type = pv.type_a AND ra.c = pv.c
+             |          LEFT JOIN r rb ON rb.event_type = pv.type_b AND rb.c = pv.c),
+             |cum AS (SELECT type_a, type_b, c, n_a, n_b,
+             |    sum(n_a) OVER (PARTITION BY type_a, type_b ORDER BY c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    sum(n_b) OVER (PARTITION BY type_a, type_b ORDER BY c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+             |  FROM g),
+             |ag AS (SELECT type_a, type_b,
+             |    CAST(sum(n_a * (2 * (ca + cb - n_a - n_b) + n_a + n_b + 1)) AS BIGINT) AS r2_a,
+             |    CAST(sum((n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b)) AS BIGINT) AS sum_ties
+             |  FROM cum GROUP BY 1, 2),
+             |j AS (SELECT ag.type_a, ag.type_b, p.t_a, p.t_b,
+             |    r2_a - p.t_a * (p.t_a + 1) AS u2_a, sum_ties
+             |  FROM ag JOIN pairs p ON p.type_a = ag.type_a AND p.type_b = ag.type_b),
+             |z AS (SELECT type_a, type_b, t_a, t_b, u2_a, sum_ties,
+             |    CAST(u2_a - t_a * t_b AS DOUBLE) / (2.0 *
+             |      sqrt((CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE) / 12.0) *
+             |      (CAST(t_a + t_b + 1 AS DOUBLE) - CAST(sum_ties AS DOUBLE) /
+             |      (CAST(t_a + t_b AS DOUBLE) * CAST(t_a + t_b - 1 AS DOUBLE))))) AS z
+             |  FROM j)
+             |SELECT type_a, type_b, t_a, t_b,
+             |  CAST(u2_a AS BIGINT) AS u2_a, sum_ties,
+             |  CAST(CASE WHEN u2_a - t_a * t_b >= 0
+             |    THEN divide((u2_a - t_a * t_b) * 1000000, t_a * t_b)
+             |    ELSE -divide((t_a * t_b - u2_a) * 1000000, t_a * t_b) END AS BIGINT) AS rb_ppm,
+             |  round(z, 4) AS z4, abs(z) > 1.96 AS significant
+             |FROM z ORDER BY type_a, type_b""".stripMargin),
+      doc = "pairwise Mann-Whitney U over event-type values: exact " +
+        "doubled rank sums with midrank ties, tie-corrected normal z " +
+        "(float only on identical integers), sign-safe rank-biserial " +
+        "effect size in ppm"))
 }

@@ -403,4 +403,55 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out((0, 1)) == 0.0 && out((1, 2)) == 0.0, s"orthogonal: $out")
     assert(out((0, 2)) == 1.0, s"identical centroids: $out")
   }
+
+  test("q98_ks_pairwise: disjoint supports read D = 1 exactly at the " +
+      "crossover cent; identical distributions read D = 0") {
+    // "lo" and "same": 5 events at 1.00 + 5 at 2.00 each (identical).
+    // "hi": 5 at 3.00 + 5 at 4.00 — entirely above both.
+    // Pair (hi, lo): CDF_lo hits 1 at c=200 while CDF_hi is still 0
+    // -> d_ppm = 1000000 at d_at_cents = 200, significant (D = 1 vs
+    // threshold 1.358·sqrt(20/100) ≈ 0.607).
+    // Pair (lo, same): identical -> d_ppm = 0, not significant; the
+    // deterministic argmax composite resolves to the SMALLEST grid
+    // cent (100) when every diff ties at 0.
+    var id = 0L
+    def ev(typ: String, v: Double) = { id += 1; (id, id, 1000000L + id, typ, v) }
+    def ten(typ: String, v1: Double, v2: Double) =
+      (1 to 5).map(_ => ev(typ, v1)) ++ (1 to 5).map(_ => ev(typ, v2))
+    val dir = mkEvents(
+      ten("lo", 1.00, 2.00) ++ ten("same", 1.00, 2.00) ++ ten("hi", 3.00, 4.00))
+    val out = SparkEntry.queries("q98_ks_pairwise")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(("hi", "lo")) == ((10L, 10L, 1000000L, 200L, true)), s"$out")
+    assert(out(("hi", "same")) == ((10L, 10L, 1000000L, 200L, true)), s"$out")
+    assert(out(("lo", "same")) == ((10L, 10L, 0L, 100L, false)), s"$out")
+  }
+
+  test("q99_mannwhitney: complete dominance reads u2 = 2·t_a·t_b and " +
+      "rank-biserial +1; identical distributions read exactly 0") {
+    // Same planted corpus as the KS test. Pair (hi, lo): every hi value
+    // beats every lo value -> U_a = t_a·t_b = 100 -> u2_a = 200,
+    // rb_ppm = +1000000; tie masses are four cents of 5 each
+    // -> sum_ties = 4·(125−5) = 480; z = 100/(2·sqrt((100/12)·(21 −
+    // 480/380))) — recomputed here by the same closed form.
+    // Pair (lo, same): identical -> u2_a = t_a·t_b = 100, rb 0, z 0;
+    // sum_ties = 2·(1000−10) = 1980 (both sides stack on each cent).
+    var id = 0L
+    def ev(typ: String, v: Double) = { id += 1; (id, id, 1000000L + id, typ, v) }
+    def ten(typ: String, v1: Double, v2: Double) =
+      (1 to 5).map(_ => ev(typ, v1)) ++ (1 to 5).map(_ => ev(typ, v2))
+    val dir = mkEvents(
+      ten("lo", 1.00, 2.00) ++ ten("same", 1.00, 2.00) ++ ten("hi", 3.00, 4.00))
+    val out = SparkEntry.queries("q99_mannwhitney")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getBoolean(8))).toMap
+    val zDom = BigDecimal(100.0 / (2.0 * math.sqrt((100.0 / 12.0) *
+      (21.0 - 480.0 / (20.0 * 19.0)))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("hi", "lo")) == ((10L, 10L, 200L, 480L, 1000000L, zDom, true)), s"$out")
+    assert(out(("hi", "same")) == ((10L, 10L, 200L, 480L, 1000000L, zDom, true)), s"$out")
+    assert(out(("lo", "same")) == ((10L, 10L, 100L, 1980L, 0L, 0.0, false)), s"$out")
+  }
 }

@@ -205,7 +205,9 @@ class OperatorSpec extends SparkSpec {
       "q88_fk_orphans",  // 7x crossJoin(broadcast(1-row orphan-count scalar))
       "q92_punchcard",   // crossJoin(broadcast(1-row grand-total scalar))
       "q94_audience_overlap", // crossJoin(broadcast(|types|-row sizes)) pair grid
-      "q97_drift_tv")    // crossJoin(broadcast(1-row totals scalar))
+      "q97_drift_tv",    // crossJoin(broadcast(1-row totals scalar))
+      "q98_ks_pairwise", // crossJoin(broadcast(|types|-row sizes)) pair grid
+      "q99_mannwhitney") // crossJoin(broadcast(|types|-row sizes)) pair grid
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
