@@ -745,6 +745,96 @@ object Dedup {
               |FROM clusters ORDER BY doc_id""".stripMargin),
       doc = "cluster-aware 80/10/10 split: near-dups never straddle train/eval"),
 
+    // Quality-aware canonical selection: within each near-dup cluster,
+    // keep the BEST member, not the first — dropping by arrival order
+    // (dedup_exact / q15 keep-first) throws away the longest/cleanest
+    // copy whenever a truncated paste arrived earlier, the classic
+    // curation regression near-dup dedup is supposed to prevent. "Best"
+    // is the lexicographic integer key (distinct-token count DESC, char
+    // length DESC, doc_id ASC): richest vocabulary first, all-integer
+    // and totally ordered, so the canonical pick is deterministic in
+    // both engines — no float-score or max_by tie lottery. Emits the
+    // full remap table (every member → its kept canonical), which is
+    // exactly what a downstream attribution/citation join consumes.
+    // Scale shape: clusters served from the cluster-once table, one
+    // stats scan, one doc_id equi-join, and a window PARTITIONED by
+    // cluster (near-dup clusters are small by construction).
+    "dedup_keep_best" -> QueryDef(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        val stats = tbl(s, d, "documents").select(col("doc_id"),
+          size(array_distinct(t)).cast("long").as("n_dist"),
+          length(col("text")).cast("long").as("n_chars_c"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+          .orderBy(col("n_dist").desc, col("n_chars_c").desc, col("doc_id").asc)
+        clustersTable(s, d).join(stats, Seq("doc_id"))
+          .withColumn("kept_doc_id", first(col("doc_id")).over(w))
+          .withColumn("is_kept", col("doc_id") === col("kept_doc_id"))
+          .select(col("doc_id"), col("cluster"), col("n_dist"),
+            col("n_chars_c"), col("kept_doc_id"), col("is_kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $clusterCteSql,
+              |stats AS (SELECT doc_id,
+              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dist,
+              |    CAST(length(text) AS BIGINT) AS n_chars_c
+              |  FROM documents),
+              |m AS (SELECT c.doc_id, c.cluster, s.n_dist, s.n_chars_c
+              |  FROM clusters c JOIN stats s ON s.doc_id = c.doc_id),
+              |k AS (SELECT doc_id, cluster, n_dist, n_chars_c,
+              |    first_value(doc_id) OVER (PARTITION BY cluster
+              |      ORDER BY n_dist DESC, n_chars_c DESC, doc_id ASC) AS kept_doc_id
+              |  FROM m)
+              |SELECT doc_id, cluster, n_dist, n_chars_c, kept_doc_id,
+              |  doc_id = kept_doc_id AS is_kept
+              |FROM k ORDER BY doc_id""".stripMargin),
+      doc = "quality-aware canonical selection per near-dup cluster: " +
+        "keep the richest-vocabulary member via a deterministic " +
+        "all-integer lexicographic order; emits the member->canonical " +
+        "remap table"),
+
+    // Dedup savings report: what near-dup dedup actually BUYS per
+    // source — docs and whitespace tokens before vs after cluster
+    // keep-first (the representative IS the cluster label: min doc_id
+    // of the component), with the saved share in exact ppm. The number
+    // a curation run quotes ("dedup cut source X by 34%") and the
+    // regression canary when an upstream crawler starts duplicating.
+    // Scale shape: one stats scan, one doc_id equi-join against the
+    // cluster-once table, one per-source hash agg — bounded output.
+    "dedup_savings" -> QueryDef(
+      (s, d) => {
+        val stats = tbl(s, d, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        clustersTable(s, d).join(stats, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("cluster"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_tok")).as("tok_total"),
+            sum(when(col("doc_id") === col("cluster"), col("n_tok"))
+              .otherwise(0L)).as("tok_kept"))
+          .withColumn("saved_ppm",
+            expr("(tok_total - tok_kept) * 1000000 div tok_total"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("tok_total"), col("tok_kept"), col("saved_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $clusterCteSql,
+              |stats AS (SELECT doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |m AS (SELECT c.doc_id, c.cluster, s.source, s.n_tok
+              |  FROM clusters c JOIN stats s ON s.doc_id = c.doc_id)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+              |  CAST(sum(CASE WHEN doc_id = cluster THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+              |  CAST(divide((sum(n_tok) - sum(CASE WHEN doc_id = cluster THEN n_tok ELSE 0 END)) * 1000000,
+              |    sum(n_tok)) AS BIGINT) AS saved_ppm
+              |FROM m GROUP BY source ORDER BY source""".stripMargin),
+      doc = "per-source dedup savings: docs/tokens before vs after " +
+        "cluster keep-first, saved share in exact ppm — the curation " +
+        "run's headline number and duplication-regression canary"),
+
     // Embedding-cosine near-dup: LSH bucket (random-hyperplane, see
     // Similarity.lshBucket) equi-join generates candidates; exact cosine
     // >= 0.4 verifies. Both engines bucket identically, so the oracle runs

@@ -404,6 +404,31 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out((0, 2)) == 1.0, s"identical centroids: $out")
   }
 
+  test("dedup_keep_best picks the richest member over the first; " +
+      "dedup_savings books keep-first token savings exactly") {
+    // docs 10/11 are near-dups (Jaccard 10/12 ≈ 0.83 ≥ 0.8): 11 is the
+    // FULL copy (12 distinct tokens), 10 the truncated paste that
+    // arrived first (min doc_id = the cluster label). Keep-first would
+    // keep 10; keep-best must keep 11. doc 20 is a singleton.
+    val dir = mkDocs(Seq(
+      (10L, "a b c d e f g h i j", "s"),
+      (11L, "a b c d e f g h i j k l", "s"),
+      (20L, "z y x w v u t", "s")))
+    val kb = SparkEntry.queries("dedup_keep_best")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getBoolean(5))).toMap
+    assert(kb(10L) == ((10L, 11L, false)), s"truncated copy must lose: $kb")
+    assert(kb(11L) == ((10L, 11L, true)), s"full copy must be canonical: $kb")
+    assert(kb(20L) == ((20L, 20L, true)), s"singleton keeps itself: $kb")
+    // savings (keep-FIRST policy): kept = {10, 20}; tokens 10+12+7 = 29
+    // total, 10+7 = 17 kept -> saved = 12e6 div 29 = 413793 ppm.
+    val sv = SparkEntry.queries("dedup_savings")(spark, dir).collect()
+    assert(sv.length == 1)
+    val r = sv(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("s", 3L, 2L, 29L, 17L, 413793L)), s"${r}")
+  }
+
   test("q98_ks_pairwise: disjoint supports read D = 1 exactly at the " +
       "crossover cent; identical distributions read D = 0") {
     // "lo" and "same": 5 events at 1.00 + 5 at 2.00 each (identical).

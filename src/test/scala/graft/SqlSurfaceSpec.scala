@@ -40,6 +40,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_cluster_build" -> "same recursive-UNION closure as dedup_cluster",
     "sample_split" -> "consumes dedup_cluster's recursive-UNION closure",
     "corpus_manifest" -> "consumes dedup_cluster's recursive-UNION closure",
+    "dedup_keep_best" -> "consumes dedup_cluster's recursive-UNION closure",
+    "dedup_savings" -> "consumes dedup_cluster's recursive-UNION closure",
     "dedup_substring_cut" ->
       ("rebuilds the cut text with string_agg(tok, ' ' ORDER BY pos) — " +
         "in-aggregate ORDER BY is DuckDB/Postgres dialect Spark's parser " +
