@@ -408,6 +408,105 @@ object Dedup {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // MinHash estimator-quality audit: on every LSH candidate pair, the
+    // signature estimate (matching components / 8) vs the EXACT token
+    // Jaccard — grouped by match count, with mean |error| and SIGNED
+    // bias in ppm. This is the measurement that justifies (or indicts)
+    // the 8-hash/4-band config every minhash dedup entry shares: the
+    // bias column exposes the conditional-on-collision selection effect
+    // (pairs that made it through banding agree more than their true
+    // Jaccard — anti-conservative for borderline pairs), and the error
+    // column says how wide the dedup threshold's gray zone really is.
+    // Completes the eval family (ann/dedup-recall/clf/langid) on the
+    // estimator axis. Audits the pairs the OPERATOR actually verifies —
+    // each doc vs its bucket's min doc, dedup_minhash_lsh's candidate
+    // policy (≤ Bands pairs per doc, so the audit stays linear even on
+    // a near-dup-saturated corpus where all band collisions would be
+    // quadratic) — because an estimator audit must grade the shipped
+    // decision set, not a stricter proxy. Scale shape: identical
+    // bucket-min candidate generation as dedup_minhash_lsh, one
+    // signature+token fetch per pair, a ≤9-row output agg. Sign-safe
+    // truncating division (q93).
+    "dedup_minhash_error" -> QueryDef(
+      (s, d) => {
+        val base = tbl(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"), tokHashes(col("text")).as("th"))
+        val sig = base.withColumn("mhs", minhashSig(col("th")))
+          .select(col("doc_id"), col("tk"), col("mhs"))
+          .localCheckpoint() // banded + both pair-fetch sides
+        val banded = bandExplode(sig, "mhs", Seq("doc_id"))
+        val bucketMin = banded.groupBy("band", "bkey").agg(min("doc_id").as("a"))
+        val cand = banded.join(bucketMin, Seq("band", "bkey"))
+          .filter(col("doc_id") > col("a"))
+          .select(col("a"), col("doc_id").as("b")).distinct()
+        cand
+          .join(sig.select(col("doc_id").as("a"), col("tk").as("ta"),
+            col("mhs").as("ma")), Seq("a"))
+          .join(sig.select(col("doc_id").as("b"), col("tk").as("tb"),
+            col("mhs").as("mb")), Seq("b"))
+          .withColumn("matches",
+            expr("aggregate(zip_with(ma, mb, (x, y) -> " +
+              "IF(x = y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("uni",
+            size(col("ta")).cast("long") + size(col("tb")).cast("long") - col("inter"))
+          .withColumn("j_ppm", expr("inter * 1000000 div uni"))
+          .withColumn("e_ppm", col("matches") * lit(125000L))
+          .groupBy("matches")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("j_ppm")).as("sj"),
+            sum(abs(col("e_ppm") - col("j_ppm"))).as("sae"),
+            sum(col("e_ppm") - col("j_ppm")).as("sb"))
+          .withColumn("est_ppm", col("matches") * lit(125000L))
+          .withColumn("mean_j_ppm", expr("sj div n_pairs"))
+          .withColumn("mean_abs_err_ppm", expr("sae div n_pairs"))
+          .withColumn("bias_ppm",
+            expr("CASE WHEN sb >= 0 THEN sb div n_pairs " +
+              "ELSE -((-sb) div n_pairs) END"))
+          .select(col("matches"), col("est_ppm"), col("n_pairs"),
+            col("mean_j_ppm"), col("mean_abs_err_ppm"), col("bias_ppm"))
+          .orderBy("matches")
+      },
+      Some {
+        val mhs = (0 until MinHashes).map(i => s"${minhashSql("th", i)} AS mh$i").mkString(",\n    ")
+        val bandRows = (0 until Bands).map(j =>
+          s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        val eq = (0 until MinHashes).map(i =>
+          s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
+           |    ${tokHashesSql("text")} AS th FROM documents),
+           |sig AS (SELECT doc_id, tk,
+           |    $mhs
+           |  FROM base),
+           |banded AS ($bandRows),
+           |bucket_min AS (SELECT band, bkey, MIN(doc_id) AS a FROM banded GROUP BY band, bkey),
+           |cand AS (SELECT DISTINCT m.a, b.doc_id AS b
+           |  FROM banded b JOIN bucket_min m ON b.band = m.band AND b.bkey = m.bkey
+           |  WHERE b.doc_id > m.a),
+           |p AS (SELECT CAST($eq AS BIGINT) AS matches,
+           |    CAST(len(list_filter(x.tk, jv -> list_contains(y.tk, jv))) AS BIGINT) AS inter,
+           |    CAST(len(x.tk) + len(y.tk) AS BIGINT) AS szsum
+           |  FROM cand c JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b),
+           |q AS (SELECT matches, matches * 125000 AS e_ppm,
+           |    CAST(divide(inter * 1000000, szsum - inter) AS BIGINT) AS j_ppm
+           |  FROM p),
+           |g AS (SELECT matches, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(j_ppm) AS BIGINT) AS sj,
+           |    CAST(sum(abs(e_ppm - j_ppm)) AS BIGINT) AS sae,
+           |    CAST(sum(e_ppm - j_ppm) AS BIGINT) AS sb
+           |  FROM q GROUP BY 1)
+           |SELECT matches, matches * 125000 AS est_ppm, n_pairs,
+           |  CAST(divide(sj, n_pairs) AS BIGINT) AS mean_j_ppm,
+           |  CAST(divide(sae, n_pairs) AS BIGINT) AS mean_abs_err_ppm,
+           |  CAST(CASE WHEN sb >= 0 THEN divide(sb, n_pairs)
+           |    ELSE -divide(-sb, n_pairs) END AS BIGINT) AS bias_ppm
+           |FROM g ORDER BY matches""".stripMargin
+      },
+      doc = "MinHash estimator audit on LSH candidate pairs: signature " +
+        "estimate vs exact Jaccard per match count — mean |error| and " +
+        "signed conditional-on-collision bias in ppm"),
+
     // SimHash fingerprints + near-dup pairs at Hamming distance <= 3 within
     // a source. Candidate generation bands the 60 fingerprint bits into 4
     // 15-bit words: a pair at distance <= 3 differs in at most 3 bands, so

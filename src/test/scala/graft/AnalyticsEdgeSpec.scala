@@ -429,6 +429,24 @@ class AnalyticsEdgeSpec extends SparkSpec {
       r.getLong(4), r.getLong(5)) == (("s", 3L, 2L, 29L, 17L, 413793L)), s"${r}")
   }
 
+  test("dedup_minhash_error: an identical pair reads estimate 8/8, " +
+      "exact Jaccard 1, zero error and zero bias") {
+    // Identical docs collide in every band and agree on every signature
+    // component; any disagreement here would mean the Spark and oracle
+    // hash pipelines diverged. The unrelated third doc shares no token,
+    // so if banding ever pairs it the j_ppm pulls below 1e6 and this
+    // exact assertion catches it.
+    val dir = mkDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "s"),
+      (2L, "alpha beta gamma delta epsilon", "s"),
+      (9L, "zeta eta theta iota kappa", "s")))
+    val out = SparkEntry.queries("dedup_minhash_error")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.contains(8L), s"identical pair must collide at 8/8: $out")
+    assert(out(8L) == ((1000000L, 1L, 1000000L, 0L, 0L)), s"$out")
+  }
+
   test("q98_ks_pairwise: disjoint supports read D = 1 exactly at the " +
       "crossover cent; identical distributions read D = 0") {
     // "lo" and "same": 5 events at 1.00 + 5 at 2.00 each (identical).
