@@ -1197,6 +1197,58 @@ object Similarity {
         "n_hit/recall_ppm per strategy — the measurement that " +
         "justifies sim_ann_lsh's multi-probe design"),
 
+    // Hard-negative mining: for each query in the 20-vector panel, the
+    // top-3 most-cosine-similar vectors carrying a DIFFERENT label —
+    // the training pairs a contrastive/embedding fine-tune actually
+    // wants (easy negatives teach nothing; the hardest ones define the
+    // decision boundary). Self-pairs are excluded for free: a vector
+    // shares its own label. Exact panel×corpus pass (20n — linear, the
+    // sim_ann_recall baseline shape); at 100 TB the same query runs
+    // against ivfProbe candidates instead of the full corpus — this
+    // registered form is the audit baseline the probe variant would be
+    // graded against. Rank windows partition by query id — parallel;
+    // the cosine is the established identical-IEEE-ops float (rounded
+    // at 6, past any tie ambiguity the row_number tiebreak can't absorb).
+    "sim_hard_negatives" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            normD(col("embedding")).as("nrm"))
+          .localCheckpoint() // panel + corpus sides
+        val q = broadcast(emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("label_q"),
+            col("embedding").as("qe"), col("nrm").as("qn")))
+        val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        emb.crossJoin(q)
+          .filter(col("label") =!= col("label_q"))
+          .select(col("qid"), col("label_q"), col("vec_id"),
+            col("label").as("label_n"),
+            (dotD(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("sim"))
+          .withColumn("rk", row_number().over(wq).cast("long"))
+          .filter(col("rk") <= 3)
+          .withColumn("sim6", round(col("sim"), 6))
+          .select(col("qid"), col("label_q"), col("vec_id"), col("label_n"),
+            col("rk"), col("sim6"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |    ${normSql("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS qid, label AS label_q, embedding AS qe, nrm AS qn
+              |  FROM e WHERE vec_id < 20),
+              |sims AS (SELECT q.qid, q.label_q, e.vec_id, e.label AS label_n,
+              |    ${dotSql("e.embedding", "qe")} / (e.nrm * q.qn) AS sim
+              |  FROM e CROSS JOIN q WHERE e.label <> q.label_q),
+              |r AS (SELECT qid, label_q, vec_id, label_n, sim,
+              |    CAST(row_number() OVER (PARTITION BY qid
+              |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+              |  FROM sims)
+              |SELECT qid, label_q, vec_id, label_n, rk, round(sim, 6) AS sim6
+              |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+      doc = "contrastive hard-negative mining: top-3 cross-label cosine " +
+        "neighbors per panel query — exact linear panel x corpus pass, " +
+        "per-query parallel rank windows"),
+
     // Embedding drift / cluster-separation monitor: pairwise cosine
     // between per-label centroid vectors — the embedding-space health
     // check a training pipeline runs between corpus snapshots (two

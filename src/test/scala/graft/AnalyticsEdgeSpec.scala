@@ -447,6 +447,28 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out(8L) == ((1000000L, 1L, 1000000L, 0L, 0L)), s"$out")
   }
 
+  test("sim_hard_negatives: an identical same-label vector is excluded; " +
+      "cross-label neighbors rank by exact cosine") {
+    // Query 0 (label 0) has an IDENTICAL twin 30 with the SAME label —
+    // it must not appear (same-label exclusion is the whole point).
+    // Cross-label: 31 identical (sim 1.0), 33 at cosine 0.6, 32
+    // orthogonal (0.0) -> ranks 1..3 exactly.
+    val dir = tmp("graft-analytics-hn")
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0), (30L, Array(1.0f, 0.0f), 0),
+      (31L, Array(1.0f, 0.0f), 1), (32L, Array(0.0f, 1.0f), 1),
+      (33L, Array(0.6f, 0.8f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (0L, 0, 31L, 1, 1L, 1.0),
+      (0L, 0, 33L, 2, 2L, 0.6),
+      (0L, 0, 32L, 1, 3L, 0.0)), s"${rows.toSeq}")
+  }
+
   test("q98_ks_pairwise: disjoint supports read D = 1 exactly at the " +
       "crossover cent; identical distributions read D = 0") {
     // "lo" and "same": 5 events at 1.00 + 5 at 2.00 each (identical).

@@ -198,6 +198,7 @@ class OperatorSpec extends SparkSpec {
       "sim_rrf_fusion",  // crossJoin(broadcast(1-row query vector / 1-row query token set))
       "q80_chisq_independence", // crossJoin(broadcast(1-row grand-total scalar))
       "sim_ann_recall",  // crossJoin(broadcast(fixed 20-row query panel)) — the exact-recall baseline side
+      "sim_hard_negatives", // crossJoin(broadcast(fixed 20-row query panel)) — the audit baseline pass
       "q83_benford_audit", // crossJoin(broadcast(1-row grand-total scalar))
       "text_collocation_pmi", // crossJoin(broadcast(1-row bigram-total scalar))
       "text_length_histogram", // crossJoin(broadcast(1-row doc/token-total scalar))
