@@ -675,6 +675,70 @@ object Streaming {
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_c"))
       .orderBy("c_mktsegment")
 
+  /** Streaming distribution-drift monitor — q97's ingest half. Each
+    * micro-batch's value histogram (the q97 fixed 20-bucket cent grid)
+    * is materialized under `histDir/batch=N`; the LIVE distribution is
+    * the per-bucket SUM across batch partitions (counts are a
+    * commutative monoid, so the read side is batch-boundary- and
+    * merge-order-independent, the [[sketchIngest]] lattice argument),
+    * and [[driftStatus]]/[[driftAlarm]] compare it against a frozen
+    * reference histogram as exact total-variation ppm. Per-batch
+    * overwrite paths keep checkpoint-recovery replays idempotent (the
+    * [[nearDupIngest]] contract). At 100 TB the store is
+    * O(batches × 20 rows) and the unbounded stream is never re-scanned
+    * — the drift gate a training pipeline leaves running between
+    * corpus refreshes, now with per-micro-batch freshness. */
+  def driftIngest(stream: DataFrame, histDir: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftBatch(batch, histDir, batchId)
+      }
+
+  /** One [[driftIngest]] micro-batch (public for replay tests): the
+    * q97 bucketing — cents div 1000 clamped to [0, 19]. */
+  def driftBatch(batch: DataFrame, histDir: String, batchId: Long): Unit =
+    batch
+      .select(graft.Qh.cents(col("value")).as("c"))
+      .withColumn("bucket",
+        least(lit(19L), greatest(lit(0L), expr("c div 1000"))))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+
+  /** The live-vs-reference drift grid (q97's output shape): one row per
+    * bucket on a full-outer grid — a bucket present on only one side
+    * surfaces with an explicit 0 share, never silently dropped. The
+    * reference under `refDir` is a frozen (bucket, n) histogram — e.g.
+    * one [[driftBatch]] partition of the blessed corpus snapshot. */
+  def driftStatus(spark: SparkSession, histDir: String, refDir: String): DataFrame = {
+    val live = spark.read.parquet(histDir)
+      .groupBy("bucket").agg(sum(col("n")).as("n_live"))
+    val ref = spark.read.parquet(refDir)
+      .groupBy("bucket").agg(sum(col("n")).as("n_ref"))
+    val grid = live.join(ref, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+      .localCheckpoint() // ≤20 rows; totals must not re-read the stores
+    val tot = grid.agg(sum(col("n_live")).as("t_live"), sum(col("n_ref")).as("t_ref"))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("share_live_ppm", expr("n_live * 1000000 div t_live"))
+      .withColumn("share_ref_ppm", expr("n_ref * 1000000 div t_ref"))
+      .withColumn("abs_diff_ppm",
+        abs(col("share_live_ppm") - col("share_ref_ppm")))
+      .select(col("bucket"), col("n_live"), col("n_ref"),
+        col("share_live_ppm"), col("share_ref_ppm"), col("abs_diff_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** 1-row drift verdict: exact TV ppm (half the |Δ| sum) + alarm. */
+  def driftAlarm(spark: SparkSession, histDir: String, refDir: String,
+      alarmPpm: Long = 200000L): DataFrame =
+    driftStatus(spark, histDir, refDir)
+      .agg((sum(col("abs_diff_ppm")) / 2).cast("long").as("tv_ppm"))
+      .withColumn("alarm", col("tv_ppm") > alarmPpm)
+
   /** Start a memory-sink query (testing aid; complete/update modes). */
   def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
