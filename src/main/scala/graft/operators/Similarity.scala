@@ -1197,6 +1197,131 @@ object Similarity {
         "n_hit/recall_ppm per strategy — the measurement that " +
         "justifies sim_ann_lsh's multi-probe design"),
 
+    // IVF tuning curve: recall@5 AND corpus-share-scanned for
+    // nprobe ∈ {1,2,4,8} over the 16-cell IVF assignment, micro-
+    // averaged across the 20-query panel against exact brute-force
+    // ground truth — the recall-vs-cost table that picks an ANN
+    // deployment's operating point (sim_ann_recall justifies the LSH
+    // multi-probe design; this is the same measurement for the IVF
+    // family, and scanned_ppm is the cost axis recall alone hides).
+    // Scale shape: cell assignment is one 16-centroid broadcast pass;
+    // every candidate/rank window partitions by (nprobe, query); the
+    // only corpus-sized joins are 8-byte-key equi-joins. The exact
+    // baseline is panel×corpus — linear, the audit-bounded shape.
+    "sim_ivf_nprobe_sweep" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+          .localCheckpoint() // centroids, panel, corpus, totals
+        val cents = broadcast(emb.filter(col("vec_id").between(1, 16))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+            col("nrm").as("cnorm")))
+        val assigned = emb.crossJoin(cents)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(
+            (dotD(col("embedding"), col("cvec")) / (col("nrm") * col("cnorm"))).as("s"),
+            (-col("cent_id")).as("nid"))).as("best"))
+          .select(col("vec_id"), (-col("best.nid")).as("cell"))
+        val q = broadcast(emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn")))
+        val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        val exact = emb.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (dotD(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("sim"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+          .select("qid", "vec_id")
+        val wc = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
+        val cr = broadcast(cents.crossJoin(q)
+          .select(col("qid"), col("cent_id").as("cell"),
+            (dotD(col("qe"), col("cvec")) / (col("qn") * col("cnorm"))).as("csim"))
+          .withColumn("crank", row_number().over(wc).cast("long"))
+          .select("qid", "cell", "crank"))
+        val cand = emb.join(assigned, Seq("vec_id"))
+          .join(cr, Seq("cell"))
+          .join(q, Seq("qid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("crank"),
+            (dotD(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("sim"))
+        import s.implicits._
+        val ps = broadcast(Seq(1L, 2L, 4L, 8L).toDF("nprobe"))
+        val candp = cand.join(ps, col("crank") <= col("nprobe"))
+          .localCheckpoint() // approx top-5 + scanned counts
+        val wp = Window.partitionBy("nprobe", "qid")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val approx = candp
+          .withColumn("rk", row_number().over(wp)).filter(col("rk") <= 5)
+          .select(col("nprobe"), col("qid"), col("vec_id"), lit(1L).as("hit"))
+        val scanned = candp.groupBy("nprobe")
+          .agg(count(lit(1)).as("n_scanned"))
+        val sizes = broadcast(emb.agg(count(lit(1)).as("n_corpus"))
+          .crossJoin(q.groupBy().agg(count(lit(1)).as("n_q"))))
+        exact.crossJoin(ps)
+          .join(approx, Seq("nprobe", "qid", "vec_id"), "left")
+          .groupBy("nprobe")
+          .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"),
+            count(lit(1)).as("n_exact"))
+          .join(scanned, Seq("nprobe"))
+          .crossJoin(sizes)
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+          .withColumn("scanned_ppm",
+            expr("n_scanned * 1000000 div (n_q * n_corpus)"))
+          .select(col("nprobe"), col("n_hit"), col("n_exact"),
+            col("recall_ppm"), col("n_scanned"), col("scanned_ppm"))
+          .orderBy("nprobe")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+              |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnorm
+              |  FROM e WHERE vec_id BETWEEN 1 AND 16),
+              |assigned AS (SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, c.cent_id AS cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnorm) DESC, c.cent_id) AS rn
+              |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 20),
+              |ex AS (SELECT qid, vec_id FROM (
+              |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              |      ORDER BY ${dotSql("e.embedding", "qe")} / (e.nrm * q.qn) DESC, e.vec_id) AS rk
+              |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rk <= 5),
+              |cr AS (SELECT qid, cell, crank FROM (
+              |    SELECT q.qid, c.cent_id AS cell,
+              |      CAST(row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY ${dotSql("qe", "cvec")} / (q.qn * c.cnorm) DESC, c.cent_id) AS BIGINT) AS crank
+              |    FROM cents c CROSS JOIN q)),
+              |cand AS (SELECT q.qid, e.vec_id, cr.crank,
+              |    ${dotSql("e.embedding", "qe")} / (e.nrm * q.qn) AS sim
+              |  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+              |  JOIN cr ON cr.cell = a.cell
+              |  JOIN q ON q.qid = cr.qid
+              |  WHERE e.vec_id <> q.qid),
+              |ps AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
+              |  FROM (SELECT unnest(list_value(1, 2, 4, 8)) AS nprobe)),
+              |candp AS (SELECT p.nprobe, c.qid, c.vec_id, c.sim
+              |  FROM cand c JOIN ps p ON c.crank <= p.nprobe),
+              |ap AS (SELECT nprobe, qid, vec_id FROM (
+              |    SELECT nprobe, qid, vec_id, row_number() OVER (PARTITION BY nprobe, qid
+              |      ORDER BY sim DESC, vec_id) AS rk FROM candp) WHERE rk <= 5),
+              |sc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+              |  FROM candp GROUP BY 1),
+              |hits AS (SELECT p.nprobe,
+              |    CAST(coalesce(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+              |    CAST(count(*) AS BIGINT) AS n_exact
+              |  FROM ex CROSS JOIN ps p
+              |  LEFT JOIN ap ON ap.nprobe = p.nprobe AND ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+              |  GROUP BY 1),
+              |sizes AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_corpus,
+              |    (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_q)
+              |SELECT h.nprobe, n_hit, n_exact,
+              |  CAST(divide(n_hit * 1000000, n_exact) AS BIGINT) AS recall_ppm,
+              |  n_scanned,
+              |  CAST(divide(n_scanned * 1000000, n_q * n_corpus) AS BIGINT) AS scanned_ppm
+              |FROM hits h JOIN sc ON sc.nprobe = h.nprobe CROSS JOIN sizes
+              |ORDER BY h.nprobe""".stripMargin),
+      doc = "IVF recall-vs-cost tuning curve: micro-averaged recall@5 " +
+        "and exact corpus-share scanned for nprobe 1/2/4/8 against the " +
+        "brute-force ground truth over the 20-query panel"),
+
     // Hard-negative mining: for each query in the 20-vector panel, the
     // top-3 most-cosine-similar vectors carrying a DIFFERENT label —
     // the training pairs a contrastive/embedding fine-tune actually

@@ -199,6 +199,7 @@ class OperatorSpec extends SparkSpec {
       "q80_chisq_independence", // crossJoin(broadcast(1-row grand-total scalar))
       "sim_ann_recall",  // crossJoin(broadcast(fixed 20-row query panel)) — the exact-recall baseline side
       "sim_hard_negatives", // crossJoin(broadcast(fixed 20-row query panel)) — the audit baseline pass
+      "sim_ivf_nprobe_sweep", // crossJoin(broadcast(16 centroids / 20-row panel / 4-row nprobe list / 1-row sizes))
       "q83_benford_audit", // crossJoin(broadcast(1-row grand-total scalar))
       "text_collocation_pmi", // crossJoin(broadcast(1-row bigram-total scalar))
       "text_length_histogram", // crossJoin(broadcast(1-row doc/token-total scalar))
