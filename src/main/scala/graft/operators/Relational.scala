@@ -1454,7 +1454,67 @@ object Relational {
              |FROM m""".stripMargin),
       doc = "exact-integer OLS slope of price-cents on part size: " +
         "order-independent 64-bit co-moments (vs regr_slope's float " +
-        "sums), sign-safe milli-slope division")
+        "sums), sign-safe milli-slope division"),
+
+    // Q100 — k-anonymity audit over the customer quasi-identifier
+    // (nation, market segment, $1000 balance band): how many people
+    // share each QI combination, banded by the k that matters for
+    // re-identification risk (k=1 unique → identifiable; 2–4 weak;
+    // 5–9 borderline; 10+ safe under the usual k≥10 release rule).
+    // text_pii_redact scrubs direct identifiers; THIS measures the
+    // indirect ones — the release gate a training-data pipeline runs
+    // before shipping any user-derived table. All exact integers; the
+    // balance band shifts cents by +100000 before the truncating div
+    // so the one negative-balance band doesn't straddle zero (div
+    // truncates toward zero in both engines — unshifted, -500 and
+    // +500 would collapse into one band). Scale shape: one scan, one
+    // QI hash agg (bounded by the QI domain), a ≤4-row band agg, a
+    // broadcast 1-row total.
+    "q100_kanonymity" -> QueryDef(
+      (s, d) => {
+        val g = tbl(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            cents(col("c_acctbal")).as("bc"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            expr("(bc + 100000) div 100000").as("bal_band"))
+          .agg(count(lit(1)).as("k"))
+          .localCheckpoint() // bands + the 1-row total
+        val bands = g
+          .withColumn("band_lo",
+            when(col("k") === 1L, 1L).when(col("k") <= 4L, 2L)
+              .when(col("k") <= 9L, 5L).otherwise(10L))
+          .groupBy("band_lo")
+          .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+        val tot = g.agg(sum(col("k")).as("n_all"))
+        bands.crossJoin(broadcast(tot))
+          .withColumn("band",
+            when(col("band_lo") === 1L, "k=1")
+              .when(col("band_lo") === 2L, "k=2-4")
+              .when(col("band_lo") === 5L, "k=5-9").otherwise("k>=10"))
+          .withColumn("rows_ppm", expr("n_rows * 1000000 div n_all"))
+          .select(col("band_lo"), col("band"), col("n_groups"),
+            col("n_rows"), col("rows_ppm"))
+          .orderBy("band_lo")
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+             |    divide(CAST(round(c_acctbal*100) AS BIGINT) + 100000, 100000) AS bal_band,
+             |    CAST(count(*) AS BIGINT) AS k
+             |  FROM customer GROUP BY 1, 2, 3),
+             |b AS (SELECT CASE WHEN k = 1 THEN 1 WHEN k <= 4 THEN 2
+             |      WHEN k <= 9 THEN 5 ELSE 10 END AS band_lo,
+             |    CAST(count(*) AS BIGINT) AS n_groups,
+             |    CAST(sum(k) AS BIGINT) AS n_rows
+             |  FROM g GROUP BY 1),
+             |tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_all FROM g)
+             |SELECT CAST(band_lo AS BIGINT) AS band_lo,
+             |  CASE WHEN band_lo = 1 THEN 'k=1' WHEN band_lo = 2 THEN 'k=2-4'
+             |       WHEN band_lo = 5 THEN 'k=5-9' ELSE 'k>=10' END AS band,
+             |  n_groups, n_rows,
+             |  CAST(divide(n_rows * 1000000, n_all) AS BIGINT) AS rows_ppm
+             |FROM b CROSS JOIN tot ORDER BY band_lo""".stripMargin),
+      doc = "k-anonymity release audit over the (nation, segment, " +
+        "$1000-balance) quasi-identifier: exact group-size bands with " +
+        "ppm of rows at each re-identification risk level")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

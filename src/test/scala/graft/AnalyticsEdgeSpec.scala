@@ -469,6 +469,29 @@ class AnalyticsEdgeSpec extends SparkSpec {
       (0L, 0, 32L, 1, 3L, 0.0)), s"${rows.toSeq}")
   }
 
+  test("q100_kanonymity: band sizes are exact and a negative balance " +
+      "does not straddle the zero band") {
+    // nation 1: one unique person (k=1). nation 2: three sharing the QI
+    // (k=2-4). nation 3: twelve sharing (k>=10). nation 4: two people
+    // at -500.00 and +500.00 — the +100000 shift must put them in
+    // DIFFERENT bands (two more k=1 rows); an unshifted truncating div
+    // would collapse both into band 0 and report a fake k=2.
+    val dir = tmp("graft-analytics-kanon")
+    val rows = Seq((1, 500.00)) ++ (1 to 3).map(_ => (2, 500.00)) ++
+      (1 to 12).map(_ => (3, 500.00)) ++ Seq((4, -500.00), (4, 500.00))
+    rows.zipWithIndex.map { case ((nk, bal), i) =>
+      (i.toLong, s"c$i", nk, bal, "X")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q100_kanonymity")(spark, dir)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("k=1") == ((3L, 3L, 166666L)), s"$out")
+    assert(out("k=2-4") == ((1L, 3L, 166666L)), s"$out")
+    assert(out("k>=10") == ((1L, 12L, 666666L)), s"$out")
+    assert(!out.contains("k=5-9"), s"$out")
+  }
+
   test("q98_ks_pairwise: disjoint supports read D = 1 exactly at the " +
       "crossover cent; identical distributions read D = 0") {
     // "lo" and "same": 5 events at 1.00 + 5 at 2.00 each (identical).
