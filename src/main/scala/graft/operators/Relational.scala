@@ -1514,7 +1514,70 @@ object Relational {
              |FROM b CROSS JOIN tot ORDER BY band_lo""".stripMargin),
       doc = "k-anonymity release audit over the (nation, segment, " +
         "$1000-balance) quasi-identifier: exact group-size bands with " +
-        "ppm of rows at each re-identification risk level")
+        "ppm of rows at each re-identification risk level"),
+
+    // Q101 — approximate functional-dependency audit: for each declared
+    // candidate FD lhs→rhs, the exact g3 measure (Kivinen–Mannila: the
+    // minimum rows to DELETE for the FD to hold = Σ_lhs (group − its
+    // majority rhs)) plus how many lhs groups violate at all. q88 FK
+    // orphans audit the schema's declared EDGES; this audits its
+    // IMPLIED determinations — the data-contract discovery pass that
+    // tells a pipeline "source almost determines lang (fix the 2%) vs
+    // user_id does not determine event_type (don't pretend)". All
+    // exact integers. Scale shape per edge: one scan → a (lhs, rhs)
+    // hash agg → an lhs re-agg → a 1-row rollup; the 5-edge union is
+    // 5 independent bounded pipelines.
+    "q101_fd_audit" -> QueryDef(
+      (s, d) => {
+        def g3(table: String, lhs: String, rhs: String): org.apache.spark.sql.DataFrame =
+          tbl(s, d, table)
+            .groupBy(col(lhs).as("l"), col(rhs).as("r"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy("l")
+            .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("keep"),
+              count(lit(1)).as("variants"))
+            .agg(sum(col("total")).as("n_rows"),
+              count(lit(1)).as("n_lhs"),
+              sum(when(col("variants") > 1L, 1L).otherwise(0L)).as("n_viol_lhs"),
+              sum(col("total") - col("keep")).as("g3_rows"))
+            .withColumn("edge", lit(s"$table.$lhs->$rhs"))
+            .withColumn("g3_ppm", expr("g3_rows * 1000000 div n_rows"))
+            .select(col("edge"), col("n_rows"), col("n_lhs"),
+              col("n_viol_lhs"), col("g3_rows"), col("g3_ppm"))
+        g3("orders", "o_custkey", "o_orderpriority")
+          .union(g3("lineitem", "l_partkey", "l_suppkey"))
+          .union(g3("events", "user_id", "event_type"))
+          .union(g3("documents", "source", "lang"))
+          .union(g3("customer", "c_nationkey", "c_mktsegment"))
+          .orderBy("edge")
+      },
+      Some {
+        def g3Sql(table: String, lhs: String, rhs: String): String =
+          s"""SELECT '$table.$lhs->$rhs' AS edge,
+             |  CAST(sum(total) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_lhs,
+             |  CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_lhs,
+             |  CAST(sum(total - keep) AS BIGINT) AS g3_rows,
+             |  CAST(divide(sum(total - keep) * 1000000, sum(total)) AS BIGINT) AS g3_ppm
+             |FROM (SELECT l, CAST(sum(cnt) AS BIGINT) AS total,
+             |      CAST(max(cnt) AS BIGINT) AS keep,
+             |      CAST(count(*) AS BIGINT) AS variants
+             |    FROM (SELECT $lhs AS l, $rhs AS r, CAST(count(*) AS BIGINT) AS cnt
+             |          FROM $table GROUP BY 1, 2) GROUP BY l)""".stripMargin
+        s"""${g3Sql("orders", "o_custkey", "o_orderpriority")}
+           |UNION ALL
+           |${g3Sql("lineitem", "l_partkey", "l_suppkey")}
+           |UNION ALL
+           |${g3Sql("events", "user_id", "event_type")}
+           |UNION ALL
+           |${g3Sql("documents", "source", "lang")}
+           |UNION ALL
+           |${g3Sql("customer", "c_nationkey", "c_mktsegment")}
+           |ORDER BY edge""".stripMargin
+      },
+      doc = "approximate-FD audit over 5 declared candidate edges: " +
+        "exact g3 delete-repair size and violating-group counts per " +
+        "edge — the implied-determination complement to q88's FK edges")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

@@ -492,6 +492,43 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(!out.contains("k=5-9"), s"$out")
   }
 
+  test("q101_fd_audit: a holding FD reads g3 = 0; one planted variant " +
+      "row costs exactly one delete") {
+    // documents: source 'a' is lang-pure (FD holds); source 'b' has 3 en
+    // + 1 es -> majority-keep leaves ONE delete. The four 1-row tables
+    // exercise the g3 = 0 pole on every other edge.
+    val dir = tmp("graft-analytics-fd")
+    (Seq((1L, "t", "en", "a"), (2L, "t", "en", "a"), (3L, "t", "en", "a"),
+      (4L, "t", "en", "b"), (5L, "t", "en", "b"), (6L, "t", "en", "b"),
+      (7L, "t", "es", "b")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, 1L, "O", 10.0, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, new java.sql.Timestamp(1000000L), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "c1", 1, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q101_fd_audit")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("documents.source->lang") == ((7L, 2L, 1L, 1L, 142857L)), s"$out")
+    assert(out("orders.o_custkey->o_orderpriority") == ((1L, 1L, 0L, 0L, 0L)), s"$out")
+    assert(out("events.user_id->event_type") == ((1L, 1L, 0L, 0L, 0L)), s"$out")
+    assert(out("customer.c_nationkey->c_mktsegment") == ((1L, 1L, 0L, 0L, 0L)), s"$out")
+    assert(out("lineitem.l_partkey->l_suppkey") == ((1L, 1L, 0L, 0L, 0L)), s"$out")
+  }
+
   test("q98_ks_pairwise: disjoint supports read D = 1 exactly at the " +
       "crossover cent; identical distributions read D = 0") {
     // "lo" and "same": 5 events at 1.00 + 5 at 2.00 each (identical).
