@@ -1577,7 +1577,80 @@ object Relational {
       },
       doc = "approximate-FD audit over 5 declared candidate edges: " +
         "exact g3 delete-repair size and violating-group counts per " +
-        "edge — the implied-determination complement to q88's FK edges")
+        "edge — the implied-determination complement to q88's FK edges"),
+
+    // Q102 — market-basket affinity: support, both confidences, and
+    // lift for every brand pair over order baskets — the co-purchase
+    // association table (q94 measures USER-set overlap between event
+    // types; this measures BASKET co-occurrence with the association-
+    // rule semantics: lift > 1000 milli = bought together more than
+    // independence predicts). Exact integers: presence is the deduped
+    // (order, brand) relation via the part dim join; the ≤|brands|²
+    // pair grid is built from the tiny sizes relation so never-co-
+    // bought pairs surface as explicit 0 rows (q94's omission guard).
+    // lift_milli = n_both·n_orders·1000 div (n_a·n_b) is exact to
+    // ~9e18 — fine to ~3e7 baskets·brand-pairs mass; past that promote
+    // to DECIMAL(38,0) (q96's discipline). Scale shape: one fact scan,
+    // one partkey equi-join, one distinct shuffle on (order, brand), a
+    // basket-keyed self-join emitting ≤|brands|² pairs per order, a
+    // bounded pair agg, broadcast sizes.
+    "q102_basket_lift" -> QueryDef(
+      (s, d) => {
+        val pres = tbl(s, d, "lineitem")
+          .join(tbl(s, d, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")), Seq("l_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+          .localCheckpoint() // sizes + both self-join sides + total
+        val nOrders = pres.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        val sizes = pres.groupBy("p_brand").agg(count(lit(1)).as("sz"))
+        val inter = pres
+          .join(pres.select(col("p_brand").as("brand_b"), col("l_orderkey")),
+            Seq("l_orderkey"))
+          .filter(col("p_brand") < col("brand_b"))
+          .groupBy(col("p_brand").as("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("n_both"))
+        sizes.select(col("p_brand").as("brand_a"), col("sz").as("n_a"))
+          .crossJoin(broadcast(sizes.select(col("p_brand").as("brand_b"),
+            col("sz").as("n_b"))))
+          .filter(col("brand_a") < col("brand_b"))
+          .join(inter, Seq("brand_a", "brand_b"), "left")
+          .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("support_ppm", expr("n_both * 1000000 div n_orders"))
+          .withColumn("conf_a_b_ppm", expr("n_both * 1000000 div n_a"))
+          .withColumn("conf_b_a_ppm", expr("n_both * 1000000 div n_b"))
+          .withColumn("lift_milli",
+            expr("n_both * n_orders * 1000 div (n_a * n_b)"))
+          .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
+            col("n_both"), col("support_ppm"), col("conf_a_b_ppm"),
+            col("conf_b_a_ppm"), col("lift_milli"))
+          .orderBy("brand_a", "brand_b")
+      },
+      Some("""WITH pres AS (SELECT DISTINCT l_orderkey, p_brand
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+             |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM pres),
+             |sizes AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS sz
+             |  FROM pres GROUP BY 1),
+             |inter AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             |    CAST(count(*) AS BIGINT) AS n_both
+             |  FROM pres a JOIN pres b
+             |    ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+             |  GROUP BY 1, 2)
+             |SELECT sa.p_brand AS brand_a, sb.p_brand AS brand_b,
+             |  sa.sz AS n_a, sb.sz AS n_b,
+             |  CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
+             |  CAST(divide(coalesce(n_both, 0) * 1000000, n_orders) AS BIGINT) AS support_ppm,
+             |  CAST(divide(coalesce(n_both, 0) * 1000000, sa.sz) AS BIGINT) AS conf_a_b_ppm,
+             |  CAST(divide(coalesce(n_both, 0) * 1000000, sb.sz) AS BIGINT) AS conf_b_a_ppm,
+             |  CAST(divide(coalesce(n_both, 0) * n_orders * 1000, sa.sz * sb.sz) AS BIGINT) AS lift_milli
+             |FROM sizes sa CROSS JOIN sizes sb
+             |LEFT JOIN inter ON brand_a = sa.p_brand AND brand_b = sb.p_brand
+             |CROSS JOIN no
+             |WHERE sa.p_brand < sb.p_brand
+             |ORDER BY brand_a, brand_b""".stripMargin),
+      doc = "market-basket brand affinity: exact support, directional " +
+        "confidences, and lift over order baskets — never-co-bought " +
+        "pairs surface as explicit zero rows")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

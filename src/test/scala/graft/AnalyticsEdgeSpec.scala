@@ -529,6 +529,35 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out("lineitem.l_partkey->l_suppkey") == ((1L, 1L, 0L, 0L, 0L)), s"$out")
   }
 
+  test("q102_basket_lift: hand-counted support/confidence/lift; " +
+      "never-co-bought pairs surface as explicit zero rows") {
+    // Baskets: {A,B}, {A,B}, {A}, {D}. A appears twice in basket 1 —
+    // presence must dedup it. (A,B): support 2/4, conf A->B 2/3,
+    // conf B->A 1, lift 2·4/(3·2) = 1.333. (A,D) and (B,D) never
+    // co-occur -> explicit zero rows with lift 0.
+    val dir = tmp("graft-analytics-bl")
+    Seq((1L, "pA", "A", "t", 1, 1.0), (2L, "pB", "B", "t", 1, 1.0),
+      (3L, "pD", "D", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (4L, 3L))
+      .zipWithIndex.map { case ((ok, pk), i) =>
+        (ok, pk, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+          new java.sql.Timestamp(0L))
+      }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q102_basket_lift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(out(("A", "B")) == ((3L, 2L, 2L, 500000L, 666666L, 1000000L, 1333L)), s"$out")
+    assert(out(("A", "D")) == ((3L, 1L, 0L, 0L, 0L, 0L, 0L)), s"zero row must exist: $out")
+    assert(out(("B", "D")) == ((2L, 1L, 0L, 0L, 0L, 0L, 0L)), s"zero row must exist: $out")
+  }
+
   test("q98_ks_pairwise: disjoint supports read D = 1 exactly at the " +
       "crossover cent; identical distributions read D = 0") {
     // "lo" and "same": 5 events at 1.00 + 5 at 2.00 each (identical).

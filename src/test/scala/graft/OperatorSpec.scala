@@ -210,6 +210,7 @@ class OperatorSpec extends SparkSpec {
       "q97_drift_tv",    // crossJoin(broadcast(1-row totals scalar))
       "q98_ks_pairwise", // crossJoin(broadcast(|types|-row sizes)) pair grid
       "q100_kanonymity", // crossJoin(broadcast(1-row total scalar))
+      "q102_basket_lift", // crossJoin(broadcast(|brands|-row sizes / 1-row total)) pair grid
       "q99_mannwhitney") // crossJoin(broadcast(|types|-row sizes)) pair grid
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
