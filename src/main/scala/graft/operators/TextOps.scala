@@ -682,6 +682,87 @@ object TextOps {
       doc = "Borda rank fusion of three incomparable quality signals " +
         "(TTR, length, hashed classifier) — exact integer rank sums"),
 
+    // Gain/lift chart for the quality classifier: rank the corpus by
+    // score, cut into exact deciles, and report per-decile positive
+    // rate, cumulative capture, and lift vs the base rate — the
+    // curation planner's table ("keeping the top 3 deciles captures
+    // 54% of the good docs at 1.8x base purity"), complementing
+    // text_clf_eval's threshold sweep (operating points by SCORE) with
+    // operating points by BUDGET. The global decile is the DISTRIBUTED
+    // two-pass prefix-rank ([[graft.Qh.globalRowNumber]], descending =
+    // negated score, doc_id tiebreak) + exact [[graft.Qh.ntileFromRn]]
+    // — never an unpartitioned corpus window; the only global window
+    // left is the 10-row cumulative over the decile AGGREGATE (fixed
+    // size at any corpus scale, q17/q70 class). lift_milli =
+    // n_pos·n_all·1000 div (n_docs·pos_all) is exact to ~9e18 — fine
+    // to ~3e9-doc corpora; past that promote to DECIMAL(38,0) (q96
+    // discipline). Same score/pseudo-label derivation as text_clf_eval.
+    "text_clf_gains" -> QueryDef(
+      (s, d) => {
+        val scored = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
+          .groupBy("doc_id")
+          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tok"),
+            countDistinct(col("tok")).as("n_dist"))
+          .withColumn("label",
+            expr("n_dist * 1000 div n_tok >= 500 AND n_tok >= 20"))
+          .select(col("doc_id"), col("score"), col("label"))
+          .localCheckpoint() // the ranking's bounds pass must not re-score
+        val r = globalRowNumber(scored, -col("score"), col("doc_id"), "rn")
+        val dec = r.df.withColumn("decile", ntileFromRn("rn", r.n, 10L))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+          .localCheckpoint() // ≤10 rows; totals + cumsum read it
+        val tot = dec.agg(sum(col("n_docs")).as("n_all"),
+          sum(col("n_pos")).as("pos_all"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        dec.withColumn("cum_pos", sum(col("n_pos")).over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_docs"))
+          .withColumn("capture_cum_ppm", expr("cum_pos * 1000000 div pos_all"))
+          .withColumn("lift_milli",
+            expr("n_pos * n_all * 1000 div (n_docs * pos_all)"))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            col("pos_rate_ppm"), col("cum_pos"), col("capture_cum_ppm"),
+            col("lift_milli"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+              |    CAST(count(*) AS BIGINT) AS n_tok,
+              |    CAST(count(DISTINCT tok) AS BIGINT) AS n_dist
+              |  FROM (SELECT doc_id, tok, (${strHashSql("tok")} % 2001) - 1000 AS w
+              |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+              |  GROUP BY doc_id),
+              |lab AS (SELECT doc_id, score,
+              |    divide(n_dist * 1000, n_tok) >= 500 AND n_tok >= 20 AS label
+              |  FROM scored),
+              |dec AS (SELECT CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile,
+              |    label FROM lab),
+              |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+              |  FROM dec GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+              |    CAST(sum(n_pos) AS BIGINT) AS pos_all FROM g),
+              |c AS (SELECT decile, n_docs, n_pos,
+              |    CAST(sum(n_pos) OVER (ORDER BY decile
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+              |  FROM g)
+              |SELECT decile, n_docs, n_pos,
+              |  CAST(divide(n_pos * 1000000, n_docs) AS BIGINT) AS pos_rate_ppm,
+              |  cum_pos,
+              |  CAST(divide(cum_pos * 1000000, pos_all) AS BIGINT) AS capture_cum_ppm,
+              |  CAST(divide(n_pos * n_all * 1000, n_docs * pos_all) AS BIGINT) AS lift_milli
+              |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin),
+      doc = "classifier gain/lift chart: exact score deciles via the " +
+        "distributed prefix-rank, per-decile positive rate, cumulative " +
+        "capture, and lift vs base in exact integers"),
+
     // Classifier evaluation sweep — the metrology step between training
     // a quality classifier and trusting it on 100 TB: sweep the decision
     // threshold and report the exact confusion matrix at each cut

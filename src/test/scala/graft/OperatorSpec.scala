@@ -211,6 +211,7 @@ class OperatorSpec extends SparkSpec {
       "q98_ks_pairwise", // crossJoin(broadcast(|types|-row sizes)) pair grid
       "q100_kanonymity", // crossJoin(broadcast(1-row total scalar))
       "q102_basket_lift", // crossJoin(broadcast(|brands|-row sizes / 1-row total)) pair grid
+      "text_clf_gains",  // crossJoin(broadcast(1-row totals scalar))
       "q99_mannwhitney") // crossJoin(broadcast(|types|-row sizes)) pair grid
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
@@ -224,6 +225,9 @@ class OperatorSpec extends SparkSpec {
                           // write path (zorderLayout) is repartitionByRange
       "sim_rrf_fusion",   // rank windows run over the already-LIMIT-20
                           // top-k lists (TakeOrdered feeds them)
+      "text_clf_gains",   // 10-row cumulative over the decile AGGREGATE
+                          // (fixed size at any corpus scale; the corpus
+                          // ranking itself is the distributed prefix-rank)
       "text_zipf_slope")  // rank window over the already-LIMIT-256 token
                           // head (TakeOrdered feeds it; fixed 256 rows at
                           // any corpus size)
