@@ -2195,5 +2195,55 @@ object Temporal {
       doc = "pairwise Mann-Whitney U over event-type values: exact " +
         "doubled rank sums with midrank ties, tie-corrected normal z " +
         "(float only on identical integers), sign-safe rank-biserial " +
-        "effect size in ppm"))
+        "effect size in ppm"),
+
+    // Q103 — dwell-time distribution: per event type, the percentiles
+    // of the gap to the SAME user's next event of that type — the
+    // engagement-cadence read ("purchases recur weekly, clicks every
+    // few minutes") behind retention models and the q71 heartbeat
+    // thresholds (q71 DETECTS gaps beyond a fixed bound; this measures
+    // the distribution that justifies the bound). Gaps are exact
+    // integer seconds from unix_micros (div 1e6 — whole-second
+    // testdata, and the q31-proven percentile↔quantile_cont pairing on
+    // integers is engine-exact); the lead window partitions by
+    // (user, type) — parallel at any scale; the final agg is one row
+    // per type. Mean in exact milli-seconds, sign-free by construction
+    // (ts ordering makes every gap non-negative).
+    "q103_dwell_time" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        tbl(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            unix_micros(col("ts")).as("es_us"))
+          .withColumn("next_us", lead(col("es_us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          // diff in micros FIRST, then one truncating div — identical
+          // to the oracle even on sub-second timestamps
+          .withColumn("gap_s", expr("(next_us - es_us) div 1000000"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_s, 0.5)").as("p50_s"),
+            expr("percentile(gap_s, 0.9)").as("p90_s"),
+            expr("percentile(gap_s, 0.99)").as("p99_s"),
+            max(col("gap_s")).as("max_s"),
+            expr("sum(gap_s) * 1000 div count(1)").as("mean_ms"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+             |  FROM events),
+             |s AS (SELECT event_type, divide(gap_us, 1000000) AS gap_s
+             |  FROM g WHERE gap_us IS NOT NULL)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |  quantile_cont(gap_s, 0.5) AS p50_s,
+             |  quantile_cont(gap_s, 0.9) AS p90_s,
+             |  quantile_cont(gap_s, 0.99) AS p99_s,
+             |  CAST(max(gap_s) AS BIGINT) AS max_s,
+             |  CAST(divide(sum(gap_s) * 1000, count(*)) AS BIGINT) AS mean_ms
+             |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin),
+      doc = "per-type dwell-time distribution: exact integer-second " +
+        "gaps to the same user's next event, q31-proven percentile " +
+        "pairing, (user, type)-partitioned windows"))
 }
