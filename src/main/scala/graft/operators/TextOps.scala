@@ -763,6 +763,69 @@ object TextOps {
         "distributed prefix-rank, per-decile positive rate, cumulative " +
         "capture, and lift vs base in exact integers"),
 
+    // Pairwise vocabulary overlap between sources: Jaccard AND overlap
+    // coefficient (|∩| / min) on the distinct-token vocabularies — the
+    // corpus-similarity matrix a mixture plan (sample_mixture_plan)
+    // consults before weighting sources ("are these two crawls the
+    // same corpus twice?"), and the source-level sibling of q94's
+    // user-set overlap. The overlap coefficient matters because
+    // vocabulary sizes differ wildly: a tiny source fully contained in
+    // a big one reads Jaccard ≈ 0 but overlap = 1 — containment is the
+    // duplication signal. Scale shape: one explode pass into the
+    // deduped (source, token) relation (bounded by |sources|·vocab,
+    // NOT corpus tokens), a token-keyed self-join emitting ≤|sources|²
+    // pairs per shared token, a bounded pair agg, tiny-sizes grid with
+    // explicit zero rows (the q94 omission guard).
+    "text_source_overlap" -> QueryDef(
+      (s, d) => {
+        val vocab = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+          .localCheckpoint() // sizes + both self-join sides
+        val sizes = vocab.groupBy("source").agg(count(lit(1)).as("v"))
+        val inter = vocab
+          .join(vocab.select(col("source").as("source_b"), col("token")),
+            Seq("token"))
+          .filter(col("source") < col("source_b"))
+          .groupBy(col("source").as("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("v_both"))
+        sizes.select(col("source").as("source_a"), col("v").as("v_a"))
+          .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
+            col("v").as("v_b"))))
+          .filter(col("source_a") < col("source_b"))
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .withColumn("v_both", coalesce(col("v_both"), lit(0L)))
+          .withColumn("jaccard_ppm",
+            expr("v_both * 1000000 div (v_a + v_b - v_both)"))
+          .withColumn("overlap_ppm",
+            expr("v_both * 1000000 div least(v_a, v_b)"))
+          .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+            col("v_both"), col("jaccard_ppm"), col("overlap_ppm"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH vocab AS (SELECT DISTINCT source, token
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)),
+             |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM vocab GROUP BY 1),
+             |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(count(*) AS BIGINT) AS v_both
+             |  FROM vocab a JOIN vocab b
+             |    ON b.token = a.token AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT sa.source AS source_a, sb.source AS source_b,
+             |  sa.v AS v_a, sb.v AS v_b,
+             |  CAST(coalesce(v_both, 0) AS BIGINT) AS v_both,
+             |  CAST(divide(coalesce(v_both, 0) * 1000000,
+             |    sa.v + sb.v - coalesce(v_both, 0)) AS BIGINT) AS jaccard_ppm,
+             |  CAST(divide(coalesce(v_both, 0) * 1000000,
+             |    least(sa.v, sb.v)) AS BIGINT) AS overlap_ppm
+             |FROM sizes sa CROSS JOIN sizes sb
+             |LEFT JOIN inter ON source_a = sa.source AND source_b = sb.source
+             |WHERE sa.source < sb.source
+             |ORDER BY source_a, source_b""".stripMargin),
+      doc = "pairwise source-vocabulary overlap: exact Jaccard and " +
+        "overlap coefficient in ppm over deduped token vocabularies — " +
+        "the corpus-similarity matrix behind mixture planning"),
+
     // Classifier evaluation sweep — the metrology step between training
     // a quality classifier and trusting it on 100 TB: sweep the decision
     // threshold and report the exact confusion matrix at each cut

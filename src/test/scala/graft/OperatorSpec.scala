@@ -212,6 +212,7 @@ class OperatorSpec extends SparkSpec {
       "q100_kanonymity", // crossJoin(broadcast(1-row total scalar))
       "q102_basket_lift", // crossJoin(broadcast(|brands|-row sizes / 1-row total)) pair grid
       "text_clf_gains",  // crossJoin(broadcast(1-row totals scalar))
+      "text_source_overlap", // crossJoin(broadcast(|sources|-row sizes)) pair grid
       "q99_mannwhitney") // crossJoin(broadcast(|types|-row sizes)) pair grid
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
