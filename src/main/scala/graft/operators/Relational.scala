@@ -1650,7 +1650,58 @@ object Relational {
              |ORDER BY brand_a, brand_b""".stripMargin),
       doc = "market-basket brand affinity: exact support, directional " +
         "confidences, and lift over order baskets — never-co-bought " +
-        "pairs surface as explicit zero rows")
+        "pairs surface as explicit zero rows"),
+
+    // Q104 — discount elasticity per brand: the Pearson correlation
+    // between a line discount (integer percent via the cents transform) and its quantity —
+    // "does discounting this brand actually move volume?" — the
+    // pricing-analytics read q96 (OLS) and q95 (autocorrelation) bound
+    // from either side. q49's exact-integer co-moment discipline: all
+    // five sums are order-independent 64-bit integers (pct ≤ 100,
+    // qty ≤ ~50 — products bounded far under 2^63 at any corpus
+    // scale), and the only floats are the final sqrt/divide on
+    // identical integers, so round(r, 6) is bit-stable. One scan +
+    // one partkey equi-join + a per-brand hash agg.
+    "q104_discount_elasticity" -> QueryDef(
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .join(tbl(s, d, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")), Seq("l_partkey"))
+          .select(col("p_brand"),
+            cents(col("l_discount")).as("x"), // discount fraction in percent (0.05 -> 5)
+            round(col("l_quantity")).cast("long").as("y"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("r6",
+            round((col("n_lines") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n_lines") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("n_lines") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+          .select(col("p_brand"), col("n_lines"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy"), col("r6"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH j AS (SELECT p_brand,
+             |    CAST(round(l_discount*100) AS BIGINT) AS x,
+             |    CAST(round(l_quantity) AS BIGINT) AS y
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+             |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM j GROUP BY 1)
+             |SELECT p_brand, n_lines, sx, sy, sxy, sxx, syy,
+             |  round(CAST(n_lines * sxy - sx * sy AS DOUBLE)
+             |    / (sqrt(CAST(n_lines * sxx - sx * sx AS DOUBLE))
+             |       * sqrt(CAST(n_lines * syy - sy * sy AS DOUBLE))), 6) AS r6
+             |FROM m ORDER BY p_brand""".stripMargin),
+      doc = "per-brand discount-quantity Pearson correlation on exact " +
+        "integer co-moments (discount as integer percent) — float only in " +
+        "the final sqrt/divide on identical integers")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through
