@@ -276,7 +276,57 @@ object Graph {
              |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin),
       doc = "3-hop frontier BFS from the 3 top-degree co-purchase hubs: " +
         "per-hop equi-join + distinct + anti-join vs settled; per-level " +
-        "rollup pins the exact reached set via node-id checksum")
+        "rollup pins the exact reached set via node-id checksum"),
+
+    // Q109 — HITS hubs & authorities (Kleinberg) on the directed
+    // customer→supplier purchase graph: the OTHER eigenvector
+    // centrality — PageRank (q55) scores undirected reach, HITS scores
+    // the bipartite mutual reinforcement ("big buyers are the ones
+    // buying from big suppliers, and vice versa") that a supplier-
+    // ranking dashboard actually wants on a who-buys-from-whom graph.
+    // Two exact UNNORMALIZED integer supersteps: a1 = in-degree,
+    // h1 = Σ a1 over out-neighbors, a2 = Σ h1 over in-neighbors — pure
+    // 64-bit sums both engines replay bit-for-bit (magnitudes bounded by
+    // E·max_h1 ≤ E²: safe to E ≈ 3e9 edges; past that, rescale each
+    // superstep by a power-of-ten div exactly like q55's R0 note —
+    // same recurrence, one more div). Each superstep is one equi-join +
+    // one hash agg on the edge key — the distributed HITS shape;
+    // rankings of unnormalized iterates equal the normalized ones
+    // (normalization is a positive scalar per iteration). Top-15
+    // authorities via TakeOrdered (bounded driver result).
+    "q109_hits" -> QueryDef(
+      (s, d) => {
+        val edges = tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+          .distinct()
+          .repartition(col("supp"))
+          .localCheckpoint() // both supersteps re-join the edge list
+        val a1 = edges.groupBy("supp").agg(count(lit(1)).as("a1"))
+        val h1 = edges.join(a1, Seq("supp"))
+          .groupBy("cust").agg(sum(col("a1")).as("h1"))
+        val a2 = edges.join(h1, Seq("cust"))
+          .groupBy("supp").agg(sum(col("h1")).as("a2"))
+        a2.join(a1, Seq("supp"))
+          .select(col("supp"), col("a1"), col("a2"))
+          .orderBy(col("a2").desc, col("supp"))
+          .limit(15)
+      },
+      Some("""WITH edges AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |a1 AS (SELECT supp, CAST(count(*) AS BIGINT) AS a1
+             |       FROM edges GROUP BY supp),
+             |h1 AS (SELECT cust, CAST(sum(a1) AS BIGINT) AS h1
+             |       FROM edges JOIN a1 USING (supp) GROUP BY cust),
+             |a2 AS (SELECT supp, CAST(sum(h1) AS BIGINT) AS a2
+             |       FROM edges JOIN h1 USING (cust) GROUP BY supp)
+             |SELECT supp, a1, a2 FROM a2 JOIN a1 USING (supp)
+             |ORDER BY a2 DESC, supp LIMIT 15""".stripMargin),
+      doc = "integer-exact 2-superstep HITS on the customer→supplier " +
+        "graph: authority = in-degree-weighted mutual reinforcement, " +
+        "one equi-join + hash agg per superstep, top-15 authorities")
   )
 
   /** Shared k-NN(3) embedding graph for q66/q87: symmetrized top-3

@@ -1701,7 +1701,192 @@ object Relational {
              |FROM m ORDER BY p_brand""".stripMargin),
       doc = "per-brand discount-quantity Pearson correlation on exact " +
         "integer co-moments (discount as integer percent) — float only in " +
-        "the final sqrt/divide on identical integers")
+        "the final sqrt/divide on identical integers"),
+
+    // Q108 — item-to-item collaborative filtering (the "customers who
+    // bought X also bought Y" recommender read): top-3 neighbors per
+    // part by co-purchase cosine over order baskets. q102's brand-level
+    // lift generalized to the full part catalog — the candidate
+    // generation stays a per-order self-join (basket size is bounded by
+    // the order, ≤ ~7 lines in this schema, so the pair explode is
+    // O(orders · basket²) — linear in the corpus, never all-pairs across
+    // the catalog). Cosine is ranked by its SQUARE in exact integer ppm
+    // (monotone for non-negatives, so the ranking is identical):
+    // n_both²·10⁶ div (n_a·n_b) stays in 64-bit while per-pair co-counts
+    // are ≤ ~3·10⁶; past that (planet-scale catalogs) the same ranking
+    // re-scales to ppb-of-pre-divided terms — the formula is the scale
+    // knob, the plan shape (self-join + hash agg + per-item window) is
+    // already the 100 TB one. The top-3 window partitions by item —
+    // parallel at any catalog size.
+    "q108_item2item" -> QueryDef(
+      (s, d) => {
+        val pres = tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint() // sizes + both self-join sides; one scan
+        val sizes = pres.groupBy("l_partkey").agg(count(lit(1)).as("sz"))
+        val co = pres
+          .join(pres.select(col("l_orderkey"), col("l_partkey").as("item_b")),
+            Seq("l_orderkey"))
+          .filter(col("l_partkey") =!= col("item_b"))
+          .groupBy(col("l_partkey").as("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("n_both"))
+        val w = Window.partitionBy("item_a")
+          .orderBy(col("cos2_ppm").desc, col("n_both").desc, col("item_b"))
+        co.join(sizes.select(col("l_partkey").as("item_a"), col("sz").as("n_a")),
+            Seq("item_a"))
+          .join(sizes.select(col("l_partkey").as("item_b"), col("sz").as("n_b")),
+            Seq("item_b"))
+          .withColumn("cos2_ppm",
+            expr("n_both * n_both * 1000000 div (n_a * n_b)"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3L)
+          .select(col("item_a"), col("rnk"), col("item_b"), col("n_a"),
+            col("n_b"), col("n_both"), col("cos2_ppm"))
+          .orderBy("item_a", "rnk")
+      },
+      Some("""WITH pres AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |sizes AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS sz
+             |  FROM pres GROUP BY 1),
+             |co AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             |    CAST(count(*) AS BIGINT) AS n_both
+             |  FROM pres a JOIN pres b ON b.l_orderkey = a.l_orderkey
+             |    AND a.l_partkey <> b.l_partkey
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT item_a, item_b, sa.sz AS n_a, sb.sz AS n_b, n_both,
+             |    CAST(divide(n_both * n_both * 1000000, sa.sz * sb.sz) AS BIGINT) AS cos2_ppm
+             |  FROM co JOIN sizes sa ON sa.l_partkey = item_a
+             |          JOIN sizes sb ON sb.l_partkey = item_b),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item_a
+             |    ORDER BY cos2_ppm DESC, n_both DESC, item_b) AS BIGINT) AS rnk
+             |  FROM sc)
+             |SELECT item_a, rnk, item_b, n_a, n_b, n_both, cos2_ppm
+             |FROM r WHERE rnk <= 3 ORDER BY item_a, rnk""".stripMargin),
+      doc = "item-item co-purchase recommender: bounded basket self-join, " +
+        "exact integer squared-cosine ppm ranking, per-item top-3 window"),
+
+    // Q110 — 2-D skyline (Pareto frontier) over the part catalog:
+    // the parts no other part beats on BOTH "cheapest line price"
+    // (minimize) and "total quantity sold" (maximize) — the
+    // assortment-analytics primitive behind "efficient frontier"
+    // catalog views. Exact dominance semantics incl. ties (a dominator
+    // must be strictly better somewhere; identical points co-survive).
+    // The classic sort-sweep needs a GLOBAL "max qty among all strictly
+    // cheaper parts" — an unpartitioned RANGE window that would funnel
+    // the whole catalog through one task at 100×. Instead the same
+    // two-pass bucket shape as [[graft.Qh.globalRowNumber]], folded for
+    // prefix-MAX: one bounds pass; deterministic fixed-width price
+    // buckets (equal prices always share a bucket, so "strictly earlier
+    // bucket" ⇒ "strictly cheaper"); per-bucket max(qty) → a ≤256-row
+    // driver prefix-max (control-plane read) broadcast back; bucket-
+    // LOCAL RANGE window for the within-bucket strictly-cheaper max —
+    // every stage parallel in the catalog size. Equal-price dominance
+    // via a price-partitioned max. All integers; no floats anywhere.
+    "q110_skyline" -> QueryDef(
+      (s, d) => {
+        val a = tbl(s, d, "lineitem")
+          .select(col("l_partkey"), cents(col("l_extendedprice")).as("pc"),
+            round(col("l_quantity")).cast("long").as("q"))
+          .groupBy("l_partkey")
+          .agg(min(col("pc")).as("price_c"), sum(col("q")).as("qty"))
+          .localCheckpoint() // bounds pass + bucket counts + sweep reuse it
+        val b = a.agg(min(col("price_c")), max(col("price_c"))).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val width = math.max(1L, (hi - lo) / 256L + 1L)
+        val bucketed = a.withColumn("bkt", expr(s"(price_c - ${lo}L) div ${width}L"))
+        val spark = s
+        import spark.implicits._
+        val pre = {
+          val maxes = bucketed.groupBy("bkt").agg(max(col("qty")).as("m"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          var acc = -1L // exclusive prefix max over strictly earlier buckets
+          maxes.map { case (k, m) => val o = (k, acc); acc = math.max(acc, m); o }
+        }.toSeq.toDF("bkt", "pre_max")
+        val wLoc = Window.partitionBy("bkt").orderBy("price_c")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy("price_c")
+        bucketed.join(broadcast(pre), Seq("bkt"))
+          .withColumn("max_cheaper",
+            greatest(col("pre_max"), coalesce(max(col("qty")).over(wLoc), lit(-1L))))
+          .withColumn("eq_max", max(col("qty")).over(wEq))
+          .filter(col("max_cheaper") < col("qty") && col("eq_max") <= col("qty"))
+          .select(col("l_partkey"), col("price_c"), col("qty"))
+          .orderBy("price_c", "l_partkey")
+      },
+      Some("""WITH a AS (SELECT l_partkey,
+             |    CAST(min(round(l_extendedprice*100)) AS BIGINT) AS price_c,
+             |    CAST(sum(round(l_quantity)) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1),
+             |w AS (SELECT l_partkey, price_c, qty,
+             |    max(qty) OVER (ORDER BY price_c
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_cheaper,
+             |    max(qty) OVER (PARTITION BY price_c) AS eq_max
+             |  FROM a)
+             |SELECT l_partkey, price_c, qty FROM w
+             |WHERE coalesce(max_cheaper, -1) < qty AND eq_max <= qty
+             |ORDER BY price_c, l_partkey""".stripMargin),
+      doc = "2-D Pareto skyline (min price, max volume) via the bucketed " +
+        "distributed prefix-max sweep — exact tie semantics, no " +
+        "unpartitioned window, no all-pairs dominance join"),
+
+    // Q111 — l-diversity release audit (Machanavajjhala et al.), the
+    // q100 companion: k-anonymity bounds RE-IDENTIFICATION, this bounds
+    // ATTRIBUTE DISCLOSURE — a quasi-identifier group where every
+    // member shares one sensitive value (l = 1) leaks the attribute
+    // even at k ≥ 10. QI = (nation, account-balance band) — q100's
+    // grid minus the segment, which becomes the SENSITIVE attribute;
+    // per QI group: size k, distinct sensitive values l, and the
+    // majority share. Rolled into l-bands with the worst (largest)
+    // majority share per band in exact ppm. Two hash aggs + a bounded
+    // band rollup — one scan, parallel at any scale (QI grid ≪ rows,
+    // and the per-(QI, value) pre-agg bounds the second stage exactly
+    // like the q69/text_tfidf pre-agg discipline).
+    "q111_l_diversity" -> QueryDef(
+      (s, d) => {
+        val c1 = tbl(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            cents(col("c_acctbal")).as("bc"))
+          .groupBy(col("c_nationkey"),
+            expr("(bc + 100000) div 100000").as("bal_band"),
+            col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+        val g = c1.groupBy("c_nationkey", "bal_band")
+          .agg(sum(col("n")).as("k"), count(lit(1)).as("l"),
+            max(col("n")).as("max_n"))
+          .withColumn("share_ppm", expr("max_n * 1000000 div k"))
+        g.withColumn("band_lo",
+            when(col("l") === 1L, 1L).when(col("l") === 2L, 2L)
+              .when(col("l") <= 4L, 3L).otherwise(5L))
+          .groupBy("band_lo")
+          .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+            max(col("share_ppm")).as("worst_share_ppm"))
+          .withColumn("band",
+            when(col("band_lo") === 1L, "l=1")
+              .when(col("band_lo") === 2L, "l=2")
+              .when(col("band_lo") === 3L, "l=3-4").otherwise("l>=5"))
+          .select(col("band_lo"), col("band"), col("n_groups"),
+            col("n_rows"), col("worst_share_ppm"))
+          .orderBy("band_lo")
+      },
+      Some("""WITH c1 AS (SELECT c_nationkey,
+             |    divide(CAST(round(c_acctbal*100) AS BIGINT) + 100000, 100000) AS bal_band,
+             |    c_mktsegment, CAST(count(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1, 2, 3),
+             |g AS (SELECT c_nationkey, bal_band, CAST(sum(n) AS BIGINT) AS k,
+             |    CAST(count(*) AS BIGINT) AS l, CAST(max(n) AS BIGINT) AS max_n
+             |  FROM c1 GROUP BY 1, 2),
+             |s AS (SELECT *, CAST(divide(max_n * 1000000, k) AS BIGINT) AS share_ppm,
+             |    CASE WHEN l = 1 THEN 1 WHEN l = 2 THEN 2
+             |         WHEN l <= 4 THEN 3 ELSE 5 END AS band_lo
+             |  FROM g)
+             |SELECT band_lo, CASE WHEN band_lo = 1 THEN 'l=1' WHEN band_lo = 2 THEN 'l=2'
+             |    WHEN band_lo = 3 THEN 'l=3-4' ELSE 'l>=5' END AS band,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(k) AS BIGINT) AS n_rows,
+             |  CAST(max(share_ppm) AS BIGINT) AS worst_share_ppm
+             |FROM s GROUP BY 1 ORDER BY band_lo""".stripMargin),
+      doc = "l-diversity audit over (nation, balance-band) QI groups " +
+        "with mktsegment sensitive: distinct-l bands, worst majority " +
+        "share in exact ppm — the attribute-disclosure companion to q100")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

@@ -2245,5 +2245,195 @@ object Temporal {
              |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin),
       doc = "per-type dwell-time distribution: exact integer-second " +
         "gaps to the same user's next event, q31-proven percentile " +
-        "pairing, (user, type)-partitioned windows"))
+        "pairing, (user, type)-partitioned windows"),
+
+    // Q105 — per-user presence UNION length: each event opens the same
+    // 10-minute presence interval as q40, and the union (overlaps
+    // counted once) is the honest "time actually engaged" denominator
+    // behind utilization metrics — sum(interval) double-counts bursts,
+    // the union does not. Classic sweep-line, DISTRIBUTED: the running
+    // max of earlier interval ends is a (user)-partitioned window
+    // (parallel at any corpus scale — never a global sort), and each
+    // row contributes greatest(0, end − greatest(start, prev_max_end))
+    // micros — exact integers throughout, order-independent after the
+    // per-user sort because the contribution telescope is a partition
+    // of the covered set. Utilization is the covered share of the
+    // user's first-to-last span in ppm (truncating div on non-negative
+    // integers, engine-identical).
+    "q105_interval_union" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("start_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tbl(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("start_us"))
+          .withColumn("end_us", col("start_us") + 600000000L)
+          .withColumn("prev_max_end", max(col("end_us")).over(w))
+          .withColumn("covered_us", greatest(lit(0L), col("end_us") -
+            greatest(col("start_us"),
+              coalesce(col("prev_max_end"), col("start_us")))))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("sum(covered_us) div 1000000").as("covered_s"),
+            expr("(max(end_us) - min(start_us)) div 1000000").as("span_s"),
+            expr("sum(covered_us) * 1000000 div (max(end_us) - min(start_us))")
+              .as("util_ppm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+             |    epoch_us(ts) + 600000000 AS end_us FROM events),
+             |sw AS (SELECT user_id, start_us, end_us,
+             |    max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+             |  FROM ev),
+             |c AS (SELECT user_id, start_us, end_us,
+             |    greatest(0, end_us - greatest(start_us,
+             |      coalesce(prev_max_end, start_us))) AS covered_us
+             |  FROM sw)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(divide(sum(covered_us), 1000000) AS BIGINT) AS covered_s,
+             |  CAST(divide(max(end_us) - min(start_us), 1000000) AS BIGINT) AS span_s,
+             |  CAST(divide(sum(covered_us) * 1000000,
+             |       max(end_us) - min(start_us)) AS BIGINT) AS util_ppm
+             |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin),
+      doc = "per-user interval-union covered time: user-partitioned " +
+        "sweep-line (running max of ends), exact integer micros, " +
+        "utilization ppm of the first-to-last span"),
+
+    // Q106 — pairwise Welch two-sample t-test on event values: the
+    // parametric companion closing the q98 (KS) / q99 (Mann-Whitney)
+    // family — "do the segment MEANS differ", unequal variances
+    // allowed, with the Welch–Satterthwaite df making pairs
+    // comparable. All five co-moments are exact order-independent
+    // 64-bit integers (value in cents — q104 discipline); the only
+    // floats are means/variances/t/df computed from those identical
+    // integers by IDENTICALLY-SPELLED IEEE formulas in both engines
+    // (q95/q99 discipline), then round(., 4). One scan, one
+    // constant-size pair grid (event-type cardinality is bounded).
+    "q106_welch_ttest" -> QueryDef(
+      (s, d) => {
+        val m = tbl(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+            sum(col("c") * col("c")).as("sxx"))
+          // variance needs n ≥ 2; engine-identical guard, no-op on the
+          // testdata (every type has thousands of rows) but keeps the
+          // n−1 denominators away from zero on degenerate corpora
+          .filter(col("n") > 1L)
+        val pairs = m.select(col("event_type").as("type_a"), col("n").as("n_a"),
+            col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+          .crossJoin(broadcast(m.select(col("event_type").as("type_b"),
+            col("n").as("n_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))))
+          .filter(col("type_a") < col("type_b"))
+        pairs
+          .withColumn("va", expr("CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) / " +
+            "(CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))"))
+          .withColumn("vb", expr("CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) / " +
+            "(CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))"))
+          .withColumn("se2", expr("va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)"))
+          .withColumn("t", expr("(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
+            "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2)"))
+          .withColumn("df", expr("se2 * se2 / " +
+            "((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) + " +
+            "(vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("sx_a"), col("sx_b"),
+            round(col("t"), 4).as("t4"), round(col("df"), 2).as("df2"),
+            (abs(col("t")) > 1.96).as("significant"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sx,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT) *
+             |             CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sxx
+             |  FROM events GROUP BY 1 HAVING count(*) > 1),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.n AS n_a, b.n AS n_b, a.sx AS sx_a, b.sx AS sx_b,
+             |    a.sxx AS sxx_a, b.sxx AS sxx_b
+             |  FROM m a CROSS JOIN m b WHERE a.event_type < b.event_type),
+             |v AS (SELECT *,
+             |    CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) /
+             |      (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
+             |    CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) /
+             |      (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
+             |  FROM p),
+             |s AS (SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+             |  FROM v),
+             |t AS (SELECT *,
+             |    (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+             |     CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2) AS t,
+             |    se2 * se2 /
+             |      ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) +
+             |       (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) AS df
+             |  FROM s)
+             |SELECT type_a, type_b, n_a, n_b, sx_a, sx_b,
+             |  round(t, 4) AS t4, round(df, 2) AS df2, abs(t) > 1.96 AS significant
+             |FROM t ORDER BY type_a, type_b""".stripMargin),
+      doc = "pairwise Welch t-test on exact integer co-moments: floats " +
+        "only in identically-spelled mean/variance/t/df formulas over " +
+        "identical 64-bit integers"),
+
+    // Q107 — seasonal-naive backtest (the forecasting-eval companion to
+    // q84's dow-anomaly and q95's autocorrelation): per event type,
+    // score the lag-7 "same weekday last week" forecast of daily event
+    // counts against the actuals, and normalize by the lag-1 naive
+    // error — the MASE shape (Hyndman–Koehler) that makes accuracy
+    // comparable across types with different volumes. Everything is
+    // exact integers: daily counts, absolute errors, and the final
+    // ratio in ppm via one truncating div of 64-bit products (both
+    // engines truncate non-negative divs identically). The day rollup
+    // bounds all downstream work (≤ types × days rows at any corpus
+    // scale); the lag windows partition by type.
+    "q107_seasonal_naive" -> QueryDef(
+      (s, d) => {
+        val c = tbl(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // day-rollup feeds three readers; bounded
+        val sn = c.as("a").join(
+            c.select(col("event_type"), (col("day") + 7).as("day"),
+              col("n").as("n_f")).as("f"),
+            Seq("event_type", "day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored"),
+            sum(abs(col("n") - col("n_f"))).as("sum_abs_err"))
+        val wl = Window.partitionBy("event_type").orderBy("day")
+        val nv = c.withColumn("prev_n", lag(col("n"), 1).over(wl))
+          .filter(col("prev_n").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_naive"),
+            sum(abs(col("n") - col("prev_n"))).as("sum_naive_err"))
+        sn.join(nv, Seq("event_type"))
+          .withColumn("mase_ppm",
+            expr("CASE WHEN sum_naive_err * n_scored = 0 THEN NULL " +
+              "ELSE sum_abs_err * n_naive * 1000000 div (sum_naive_err * n_scored) END"))
+          .select(col("event_type"), col("n_scored"), col("sum_abs_err"),
+            col("n_naive"), col("sum_naive_err"), col("mase_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |sn AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_scored,
+             |    CAST(sum(abs(a.n - f.n)) AS BIGINT) AS sum_abs_err
+             |  FROM c a JOIN c f ON f.event_type = a.event_type
+             |    AND f.day + 7 = a.day
+             |  GROUP BY 1),
+             |nv AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_naive,
+             |    CAST(sum(abs(n - prev_n)) AS BIGINT) AS sum_naive_err
+             |  FROM (SELECT event_type, n,
+             |          lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+             |        FROM c)
+             |  WHERE prev_n IS NOT NULL GROUP BY 1)
+             |SELECT sn.event_type AS event_type, n_scored, sum_abs_err, n_naive, sum_naive_err,
+             |  CASE WHEN sum_naive_err * n_scored = 0 THEN NULL
+             |    ELSE CAST(divide(sum_abs_err * n_naive * 1000000,
+             |         sum_naive_err * n_scored) AS BIGINT) END AS mase_ppm
+             |FROM sn JOIN nv ON nv.event_type = sn.event_type
+             |ORDER BY 1""".stripMargin),
+      doc = "seasonal-naive (lag-7) daily-count backtest with exact " +
+        "integer MAE and a MASE-shaped ppm ratio against the lag-1 " +
+        "naive baseline"))
 }

@@ -213,7 +213,8 @@ class OperatorSpec extends SparkSpec {
       "q102_basket_lift", // crossJoin(broadcast(|brands|-row sizes / 1-row total)) pair grid
       "text_clf_gains",  // crossJoin(broadcast(1-row totals scalar))
       "text_source_overlap", // crossJoin(broadcast(|sources|-row sizes)) pair grid
-      "q99_mannwhitney") // crossJoin(broadcast(|types|-row sizes)) pair grid
+      "q99_mannwhitney", // crossJoin(broadcast(|types|-row sizes)) pair grid
+      "q106_welch_ttest") // crossJoin(broadcast(|types|-row co-moments)) pair grid
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
