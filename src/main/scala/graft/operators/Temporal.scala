@@ -2329,9 +2329,9 @@ object Temporal {
           .filter(col("type_a") < col("type_b"))
         pairs
           .withColumn("va", expr("CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) / " +
-            "(CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))"))
+            "(CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))"))
           .withColumn("vb", expr("CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) / " +
-            "(CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))"))
+            "(CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))"))
           .withColumn("se2", expr("va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)"))
           .withColumn("t", expr("(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
             "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2)"))
@@ -2355,9 +2355,9 @@ object Temporal {
              |  FROM m a CROSS JOIN m b WHERE a.event_type < b.event_type),
              |v AS (SELECT *,
              |    CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) /
-             |      (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
+             |      (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
              |    CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) /
-             |      (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
+             |      (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
              |  FROM p),
              |s AS (SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
              |  FROM v),

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-data proofs for the round-8 frontier/stats batch
+  * (q105_interval_union, q106_welch_ttest, q107_seasonal_naive,
+  * q108_item2item, q109_hits, q110_skyline, q111_l_diversity). Each
+  * test hand-computes the documented closed form on inputs built to hit
+  * the boundary branches the organic-testdata oracle gate cannot
+  * guarantee to exercise: a fully-overlapping vs fully-disjoint interval
+  * pair, the t = 0 equal-means pole and an exact df = 1 Welch pair, a
+  * perfect period-7 series (MASE 0) and a constant series (NULL MASE),
+  * duplicate Pareto points that must co-survive vs equal-price strict
+  * dominance, and the l = 1 attribute-disclosure pole.
+  */
+class FrontierStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toAbsolutePath.toString
+
+  private def mkEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = tmp("graft-frontier-ev")
+    rows.toDF("event_id", "user_id", "es", "event_type", "value")
+      .withColumn("ts", col("es").cast("timestamp"))
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def mkLineitem(dir: String, rows: Seq[(Long, Long, Double, Double)]): Unit =
+    rows.zipWithIndex.map { case ((ok, pk, qty, price), i) =>
+      (ok, pk, 1L, i + 1, qty, price, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(0L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+  test("q105_interval_union: overlapping intervals count once, disjoint " +
+      "intervals add, utilization poles are exact") {
+    // user 1: events at t=0 and t=300 (10-min presence each) — the
+    // second interval starts inside the first: union = 300 + 600 = 900 s
+    // over a 900 s span -> util exactly 1000000 ppm.
+    // user 2: events at t=0 and t=2000 — disjoint: union = 1200 s,
+    // span = 2600 s, util = 1200e6 div 2600 = 461538 (truncating).
+    val dir = mkEvents(Seq(
+      (1L, 1L, 0L, "click", 1.0), (2L, 1L, 300L, "click", 1.0),
+      (3L, 2L, 0L, "click", 1.0), (4L, 2L, 2000L, "click", 1.0)))
+    val out = SparkEntry.queries("q105_interval_union")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((2L, 900L, 900L, 1000000L)),
+      s"overlap must merge: ${out(1L)}")
+    assert(out(2L) == ((2L, 1200L, 2600L, 461538L)),
+      s"disjoint must add: ${out(2L)}")
+  }
+
+  test("q106_welch_ttest: equal means read t = 0, a zero-variance side " +
+      "gives the exact df = n-1 pole, and a planted t = -4 is exact") {
+    // a = {1,2,3} (n 3, mean 200c, var 10000c²), b = {0,4} (n 2,
+    // mean 200c, var 80000c²), c = {10,10,10} (n 3, var 0).
+    // (a,b): t = 0 exactly. (a,c): se2 = 10000/3, t = -800/sqrt(10000/3)
+    // = -13.8564, df = 2.00 exactly (the zero-variance side drops out).
+    // (b,c): se2 = 40000, t = -800/200 = -4.0000, df = 1.00 exactly.
+    val dir = mkEvents(Seq(
+      (1L, 1L, 10L, "a", 1.0), (2L, 1L, 20L, "a", 2.0), (3L, 1L, 30L, "a", 3.0),
+      (4L, 1L, 40L, "b", 0.0), (5L, 1L, 50L, "b", 4.0),
+      (6L, 1L, 60L, "c", 10.0), (7L, 1L, 70L, "c", 10.0), (8L, 1L, 80L, "c", 10.0)))
+    val out = SparkEntry.queries("q106_welch_ttest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(6), r.getDouble(7), r.getBoolean(8))).toMap
+    assert(out(("a", "b")) == ((0.0, 1.17, false)), s"equal means: $out")
+    assert(out(("a", "c")) == ((-13.8564, 2.0, true)), s"df pole: $out")
+    assert(out(("b", "c")) == ((-4.0, 1.0, true)), s"exact t: $out")
+  }
+
+  test("q107_seasonal_naive: a perfect period-7 series scores MASE 0; " +
+      "a constant series yields NULL (naive denominator is zero)") {
+    // type "s7": 14 days, daily counts 1..7 repeated — every lag-7
+    // forecast is exact (sum_abs_err 0 over 7 scored days) while the
+    // lag-1 naive errs 18 over 13 days. type "flat": 9 days of 2
+    // events — both errors 0, so the ppm ratio must be NULL, not 0.
+    val day = 86400L
+    var id = 0L
+    def burst(typ: String, d: Long, k: Int) = (1 to k).map { i =>
+      id += 1; (id, 1L, d * day + i, typ, 1.0)
+    }
+    val dir = mkEvents(
+      (0L to 13L).flatMap(d => burst("s7", d, (d % 7).toInt + 1)) ++
+        (0L to 8L).flatMap(d => burst("flat", d, 2)))
+    val rows = SparkEntry.queries("q107_seasonal_naive")(spark, dir).collect()
+    val out = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(out("s7") == ((7L, 0L, 13L, 18L, Some(0L))),
+      s"period-7 must backtest exactly: ${out("s7")}")
+    assert(out("flat") == ((2L, 0L, 8L, 0L, None)),
+      s"constant series must read NULL MASE: ${out("flat")}")
+  }
+
+  test("q108_item2item: hand-counted cosine ranking over baskets") {
+    // Baskets {A,B}, {A,B}, {A,C}: n_A=3, n_B=2, n_C=1, co(A,B)=2,
+    // co(A,C)=1. cos²(A,B) = 4e6 div 6 = 666666; cos²(A,C) = 1e6 div 3
+    // = 333333. A's rank-1 neighbor must be B, rank-2 C; C sees only A.
+    val dir = tmp("graft-frontier-i2i")
+    mkLineitem(dir, Seq(
+      (1L, 1L, 1.0, 1.0), (1L, 2L, 1.0, 1.0),
+      (2L, 1L, 1.0, 1.0), (2L, 2L, 1.0, 1.0),
+      (3L, 1L, 1.0, 1.0), (3L, 3L, 1.0, 1.0)))
+    val out = SparkEntry.queries("q108_item2item")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out((1L, 1L)) == ((2L, 3L, 2L, 2L, 666666L)), s"$out")
+    assert(out((1L, 2L)) == ((3L, 3L, 1L, 1L, 333333L)), s"$out")
+    assert(out((2L, 1L)) == ((1L, 2L, 3L, 2L, 666666L)), s"$out")
+    assert(out((3L, 1L)) == ((1L, 1L, 3L, 1L, 333333L)), s"$out")
+    assert(out.size == 4, s"exactly four neighbor rows: $out")
+  }
+
+  test("q109_hits: two-superstep mutual reinforcement is hand-exact") {
+    // c1 -> {s1, s2}, c2 -> {s1}. a1 = indegree: s1=2, s2=1.
+    // h1: c1 = 2+1 = 3, c2 = 2. a2: s1 = h1(c1)+h1(c2) = 5, s2 = 3.
+    val dir = tmp("graft-frontier-hits")
+    // (orderkey, suppkey): order 1 (c1) -> s1, order 2 (c1) -> s2,
+    // order 3 (c2) -> s1
+    Seq((1L, 1L), (2L, 2L), (3L, 1L)).zipWithIndex.map { case ((ok, sk), i) =>
+      (ok, 1L, sk, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(0L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L, "O", 1.0, new java.sql.Timestamp(0L), "1-URGENT"),
+      (2L, 10L, "O", 1.0, new java.sql.Timestamp(0L), "1-URGENT"),
+      (3L, 20L, "O", 1.0, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q109_hits")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 5L), (2L, 1L, 3L)),
+      s"authority order must be s1(5), s2(3): ${out.toSeq}")
+  }
+
+  test("q110_skyline: duplicate frontier points co-survive; equal-price " +
+      "strict dominance and cheaper-higher-volume dominance both prune") {
+    // parts (price_c, qty): p1 (100, 5), p4 (100, 5) — identical, both
+    // survive. p6 (100, 4) — equal price, strictly less volume: pruned.
+    // p3 (150, 4) — strictly worse than p1 on both: pruned. p2 (200,
+    // 10), p5 (200, 10) — identical frontier pair, both survive.
+    val dir = tmp("graft-frontier-sky")
+    mkLineitem(dir, Seq(
+      (1L, 1L, 5.0, 1.00), (2L, 4L, 5.0, 1.00), (3L, 6L, 4.0, 1.00),
+      (4L, 3L, 4.0, 1.50), (5L, 2L, 10.0, 2.00), (6L, 5L, 10.0, 2.00)))
+    val out = SparkEntry.queries("q110_skyline")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 100L, 5L), (4L, 100L, 5L),
+      (2L, 200L, 10L), (5L, 200L, 10L)),
+      s"frontier must be exactly p1,p4,p2,p5 in price order: ${out.toSeq}")
+  }
+
+  test("q111_l_diversity: the l = 1 disclosure pole, an even 2-way " +
+      "split, and a 5-value group land in the right bands with exact " +
+      "worst shares") {
+    // nation 1: 3 customers all segment X -> l=1, share 1000000.
+    // nation 2: 2 X + 2 Y -> l=2, share 500000.
+    // nation 3: 5 distinct segments -> l>=5 band, share 200000.
+    val dir = tmp("graft-frontier-ldiv")
+    val rows = (1 to 3).map(i => (i.toLong, 1, "X")) ++
+      Seq((4L, 2, "X"), (5L, 2, "X"), (6L, 2, "Y"), (7L, 2, "Y")) ++
+      Seq("X", "Y", "Z", "W", "V").zipWithIndex.map { case (sg, i) =>
+        ((8 + i).toLong, 3, sg)
+      }
+    rows.map { case (ck, nk, seg) => (ck, s"c$ck", nk, 500.00, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q111_l_diversity")(spark, dir)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("l=1") == ((1L, 3L, 1000000L)), s"$out")
+    assert(out("l=2") == ((1L, 4L, 500000L)), s"$out")
+    assert(out("l>=5") == ((1L, 5L, 200000L)), s"$out")
+    assert(!out.contains("l=3-4"), s"$out")
+  }
+}
