@@ -686,7 +686,71 @@ object Multimodal {
              |FROM h ORDER BY media_id""".stripMargin),
       doc = "perceptual average-hash near-dup over REAL decoded 8×8 " +
         "PNGs: planted duplicate pairs resolve to shared (hi, lo) " +
-        "buckets; closed-form oracle proves the PNG roundtrip"))
+        "buckets; closed-form oracle proves the PNG roundtrip"),
+
+    // Scene-cut detection over the sampled frame stream: per video, an
+    // exact integer frame signature (mean clamped-byte intensity in
+    // milli units — the deterministic stand-in for a pixel-histogram
+    // distance, same honest-stub discipline as StubCodec), a
+    // media-partitioned lag window over frame order, and a cut wherever
+    // the signature jumps ≥ 2000 milli. The Spark plumbing is the real
+    // deliverable: flatMap frame explosion (data-dependent output), a
+    // per-media window (parallel — media_id partitions, never global),
+    // and a bounded per-media rollup. The oracle recomputes frames AND
+    // signatures from the generating text via the same substring
+    // windows, so the byte-slicing arithmetic of sampleFrames is gated
+    // too (mm_frame_sample gates only the window LENGTHS). Swap the
+    // signature map for a real histogram-delta UDF when codec libs
+    // exist; every stage downstream of the map is already the 100 TB
+    // plan.
+    "mm_scene_cut" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val frames = sampleFrames(
+            syntheticMedia(s, d).filter(_.kind == "video"), 1000L)
+          .map(f => (f.media_id, f.frame_idx, f.bytes.length.toLong,
+            f.bytes.foldLeft(0L)((a, b) => a + (b & 0x7f))))
+          .toDF("media_id", "frame_idx", "nbytes", "sig")
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        frames.filter(col("nbytes") > 0L)
+          .withColumn("avg_milli", expr("sig * 1000 div nbytes"))
+          .withColumn("delta",
+            abs(col("avg_milli") - lag(col("avg_milli"), 1).over(w)))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("delta").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+            sum(when(col("delta") >= 2000L, 1L).otherwise(0L)).as("n_cuts"),
+            coalesce(max(col("delta")), lit(0L)).as("max_delta_milli"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, text, length(text) AS len,
+             |    greatest(1, divide(n_chars * 10, 1000)) AS n
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |f AS (SELECT doc_id, text, len, n, greatest(1, divide(len, n)) AS win,
+             |    unnest(range(0, n)) AS fi FROM m),
+             |g AS (SELECT doc_id, fi,
+             |    least(len, (fi + 1) * win) - least(len, fi * win) AS nbytes,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(substring(text,
+             |        CAST(fi * win + 1 AS INT),
+             |        CAST(least(len, (fi + 1) * win) - least(len, fi * win) AS INT)), ''),
+             |        c -> CAST(ascii(c) & 127 AS BIGINT))), (h, c) -> h + c) AS sig
+             |  FROM f),
+             |sg AS (SELECT doc_id, fi, divide(sig * 1000, nbytes) AS avg_milli
+             |  FROM g WHERE nbytes > 0),
+             |l AS (SELECT doc_id, abs(avg_milli -
+             |    lag(avg_milli) OVER (PARTITION BY doc_id ORDER BY fi)) AS delta
+             |  FROM sg)
+             |SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(sum(CASE WHEN delta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+             |  CAST(sum(CASE WHEN delta >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             |  CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta_milli
+             |FROM l GROUP BY 1 ORDER BY media_id""".stripMargin),
+      doc = "scene-cut detection on the sampled frame stream: exact " +
+        "integer frame signatures, media-partitioned lag deltas, " +
+        "cuts at >= 2000 milli jumps — gates sampleFrames' byte " +
+        "slicing content, not just window lengths"))
 
   /** Batched real-WAV decode → exact integer waveform features. A record
     * whose payload fails the chunk walk yields the sentinel row
