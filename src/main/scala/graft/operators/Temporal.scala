@@ -2435,5 +2435,51 @@ object Temporal {
              |ORDER BY 1""".stripMargin),
       doc = "seasonal-naive (lag-7) daily-count backtest with exact " +
         "integer MAE and a MASE-shaped ppm ratio against the lag-1 " +
-        "naive baseline"))
+        "naive baseline"),
+
+    // Q112 — 3-step path mining: the order-2 sequential-pattern read
+    // that q79's Markov transitions (order-1) cannot see — "click >
+    // click > purchase" vs "view > click > purchase" are
+    // indistinguishable in a first-order chain but are the whole point
+    // of a funnel diagnosis. Two leads over the (user)-partitioned
+    // event order build each consecutive type trigram; the global
+    // rollup is bounded by |types|³ (125 here) at any corpus scale, so
+    // the only large operand is the one user-keyed shuffle every
+    // temporal operator shares. Share in exact ppm of all trigrams;
+    // rank by exact count (total tiebreak on the path string).
+    "q112_path_3gram" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tri = tbl(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // ≤ |types|³ rows: rank + total reuse it
+        val tot = tri.agg(sum(col("n")).as("n_tri"))
+        val wr = Window.orderBy(col("n").desc, col("path"))
+        tri.crossJoin(broadcast(tot))
+          .withColumn("share_ppm", expr("n * 1000000 div n_tri"))
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .select(col("rnk"), col("path"), col("n"), col("share_ppm"))
+          .orderBy("rnk")
+      },
+      Some("""WITH tri AS (SELECT event_type || '>' || t2 || '>' || t3 AS path
+             |  FROM (SELECT event_type,
+             |          lead(event_type, 1) OVER (PARTITION BY user_id
+             |            ORDER BY ts, event_id) AS t2,
+             |          lead(event_type, 2) OVER (PARTITION BY user_id
+             |            ORDER BY ts, event_id) AS t3
+             |        FROM events)
+             |  WHERE t3 IS NOT NULL),
+             |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tri FROM c)
+             |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk,
+             |  path, n, CAST(divide(n * 1000000, n_tri) AS BIGINT) AS share_ppm
+             |FROM c CROSS JOIN t ORDER BY rnk""".stripMargin),
+      doc = "order-2 sequential paths (event-type trigrams) per user " +
+        "order: two leads on the user-partitioned window, bounded " +
+        "|types|-cubed rollup, exact ppm shares"))
 }

@@ -214,7 +214,8 @@ class OperatorSpec extends SparkSpec {
       "text_clf_gains",  // crossJoin(broadcast(1-row totals scalar))
       "text_source_overlap", // crossJoin(broadcast(|sources|-row sizes)) pair grid
       "q99_mannwhitney", // crossJoin(broadcast(|types|-row sizes)) pair grid
-      "q106_welch_ttest") // crossJoin(broadcast(|types|-row co-moments)) pair grid
+      "q106_welch_ttest", // crossJoin(broadcast(|types|-row co-moments)) pair grid
+      "q112_path_3gram") // crossJoin(broadcast(1-row trigram-total scalar))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
@@ -230,9 +231,11 @@ class OperatorSpec extends SparkSpec {
       "text_clf_gains",   // 10-row cumulative over the decile AGGREGATE
                           // (fixed size at any corpus scale; the corpus
                           // ranking itself is the distributed prefix-rank)
-      "text_zipf_slope")  // rank window over the already-LIMIT-256 token
+      "text_zipf_slope",  // rank window over the already-LIMIT-256 token
                           // head (TakeOrdered feeds it; fixed 256 rows at
                           // any corpus size)
+      "q112_path_3gram")  // rank window over the |types|³-bounded (≤125)
+                          // trigram rollup, never the event table
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, Sf0001)
       val plan = df.queryExecution.executedPlan.toString
