@@ -1837,7 +1837,94 @@ object TextOps {
              |FROM hist CROSS JOIN tot ORDER BY lg2_bucket""".stripMargin),
       doc = "power-of-2 sequence-length histogram with exact ppm doc/" +
         "token shares — the packing/chunking planner's input; " +
-        "len(bin(n))-1 bucket index, no libm")
+        "len(bin(n))-1 bucket index, no libm"),
+
+    // Greedy set-cover source selection — the data-mixture curation
+    // read ("which 3 sources buy the most vocabulary?") behind corpus
+    // acquisition and dedup-priority decisions. Universe = distinct
+    // token BIGRAMS (the unigram vocab saturates instantly; bigrams are
+    // the cheapest universe where marginal gain still differentiates
+    // sources). Exact greedy: 3 rounds, each one anti-join of the
+    // (source, gram) table against the covered set, a per-source gain
+    // agg, and a ONE-ROW argmax collect (the k-center/MMR control-plane
+    // discipline — K bounded driver reads, never a data-plane
+    // materialization; ties broken by source name). The (source, gram)
+    // table is localCheckpointed once; every round is two shuffles over
+    // it regardless of corpus size. The oracle unrolls the identical 3
+    // rounds as chained CTEs (q55's recurrence-unroll pattern).
+    "q113_source_cover" -> QueryDef(
+      (s, d) => {
+        val sv = tbl(s, d, "documents")
+          .select(col("source"), split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("source"),
+            explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+          .select(col("source"), concat_ws(" ",
+            element_at(col("tk"), col("i")),
+            element_at(col("tk"), col("i") + 1)).as("gram"))
+          .distinct()
+          .localCheckpoint() // 3 greedy rounds + the total re-scan it
+        val vTotal = sv.select("gram").distinct().count()
+        var picked = List.empty[String]
+        var cum = 0L
+        var exhausted = false
+        val rows = (1 to 3).flatMap { r =>
+          if (exhausted) None
+          else {
+            val remaining =
+              if (picked.isEmpty) sv
+              else sv.filter(!col("source").isin(picked: _*))
+                .join(sv.filter(col("source").isin(picked: _*))
+                  .select("gram").distinct(), Seq("gram"), "left_anti")
+            val best = remaining.groupBy("source")
+              .agg(count(lit(1)).as("gain"))
+              .orderBy(col("gain").desc, col("source"))
+              .limit(1).collect() // bounded 1-row argmax per round
+            if (best.isEmpty) { exhausted = true; None } // all grams covered
+            else {
+              picked = best(0).getString(0) :: picked
+              cum += best(0).getLong(1)
+              Some((r.toLong, best(0).getString(0), best(0).getLong(1), cum,
+                cum * 1000000L / vTotal))
+            }
+          }
+        }
+        import s.implicits._
+        rows.toDF("round", "source", "gain", "cum_covered", "cum_ppm")
+          .orderBy("round")
+      },
+      Some("""WITH sv AS (SELECT DISTINCT source,
+             |    list_extract(tk, i) || ' ' || list_extract(tk, i + 1) AS gram
+             |  FROM (SELECT source, tk, unnest(range(1, len(tk))) AS i
+             |        FROM (SELECT source, string_split(text, ' ') AS tk
+             |              FROM documents)
+             |        WHERE len(tk) >= 2)),
+             |tot AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS v FROM sv),
+             |p1 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain
+             |       FROM sv GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+             |c1 AS (SELECT DISTINCT gram FROM sv WHERE source IN (SELECT source FROM p1)),
+             |p2 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM sv
+             |       WHERE source NOT IN (SELECT source FROM p1)
+             |         AND NOT EXISTS (SELECT 1 FROM c1 WHERE c1.gram = sv.gram)
+             |       GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+             |c2 AS (SELECT DISTINCT gram FROM sv
+             |       WHERE source IN (SELECT source FROM p1 UNION ALL SELECT source FROM p2)),
+             |p3 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM sv
+             |       WHERE source NOT IN (SELECT source FROM p1 UNION ALL SELECT source FROM p2)
+             |         AND NOT EXISTS (SELECT 1 FROM c2 WHERE c2.gram = sv.gram)
+             |       GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+             |steps AS (SELECT 1 AS round, source, gain FROM p1
+             |  UNION ALL SELECT 2, source, gain FROM p2
+             |  UNION ALL SELECT 3, source, gain FROM p3)
+             |SELECT CAST(round AS BIGINT) AS round, source, gain,
+             |  CAST(sum(gain) OVER (ORDER BY round
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_covered,
+             |  CAST(divide(sum(gain) OVER (ORDER BY round
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000, v) AS BIGINT) AS cum_ppm
+             |FROM steps CROSS JOIN tot ORDER BY round""".stripMargin),
+      doc = "greedy 3-round set-cover source selection over the bigram " +
+        "universe: anti-join vs covered, per-source gain agg, 1-row " +
+        "argmax per round; oracle unrolls the identical greedy")
   )
 
   /** Continuous sequence packing (see the pack_sequences entry above for

@@ -28,6 +28,16 @@ class FrontierStatsSpec extends SparkSpec {
     dir
   }
 
+  private def mkDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = tmp("graft-frontier-doc")
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   private def mkLineitem(dir: String, rows: Seq[(Long, Long, Double, Double)]): Unit =
     rows.zipWithIndex.map { case ((ok, pk, qty, price), i) =>
       (ok, pk, 1L, i + 1, qty, price, 0.0, 0.0, "N", "O",
@@ -158,6 +168,42 @@ class FrontierStatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 100L, 5L), (4L, 100L, 5L),
       (2L, 200L, 10L), (5L, 200L, 10L)),
       s"frontier must be exactly p1,p4,p2,p5 in price order: ${out.toSeq}")
+  }
+
+  test("q112_path_3gram: overlapping trigrams in one user stream are " +
+      "each counted; ranks and ppm shares are hand-exact") {
+    // user 1 stream a,b,a,b,a -> trigrams (a,b,a), (b,a,b), (a,b,a):
+    // a>b>a n=2 share 666666 rank 1; b>a>b n=1 share 333333 rank 2.
+    val dir = mkEvents(Seq(
+      (1L, 1L, 10L, "a", 1.0), (2L, 1L, 20L, "b", 1.0),
+      (3L, 1L, 30L, "a", 1.0), (4L, 1L, 40L, "b", 1.0),
+      (5L, 1L, 50L, "a", 1.0)))
+    val out = SparkEntry.queries("q112_path_3gram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a>b>a", 2L, 666666L), (2L, "b>a>b", 1L, 333333L)),
+      s"overlapping trigrams must both count: ${out.toSeq}")
+  }
+
+  test("q113_source_cover: greedy picks by marginal gain with name " +
+      "tiebreak; zero-gain sources drop out; exhaustion truncates rounds") {
+    // s1 "a b c d e f" (5 bigrams), s2 "a b c d x y" (5, 2 new after
+    // s1), s3 "e f" (0 new), s4 "p q" (1 new). Universe = 8.
+    // Greedy: s1 (tie with s2 broken by name, gain 5), s2 (+2), s4 (+1).
+    val dir = mkDocs(Seq(
+      (1L, "a b c d e f", "s1"), (2L, "a b c d x y", "s2"),
+      (3L, "e f", "s3"), (4L, "p q", "s4")))
+    val out = SparkEntry.queries("q113_source_cover")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, "s1", 5L, 5L, 625000L),
+      (2L, "s2", 2L, 7L, 875000L), (3L, "s4", 1L, 8L, 1000000L)),
+      s"greedy trace must be exact: ${out.toSeq}")
+    // exhaustion: the second source adds nothing -> one row only
+    val dir2 = mkDocs(Seq((1L, "a b c", "s1"), (2L, "a b", "s2")))
+    val out2 = SparkEntry.queries("q113_source_cover")(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out2.toSeq == Seq((1L, "s1", 2L)),
+      s"covered-out rounds must truncate: ${out2.toSeq}")
   }
 
   test("q111_l_diversity: the l = 1 disclosure pole, an even 2-way " +
