@@ -743,4 +743,53 @@ object Streaming {
   def startMemorySink(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
+
+  /** Streaming order-2 path mining — q112's stateful stream twin: per
+    * user, the state is the LAST TWO events (ts, event_id, type), and
+    * each arriving event that has two predecessors emits one trigram
+    * row — constant state per key regardless of stream length (the
+    * sliding-window-of-2 contract, vs. buffering the whole history).
+    *
+    * Ordering contract: per-user in-order delivery (the reference's
+    * Kafka key-partitioned feed guarantees exactly this). Within a
+    * micro-batch rows are sorted by (ts, event_id); ACROSS batches a
+    * row at or before the state's high-water (ts, event_id) mark is
+    * dropped — which makes at-least-once REDELIVERY idempotent (a
+    * replayed batch emits nothing) and quietly drops genuinely-late
+    * cross-batch stragglers rather than emitting out-of-order trigrams
+    * (documented trade; a late-tolerant variant would watermark+buffer,
+    * the [[intervalJoin]] class). Batch ≡ stream at any split under the
+    * ordered-feed contract is spec-pinned (StreamPathSpec), like
+    * [[ivmJoinIngest]]/[[driftIngest]].
+    *
+    * Scale: state is 2 small tuples per ACTIVE user key; emission is
+    * map-side (no shuffle beyond the groupByKey hash) — the standard
+    * mapGroupsWithState topology at any fan-in. */
+  def pathTrigramIngest(stream: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = stream
+      .select(col("user_id").cast("long").as("u"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id").cast("long").as("eid"),
+        col("event_type").cast("string").as("et"))
+      .as[(Long, Long, Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, String)], (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (u, rows, state: GroupState[List[(Long, Long, String)]]) =>
+          val prev = state.getOption.getOrElse(Nil) // last ≤2, ascending
+          val hw = prev.lastOption.map(p => (p._1, p._2))
+          val news = rows.map(r => (r._2, r._3, r._4)).toVector
+            .sortBy(r => (r._1, r._2))
+            .filter(r => hw.forall(h =>
+              r._1 > h._1 || (r._1 == h._1 && r._2 > h._2)))
+          val all = prev.toVector ++ news
+          val out = (math.max(2, prev.size) until all.size)
+            .map(i => (u, s"${all(i - 2)._3}>${all(i - 1)._3}>${all(i)._3}"))
+          state.update(all.takeRight(2).toList)
+          out.iterator
+      }
+      .toDF("user_id", "path")
+  }
 }
