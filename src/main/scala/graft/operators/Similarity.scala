@@ -1445,6 +1445,102 @@ object Similarity {
              |FROM agg ORDER BY label_a, label_b""".stripMargin),
       doc = "pairwise per-label centroid cosine: exact integer-micro " +
         "coordinate sums (order-independent), float only in the final " +
-        "sqrt/divide on identical integers — bit-stable across engines")
+        "sqrt/divide on identical integers — bit-stable across engines"),
+
+    // Dominant principal component of the embedding corpus by THREE
+    // integer-exact power-iteration steps on the (un-normalized)
+    // covariance — the whitening/drift diagnostic an embedding pipeline
+    // reads before PCA/IVF tuning ("which direction carries the
+    // variance, and how lopsided is it?"). Everything is the q55
+    // recurrence discipline: milli-quantized coordinates (order-
+    // independent 64-bit sums), covariance as n·Σxy − Σx·Σy per (j,k),
+    // a driver-free rescale to ≤1e6 via one in-plan max (sign-safe
+    // truncating div, the q93 CASE idiom), then v ← rescale(C·v) three
+    // times from the all-ones start — both engines replay the identical
+    // integer recurrence, so the oracle unrolls it as chained CTEs.
+    // Scale shape: the only corpus-sized stage is the (vec_id)-keyed
+    // self-join producing d² partial products per row (linear in n,
+    // map-side combinable); everything after the (j,k) agg is a fixed
+    // d² = 4096-row control table (localCheckpointed once). 64-bit
+    // bounds: |m| ≤ ~2e3 milli ⇒ Σxy ≤ 4e6·n — safe to n ≈ 2e12 rows;
+    // past that, quantize coarser (the q55 R0 rescaling note).
+    "sim_pca_power" -> QueryDef(
+      (s, d) => {
+        // sign-safe truncating div (both engines truncate toward zero
+        // only for non-negatives; the CASE makes the negative branch
+        // explicit — q93 discipline)
+        def sdiv(x: String, y: String) =
+          s"CASE WHEN $x >= 0 THEN $x div ($y) ELSE -((-($x)) div ($y)) END"
+        val m = tbl(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long"))))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+            col("col").as("m"))
+        val nRow = m.agg(expr("count(1) div 64").as("n"))
+        val s1 = m.groupBy("j").agg(sum(col("m")).as("s1"))
+        val s2 = m.join(m.select(col("vec_id"), col("j").as("k"),
+            col("m").as("mk")), Seq("vec_id"))
+          .groupBy("j", "k").agg(sum(expr("m * mk")).as("s2"))
+        val cov = s2
+          .join(s1, Seq("j"))
+          .join(s1.select(col("j").as("k"), col("s1").as("s1k")), Seq("k"))
+          .crossJoin(broadcast(nRow))
+          .select(col("j"), col("k"), expr("n * s2 - s1 * s1k").as("cov"))
+          .localCheckpoint() // fixed d² rows; feeds D + 3 iterations
+        val dScale = cov.agg(expr("max(abs(cov)) div 1000000 + 1").as("dd"))
+        val c = cov.crossJoin(broadcast(dScale))
+          .select(col("j"), col("k"), expr(sdiv("cov", "dd")).as("c"))
+          .localCheckpoint() // ≤1e6 entries, reused by every step
+        def step(v: DataFrame): DataFrame = {
+          val mv = c.join(v, Seq("k")).groupBy("j")
+            .agg(sum(expr("c * v")).as("w"))
+          val mx = mv.agg(expr("greatest(max(abs(w)), 1) div 1000000 + 1").as("sc"))
+          mv.crossJoin(broadcast(mx))
+            .select(col("j").as("k"), expr(sdiv("w", "sc")).as("v"))
+        }
+        var v = s1.select(col("j").as("k"), lit(1000000L).as("v"))
+        for (_ <- 1 to 3) v = step(v)
+        cov.filter(col("j") === col("k"))
+          .select(col("j").as("dim"), col("cov").as("var_q"))
+          .join(v.select(col("k").as("dim"), col("v").as("v3")), Seq("dim"))
+          .select(col("dim"), col("var_q"), col("v3"))
+          .orderBy("dim")
+      },
+      Some("""WITH m AS (SELECT vec_id, j,
+             |    CAST(round(CAST(list_extract(embedding, j) AS DOUBLE) * 1000) AS BIGINT) AS m
+             |  FROM (SELECT vec_id, embedding,
+             |          unnest(generate_series(1, len(embedding))) AS j
+             |        FROM embeddings)),
+             |nr AS (SELECT CAST(divide(count(*), 64) AS BIGINT) AS n FROM m),
+             |s1 AS (SELECT j, CAST(sum(m) AS BIGINT) AS s1 FROM m GROUP BY 1),
+             |s2 AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.m * b.m) AS BIGINT) AS s2
+             |  FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+             |cov AS (SELECT s2.j, s2.k, n * s2 - sa.s1 * sb.s1 AS cov
+             |  FROM s2 JOIN s1 sa ON sa.j = s2.j JOIN s1 sb ON sb.j = s2.k
+             |  CROSS JOIN nr),
+             |dd AS (SELECT divide(max(abs(cov)), 1000000) + 1 AS dd FROM cov),
+             |c AS (SELECT j, k, CASE WHEN cov >= 0 THEN divide(cov, dd)
+             |        ELSE -divide(-cov, dd) END AS c
+             |  FROM cov CROSS JOIN dd),
+             |w1 AS (SELECT j, CAST(sum(c * 1000000) AS BIGINT) AS w FROM c GROUP BY 1),
+             |x1 AS (SELECT divide(greatest(max(abs(w)), 1), 1000000) + 1 AS sc FROM w1),
+             |v1 AS (SELECT j AS k, CASE WHEN w >= 0 THEN divide(w, sc)
+             |        ELSE -divide(-w, sc) END AS v FROM w1 CROSS JOIN x1),
+             |w2 AS (SELECT c.j, CAST(sum(c.c * v1.v) AS BIGINT) AS w
+             |  FROM c JOIN v1 ON v1.k = c.k GROUP BY 1),
+             |x2 AS (SELECT divide(greatest(max(abs(w)), 1), 1000000) + 1 AS sc FROM w2),
+             |v2 AS (SELECT j AS k, CASE WHEN w >= 0 THEN divide(w, sc)
+             |        ELSE -divide(-w, sc) END AS v FROM w2 CROSS JOIN x2),
+             |w3 AS (SELECT c.j, CAST(sum(c.c * v2.v) AS BIGINT) AS w
+             |  FROM c JOIN v2 ON v2.k = c.k GROUP BY 1),
+             |x3 AS (SELECT divide(greatest(max(abs(w)), 1), 1000000) + 1 AS sc FROM w3),
+             |v3 AS (SELECT j AS k, CASE WHEN w >= 0 THEN divide(w, sc)
+             |        ELSE -divide(-w, sc) END AS v FROM w3 CROSS JOIN x3)
+             |SELECT cov.j AS dim, cov.cov AS var_q, v3.v AS v3
+             |FROM cov JOIN v3 ON v3.k = cov.j WHERE cov.j = cov.k
+             |ORDER BY dim""".stripMargin),
+      doc = "3-step integer power iteration on the milli-quantized " +
+        "embedding covariance: dominant principal direction + per-dim " +
+        "variance, q55-style recurrence both engines replay bit-for-bit")
   )
 }

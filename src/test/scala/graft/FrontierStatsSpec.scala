@@ -206,6 +206,28 @@ class FrontierStatsSpec extends SparkSpec {
       s"covered-out rounds must truncate: ${out2.toSeq}")
   }
 
+  test("sim_pca_power: a planted two-axis corpus converges onto the " +
+      "dominant axis with the hand-computed integer trace") {
+    // vecs: ±2 on dim 1, ±1 on dim 2 (zero mean both) -> cov diag
+    // (32e6, 8e6, 0...). Hand-unrolled recurrence: dd = 33,
+    // c = (969696, 242424), v1 = (999998, 249999), v2 = (999999, 62499),
+    // v3 = (999999, 15624), all other dims exactly 0.
+    val dir = tmp("graft-frontier-pca")
+    def vec(dim: Int, mag: Float): Array[Float] = {
+      val a = new Array[Float](64); a(dim) = mag; a
+    }
+    Seq((1L, vec(0, 2.0f), 0), (2L, vec(0, -2.0f), 0),
+      (3L, vec(1, 1.0f), 1), (4L, vec(1, -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_pca_power")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((32000000L, 999999L)), s"dominant axis: ${out(1L)}")
+    assert(out(2L) == ((8000000L, 15624L)), s"minor axis decays: ${out(2L)}")
+    assert((3L to 64L).forall(j => out(j) == ((0L, 0L))),
+      s"orthogonal dims must read exactly zero: ${out.toSeq.sortBy(_._1).take(5)}")
+  }
+
   test("q111_l_diversity: the l = 1 disclosure pole, an even 2-way " +
       "split, and a 5-value group land in the right bands with exact " +
       "worst shares") {

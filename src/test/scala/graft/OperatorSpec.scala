@@ -215,7 +215,8 @@ class OperatorSpec extends SparkSpec {
       "text_source_overlap", // crossJoin(broadcast(|sources|-row sizes)) pair grid
       "q99_mannwhitney", // crossJoin(broadcast(|types|-row sizes)) pair grid
       "q106_welch_ttest", // crossJoin(broadcast(|types|-row co-moments)) pair grid
-      "q112_path_3gram") // crossJoin(broadcast(1-row trigram-total scalar))
+      "q112_path_3gram", // crossJoin(broadcast(1-row trigram-total scalar))
+      "sim_pca_power") // crossJoin(broadcast(1-row n / rescale scalars))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
