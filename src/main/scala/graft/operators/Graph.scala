@@ -326,7 +326,76 @@ object Graph {
              |ORDER BY a2 DESC, supp LIMIT 15""".stripMargin),
       doc = "integer-exact 2-superstep HITS on the customer→supplier " +
         "graph: authority = in-degree-weighted mutual reinforcement, " +
-        "one equi-join + hash agg per superstep, top-15 authorities")
+        "one equi-join + hash agg per superstep, top-15 authorities"),
+
+    // Q114 — weighted single-source shortest paths (3-round distributed
+    // Bellman–Ford) from the top-degree hub: the DISTANCE metric the
+    // reach (q77), centrality (q55), and clustering (q66/q87) reads
+    // don't provide — "how tightly is everything coupled to the hub,
+    // edge strength included". Edge weight = 1e6 div co-purchase count
+    // (min 1): heavily-traded relationships are short. Each relaxation
+    // round is one equi-join (edge src → tentative dist) + one
+    // min-groupBy — the textbook distributed SSSP superstep; the edge
+    // list is hash-partitioned once and localCheckpointed (the q55/q77
+    // loop discipline), tentative distances localCheckpoint per round.
+    // All-integer weights/distances, so the oracle unrolls the exact
+    // recurrence (min is idempotent-commutative — no ordering hazard).
+    // Seed = limit-1 dataframe (never a collect); 3 rounds = exact
+    // distances for all paths of ≤3 edges (bounded-hop SSSP, the same
+    // declared truncation as q77's 3-hop reach).
+    "q114_sssp" -> QueryDef(
+      (s, d) => {
+        val co = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .agg(count(lit(1)).as("co"))
+        val e0 = co.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"),
+          greatest(lit(1L), expr("1000000 div co")).as("w"))
+        val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
+            col("w")))
+          .repartition(col("src"))
+          .localCheckpoint() // every relaxation round re-joins it
+        val seed = und.groupBy("src").agg(count(lit(1)).as("dg"))
+          .orderBy(col("dg").desc, col("src")).limit(1)
+          .select(col("src").as("node"))
+        var dist = seed.withColumn("d", lit(0L)).localCheckpoint()
+        for (_ <- 1 to 3) {
+          val relax = und.join(dist, und("src") === dist("node"))
+            .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+          dist = dist.select("node", "d").union(relax)
+            .groupBy("node").agg(min(col("d")).as("d"))
+            .localCheckpoint()
+        }
+        dist.orderBy("d", "node").limit(20)
+      },
+      Some("""WITH co AS (SELECT o_custkey AS c, l_suppkey AS sp,
+             |    CAST(count(*) AS BIGINT) AS co
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |e0 AS (SELECT c * 2 AS src, sp * 2 + 1 AS dst,
+             |    greatest(1, divide(1000000, co)) AS w FROM co),
+             |und AS (SELECT src, dst, w FROM e0
+             |        UNION ALL SELECT dst, src, w FROM e0),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY 1),
+             |seed AS (SELECT src AS node FROM deg ORDER BY dg DESC, src LIMIT 1),
+             |d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seed),
+             |d1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |    SELECT node, d FROM d0 UNION ALL
+             |    SELECT u.dst, d0.d + u.w FROM und u JOIN d0 ON u.src = d0.node)
+             |  GROUP BY 1),
+             |d2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |    SELECT node, d FROM d1 UNION ALL
+             |    SELECT u.dst, d1.d + u.w FROM und u JOIN d1 ON u.src = d1.node)
+             |  GROUP BY 1),
+             |d3 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |    SELECT node, d FROM d2 UNION ALL
+             |    SELECT u.dst, d2.d + u.w FROM und u JOIN d2 ON u.src = d2.node)
+             |  GROUP BY 1)
+             |SELECT node, d FROM d3 ORDER BY d, node LIMIT 20""".stripMargin),
+      doc = "3-round distributed Bellman-Ford from the top-degree hub " +
+        "over inverse-co-purchase-weight edges; integer distances, " +
+        "min-groupBy relaxation supersteps, top-20 nearest")
   )
 
   /** Shared k-NN(3) embedding graph for q66/q87: symmetrized top-3

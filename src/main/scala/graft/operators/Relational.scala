@@ -1887,6 +1887,57 @@ object Relational {
       doc = "l-diversity audit over (nation, balance-band) QI groups " +
         "with mktsegment sensitive: distinct-l bands, worst majority " +
         "share in exact ppm — the attribute-disclosure companion to q100")
+    ,
+
+    // Q115 — return-rate Wilson confidence intervals per brand: the
+    // interval-estimation read every rate dashboard needs and a naive
+    // ±1.96·√(p̂(1−p̂)/n) gets WRONG at small n or extreme p̂ (it
+    // produces negative lower bounds; Wilson never does). Integer layer:
+    // n lines, r returns per brand — exact. Float layer: the Wilson
+    // score bounds from those two integers with z = 1.96 spelled as the
+    // exact decimal constants z² = 3.8416, z²/2 = 1.9208, z²/4 = 0.9604
+    // in BOTH engines (q99 discipline), then OUTWARD integer rounding
+    // (floor(lo·1e6), ceil(hi·1e6)) — conservative ppm bounds and no
+    // float column in the output at all. One scan + partkey join + hash
+    // agg; the pair (n, r) is the sufficient statistic, so the formula
+    // is constant-time per brand at any corpus scale.
+    "q115_wilson_returns" -> QueryDef(
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .join(tbl(s, d, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")), Seq("l_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+          .withColumn("rate_ppm", expr("r * 1000000 div n"))
+          .withColumn("lo_ppm", expr(
+            "CAST(floor(((CAST(r AS DOUBLE) + 1.9208) - 1.96 * " +
+              "sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE) / CAST(n AS DOUBLE) + 0.9604)) " +
+              "/ (CAST(n AS DOUBLE) + 3.8416) * 1000000.0) AS BIGINT)"))
+          .withColumn("hi_ppm", expr(
+            "CAST(ceil(((CAST(r AS DOUBLE) + 1.9208) + 1.96 * " +
+              "sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE) / CAST(n AS DOUBLE) + 0.9604)) " +
+              "/ (CAST(n AS DOUBLE) + 3.8416) * 1000000.0) AS BIGINT)"))
+          .select(col("p_brand"), col("n"), col("r"), col("rate_ppm"),
+            col("lo_ppm"), col("hi_ppm"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH a AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  GROUP BY 1)
+             |SELECT p_brand, n, r,
+             |  CAST(divide(r * 1000000, n) AS BIGINT) AS rate_ppm,
+             |  CAST(floor(((CAST(r AS DOUBLE) + 1.9208) - 1.96 *
+             |    sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE) / CAST(n AS DOUBLE) + 0.9604))
+             |    / (CAST(n AS DOUBLE) + 3.8416) * 1000000.0) AS BIGINT) AS lo_ppm,
+             |  CAST(ceil(((CAST(r AS DOUBLE) + 1.9208) + 1.96 *
+             |    sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE) / CAST(n AS DOUBLE) + 0.9604))
+             |    / (CAST(n AS DOUBLE) + 3.8416) * 1000000.0) AS BIGINT) AS hi_ppm
+             |FROM a ORDER BY p_brand""".stripMargin),
+      doc = "per-brand return-rate Wilson 95% score intervals: exact " +
+        "(n, r) sufficient statistics, identically-spelled float bounds " +
+        "with outward ppm rounding — no float output columns")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

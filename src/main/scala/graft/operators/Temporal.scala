@@ -69,6 +69,17 @@ object Temporal {
         sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** The 7 between-group sum-of-squares terms and the non-empty-group
+    * count for q116, as ONE literal expression string interpolated into
+    * BOTH the Spark plan and the DuckDB oracle — identical float op
+    * order by construction. Declared BEFORE `defs` (the oracle text is
+    * built eagerly at object init — a later val would read null). */
+  private val AnovaSsbTerms: String = (1 to 7).map(g =>
+    s"CASE WHEN n$g > 0 THEN CAST(s$g AS DOUBLE) * CAST(s$g AS DOUBLE) " +
+      s"/ CAST(n$g AS DOUBLE) ELSE 0.0 END").mkString(" + ")
+  private val AnovaKTerms: String = (1 to 7).map(g =>
+    s"CASE WHEN n$g > 0 THEN 1 ELSE 0 END").mkString(" + ")
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q32 — as-of join: each purchase picks up the value of the same
@@ -2481,5 +2492,72 @@ object Temporal {
              |FROM c CROSS JOIN t ORDER BY rnk""".stripMargin),
       doc = "order-2 sequential paths (event-type trigrams) per user " +
         "order: two leads on the user-partitioned window, bounded " +
-        "|types|-cubed rollup, exact ppm shares"))
+        "|types|-cubed rollup, exact ppm shares"),
+
+    // Q116 — one-way ANOVA of spend across ISO weekdays, per event
+    // type: the effect-size read ("does day-of-week explain ANY of the
+    // value variance?") that q84's per-cell anomaly bands can't give —
+    // eta² and the F statistic are the standard gate before shipping a
+    // weekday feature. Integer layer: the dow groups are PIVOTED into
+    // 14 exact per-type sums (n_g, S_g via one conditional hash agg —
+    // never a float sum across groups, whose addend order Spark does
+    // not define). Float layer: the between/total sums of squares as
+    // ONE fixed-order expression over those integers — the 7 terms are
+    // spelled literally (generated from the same Scala string into both
+    // engines, so the IEEE op order is identical by construction, the
+    // q99/q106 discipline), then round(·, 6)/(·, 4). Degenerate guards
+    // (k = 1, zero within-variance) return NULL in both engines. One
+    // scan; the pivot makes the downstream exactly one row per type.
+    "q116_anova_dow" -> QueryDef(
+      (s, d) => {
+        val base = tbl(s, d, "events")
+          .select(col("event_type"),
+            expr("pmod(dayofweek(ts) + 5, 7) + 1").cast("long").as("dow"),
+            cents(col("value")).as("c"))
+        val aggs =
+          Seq(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+            sum(expr("c * c")).as("ssx")) ++
+          (1 to 7).flatMap(g => Seq(
+            sum(when(col("dow") === g, 1L).otherwise(0L)).as(s"n$g"),
+            sum(when(col("dow") === g, col("c")).otherwise(0L)).as(s"s$g")))
+        base.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+          .withColumn("k", expr(AnovaKTerms).cast("long"))
+          .withColumn("ssb", expr(s"($AnovaSsbTerms) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("sst", expr("CAST(ssx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("eta2_6",
+            expr("CASE WHEN sst > 0 THEN round(ssb / sst, 6) ELSE NULL END"))
+          .withColumn("f4", expr(
+            "CASE WHEN k > 1 AND n > k AND sst - ssb > 0 " +
+              "THEN round((ssb / CAST(k - 1 AS DOUBLE)) / " +
+              "((sst - ssb) / CAST(n - k AS DOUBLE)), 4) ELSE NULL END"))
+          .select(col("event_type"), col("n"), col("k"),
+            col("eta2_6"), col("f4"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH b AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+             |p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c*c) AS BIGINT) AS ssx,
+             |${(1 to 7).map(g =>
+        s"    CAST(sum(CASE WHEN dow = $g THEN 1 ELSE 0 END) AS BIGINT) AS n$g,\n" +
+        s"    CAST(sum(CASE WHEN dow = $g THEN c ELSE 0 END) AS BIGINT) AS s$g")
+        .mkString(",\n")}
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT event_type, n, CAST($AnovaKTerms AS BIGINT) AS k,
+             |    ($AnovaSsbTerms) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+             |    CAST(ssx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+             |  FROM p)
+             |SELECT event_type, n, k,
+             |  CASE WHEN sst > 0 THEN round(ssb / sst, 6) ELSE NULL END AS eta2_6,
+             |  CASE WHEN k > 1 AND n > k AND sst - ssb > 0
+             |    THEN round((ssb / CAST(k - 1 AS DOUBLE)) /
+             |         ((sst - ssb) / CAST(n - k AS DOUBLE)), 4) ELSE NULL END AS f4
+             |FROM t ORDER BY event_type""".stripMargin),
+      doc = "one-way weekday ANOVA per event type: pivoted exact integer " +
+        "group sums, fixed-order shared-spelling float SS expression, " +
+        "eta-squared and F with NULL degenerate guards"))
 }

@@ -206,6 +206,104 @@ class FrontierStatsSpec extends SparkSpec {
       s"covered-out rounds must truncate: ${out2.toSeq}")
   }
 
+  test("q114_sssp: hand-built weighted graph — seed is the tie-broken " +
+      "top-degree node, distances relax through the cheap edge") {
+    // custs 10, 20 -> nodes 20, 40; supps 1, 2 -> nodes 3, 5.
+    // co(10,1)=4 -> w 250000; co(10,2)=1 -> w 1e6; co(20,2)=2 -> w 5e5.
+    // degrees: node20=2, node5=2, node3=1, node40=1 -> seed = node 5
+    // (deg tie with 20, lower id). d: 5->0, 40->5e5 (via c20),
+    // 20->1e6, 3->1.25e6 (5 -> 20 -> 3 beats nothing else).
+    val dir = tmp("graft-frontier-sssp")
+    val lines = Seq.fill(4)((1L, 1L)) ++ Seq((1L, 2L)) ++ Seq.fill(2)((2L, 2L))
+    lines.zipWithIndex.map { case ((ok, sk), i) =>
+      (ok, 1L, sk, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(0L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L, "O", 1.0, new java.sql.Timestamp(0L), "1-URGENT"),
+      (2L, 20L, "O", 1.0, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q114_sssp")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((5L, 0L), (40L, 500000L), (20L, 1000000L),
+      (3L, 1250000L)), s"distances must relax exactly: ${out.toSeq}")
+  }
+
+  test("q115_wilson_returns: exact sufficient statistics; Wilson bounds " +
+      "bracket the rate, stay in [0, 1e6] poles outward-rounded") {
+    val dir = tmp("graft-frontier-wilson")
+    Seq((1L, "pA", "A", "t", 1, 1.0), (2L, "pB", "B", "t", 1, 1.0),
+      (3L, "pC", "C", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // A: 1 return of 4; B: 0 of 3; C: 2 of 2
+    val rows = Seq((1L, "R"), (1L, "N"), (1L, "N"), (1L, "N"),
+      (2L, "N"), (2L, "N"), (2L, "N"), (3L, "R"), (3L, "R"))
+    rows.zipWithIndex.map { case ((pk, rf), i) =>
+      (100L + i, pk, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, rf, "O",
+        new java.sql.Timestamp(0L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q115_wilson_returns")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("A")._1 == 4L && out("A")._2 == 1L && out("A")._3 == 250000L, s"$out")
+    assert(out("B")._3 == 0L && out("C")._3 == 1000000L, s"$out")
+    out.foreach { case (b, (n, r, rate, lo, hi)) =>
+      assert(lo <= rate && rate <= hi, s"$b: bounds must bracket the rate: $out")
+      assert(lo >= -1L && hi <= 1000001L, // outward ppm rounding slack
+        s"$b: Wilson never leaves [0,1] beyond rounding: $out")
+      assert(hi - lo < 1000000L || n < 2,
+        s"$b: interval must be informative: $out")
+    }
+    // tighter with more data: same rate 1/4 vs 25/100
+    val dir2 = tmp("graft-frontier-wilson2")
+    Seq((1L, "pA", "A", "t", 1, 1.0), (2L, "pB", "B", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/part.parquet")
+    val r2 = (0 until 4).map(i => (1L, if (i < 1) "R" else "N")) ++
+      (0 until 100).map(i => (2L, if (i < 25) "R" else "N"))
+    r2.zipWithIndex.map { case ((pk, rf), i) =>
+      (100L + i, pk, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, rf, "O",
+        new java.sql.Timestamp(0L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val o2 = SparkEntry.queries("q115_wilson_returns")(spark, dir2)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(o2("B")._2 - o2("B")._1 < o2("A")._2 - o2("A")._1,
+      s"25/100 must be tighter than 1/4: $o2")
+  }
+
+  test("q116_anova_dow: zero within-variance reads eta2 = 1 with NULL F; " +
+      "identical weekday distributions read eta2 = 0, F = 0") {
+    // UTC epoch day 4 = Mon 1970-01-05, day 5 = Tue. type "sep": Mon all
+    // 1.00, Tue all 3.00 -> ssw = 0: eta2 exactly 1, F guarded NULL.
+    // type "same": both days {1.00, 3.00} -> ssb = 0: eta2 0, F 0.
+    val day = 86400L
+    val dir = mkEvents(
+      (1 to 3).map(i => (i.toLong, 1L, 4 * day + i, "sep", 1.0)) ++
+        (4 to 6).map(i => (i.toLong, 1L, 5 * day + i, "sep", 3.0)) ++
+        Seq((7L, 1L, 4 * day + 7, "same", 1.0), (8L, 1L, 4 * day + 8, "same", 3.0),
+          (9L, 1L, 5 * day + 9, "same", 1.0), (10L, 1L, 5 * day + 10, "same", 3.0)))
+    val out = SparkEntry.queries("q116_anova_dow")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out("sep") == ((6L, 2L, Some(1.0), None)),
+      s"separated poles: ${out("sep")}")
+    assert(out("same") == ((4L, 2L, Some(0.0), Some(0.0))),
+      s"no-effect pole: ${out("same")}")
+  }
+
   test("sim_pca_power: a planted two-axis corpus converges onto the " +
       "dominant axis with the hand-computed integer trace") {
     // vecs: ±2 on dim 1, ±1 on dim 2 (zero mean both) -> cov diag
