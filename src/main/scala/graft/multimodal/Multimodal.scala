@@ -750,7 +750,93 @@ object Multimodal {
       doc = "scene-cut detection on the sampled frame stream: exact " +
         "integer frame signatures, media-partitioned lag deltas, " +
         "cuts at >= 2000 milli jumps — gates sampleFrames' byte " +
-        "slicing content, not just window lengths"))
+        "slicing content, not just window lengths"),
+
+    // Voice-activity detection over the REAL decoded PCM stream: fixed
+    // 32-sample energy windows (last window partial, thresholded by its
+    // OWN length), then a gaps-and-islands pass for the longest active
+    // run — the clip-segmentation primitive an audio curation pipeline
+    // runs before transcription ("is there speech, and in how long a
+    // stretch?"). The decode is the genuine WavCodec chunk walk (header
+    // arithmetic gated, not stubbed); windows/islands are ordinary
+    // media-partitioned Spark windows — parallel at any corpus scale;
+    // the oracle recomputes everything from the generating recurrence,
+    // so encode∘decode∘window∘threshold∘islands is proven end-to-end.
+    // All integer: energies are Σs² ≤ 32·32768² per window.
+    "mm_audio_vad" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = audioEnergyWindows(syntheticWav(s, d))
+          .toDF("media_id", "win_idx", "n_in_win", "energy")
+          .withColumn("active",
+            when(col("energy") >= col("n_in_win") * 33400000L, 1L).otherwise(0L))
+        val wOrd = Window.partitionBy("media_id").orderBy("win_idx")
+        val runs = w
+          .withColumn("inact_cum", sum(lit(1L) - col("active")).over(wOrd))
+          .filter(col("active") === 1L)
+          .groupBy("media_id", "inact_cum").agg(count(lit(1)).as("run"))
+          .groupBy("media_id").agg(max(col("run")).as("max_run"))
+        w.groupBy("media_id")
+          .agg(count(lit(1)).as("n_win"), sum(col("active")).as("n_active"),
+            sum(col("energy")).as("total_energy"))
+          .join(runs, Seq("media_id"), "left")
+          .withColumn("max_run", coalesce(col("max_run"), lit(0L)))
+          .withColumn("active_ppm", expr("n_active * 1000000 div n_win"))
+          .select(col("media_id"), col("n_win"), col("n_active"),
+            col("active_ppm"), col("max_run"), col("total_energy"))
+          .orderBy("media_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, (n_chars % 200) + 16 AS n
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |v AS (SELECT doc_id, divide(i, 32) AS wi,
+             |    ((doc_id * 7919 + i * 104729) % 20011) - 10005 AS s
+             |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+             |        FROM a)),
+             |w AS (SELECT doc_id, wi, CAST(count(*) AS BIGINT) AS n_in_win,
+             |    CAST(sum(s * s) AS BIGINT) AS energy
+             |  FROM v GROUP BY 1, 2),
+             |f AS (SELECT doc_id, wi, energy,
+             |    CASE WHEN energy >= n_in_win * 33400000 THEN 1 ELSE 0 END AS active
+             |  FROM w),
+             |c AS (SELECT doc_id, wi, active,
+             |    sum(1 - active) OVER (PARTITION BY doc_id ORDER BY wi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inact_cum
+             |  FROM f),
+             |runs AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS max_run FROM (
+             |    SELECT doc_id, inact_cum, count(*) AS run FROM c
+             |    WHERE active = 1 GROUP BY 1, 2) GROUP BY 1),
+             |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win,
+             |    CAST(sum(active) AS BIGINT) AS n_active,
+             |    CAST(sum(energy) AS BIGINT) AS total_energy
+             |  FROM f GROUP BY 1)
+             |SELECT g.doc_id AS media_id, n_win, n_active,
+             |  CAST(divide(n_active * 1000000, n_win) AS BIGINT) AS active_ppm,
+             |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_run, total_energy
+             |FROM g LEFT JOIN runs ON runs.doc_id = g.doc_id
+             |ORDER BY media_id""".stripMargin),
+      doc = "energy-window VAD over real-decoded PCM: 32-sample exact " +
+        "integer energies, per-length threshold, gaps-and-islands " +
+        "longest active run — closed-form oracle proves the full chain"))
+
+  /** Per-window PCM energies of real-decoded audio (fixed `winLen`
+    * samples, last window partial): (media_id, win_idx, n_in_win,
+    * Σ s²). Batched mapPartitions like [[decodeAudio]]; a payload that
+    * fails the chunk walk yields the loud sentinel (media_id, -1, 0,
+    * -1) — decode failures must be visible, never dropped. */
+  def audioEnergyWindows(ds: Dataset[MediaRecord], winLen: Int = 32,
+      batchSize: Int = DefaultBatchSize): Dataset[(Long, Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+      WavCodec.decodePcm16(r.bytes) match {
+        case Some((_, pcm)) =>
+          pcm.grouped(winLen).zipWithIndex.map { case (w, wi) =>
+            (r.media_id, wi.toLong, w.length.toLong,
+              w.foldLeft(0L)((a, s) => a + s.toLong * s.toLong))
+          }
+        case None => Iterator.single((r.media_id, -1L, 0L, -1L))
+      }
+    }))
+  }
 
   /** Batched real-WAV decode → exact integer waveform features. A record
     * whose payload fails the chunk walk yields the sentinel row
