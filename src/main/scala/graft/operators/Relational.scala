@@ -1937,7 +1937,157 @@ object Relational {
              |FROM a ORDER BY p_brand""".stripMargin),
       doc = "per-brand return-rate Wilson 95% score intervals: exact " +
         "(n, r) sufficient statistics, identically-spelled float bounds " +
-        "with outward ppm rounding — no float output columns")
+        "with outward ppm rounding — no float output columns"),
+
+    // Q117 — fulfillment-latency SLA by priority: the order-date →
+    // ship-date gap distribution per order priority — the operational
+    // read behind "does URGENT actually ship faster?", and the
+    // cross-table sibling of q103's within-stream dwell time. Exact
+    // integer day gaps (datediff on dates — no epoch arithmetic to
+    // drift), the q31-proven percentile↔quantile_cont pairing on
+    // integers, mean in exact milli-days. One orderkey equi-join + a
+    // bounded per-priority rollup; the join carries only three pruned
+    // columns at any corpus scale.
+    "q117_ship_latency" -> QueryDef(
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_shipdate").cast("date").as("ship_day"))
+          .join(tbl(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderpriority"),
+            col("o_orderdate").cast("date").as("order_day")), Seq("o_orderkey"))
+          .withColumn("lag_days", datediff(col("ship_day"), col("order_day"))
+            .cast("long"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            min(col("lag_days")).as("min_d"),
+            expr("percentile(lag_days, 0.5)").as("p50_d"),
+            expr("percentile(lag_days, 0.9)").as("p90_d"),
+            max(col("lag_days")).as("max_d"),
+            expr("sum(lag_days) * 1000 div count(1)").as("mean_milli"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH j AS (SELECT o_orderpriority,
+             |    CAST(divide(epoch_us(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP))
+             |      - epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)),
+             |      86400000000) AS BIGINT) AS lag_days
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+             |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(lag_days) AS BIGINT) AS min_d,
+             |  quantile_cont(lag_days, 0.5) AS p50_d,
+             |  quantile_cont(lag_days, 0.9) AS p90_d,
+             |  CAST(max(lag_days) AS BIGINT) AS max_d,
+             |  CAST(divide(sum(lag_days) * 1000, count(*)) AS BIGINT) AS mean_milli
+             |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      doc = "order-to-ship latency distribution per priority: exact " +
+        "integer day gaps, q31-proven percentile pairing, milli mean"),
+
+    // Q118 — Lorenz curve of customer revenue: cumulative revenue share
+    // by customer spend decile — the 80/20 concentration read q86's
+    // Gini scalar summarizes but cannot show ("which decile carries the
+    // mass?"). The corpus-wide ranking is the DISTRIBUTED two-pass
+    // prefix-rank ([[graft.Qh.globalRowNumber]], spend-ascending with
+    // custkey tiebreak) + exact [[graft.Qh.ntileFromRn]] — never an
+    // unpartitioned ntile; the cumulative window then runs over the
+    // 10-row decile AGGREGATE (fixed size at any corpus scale, the
+    // text_clf_gains discipline). All integers: cents, ppm shares.
+    "q118_lorenz_revenue" -> QueryDef(
+      (s, d) => {
+        val spend = tbl(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("cents"))
+          .localCheckpoint() // bounds pass + ranked pass reuse it
+        val ranked = globalRowNumber(spend, col("cents"), col("o_custkey"), "rn")
+        val dec = ranked.df
+          .withColumn("decile", ntileFromRn("rn", ranked.n, 10L))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+        val w = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = dec.agg(sum(col("cents")).as("t"))
+        dec.crossJoin(broadcast(tot))
+          .withColumn("cum_cents", sum(col("cents")).over(w))
+          .withColumn("cum_ppm", expr("cum_cents * 1000000 div t"))
+          .select(col("decile"), col("n_customers"), col("cents"),
+            col("cum_ppm"))
+          .orderBy("decile")
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents,
+             |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+             |  FROM spend),
+             |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             |    CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM r GROUP BY 1),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM d)
+             |SELECT decile, n_customers, cents,
+             |  CAST(divide(sum(cents) OVER (ORDER BY decile
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000, t)
+             |    AS BIGINT) AS cum_ppm
+             |FROM d CROSS JOIN t ORDER BY decile""".stripMargin),
+      doc = "customer-revenue Lorenz deciles via the distributed " +
+        "prefix-rank; cumulative ppm over the 10-row aggregate — the " +
+        "distributional face of q86's Gini"),
+
+    // Q119 — hierarchical contribution drilldown: revenue by region →
+    // nation → market segment with exact share-of-parent at every
+    // level — the drilldown tree a BI layer renders, materialized as
+    // one leaf-grain table (q13's rollup gives level TOTALS; this
+    // gives each node's weight INSIDE its parent, which is what a
+    // treemap actually needs). One fact scan, three broadcast dim
+    // joins, one hash agg to the bounded (region, nation, segment)
+    // grain, then three partitioned window sums over that bounded
+    // table — no unpartitioned anything, parallel at any fact scale.
+    "q119_contribution_tree" -> QueryDef(
+      (s, d) => {
+        val leaf = tbl(s, d, "orders")
+          .join(tbl(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey"), col("c_mktsegment")), Seq("o_custkey"))
+          .join(broadcast(tbl(s, d, "nation").select(
+            col("n_nationkey").as("c_nationkey"), col("n_name"),
+            col("n_regionkey"))), Seq("c_nationkey"))
+          .join(broadcast(tbl(s, d, "region").select(
+            col("r_regionkey").as("n_regionkey"), col("r_name"))),
+            Seq("n_regionkey"))
+          .groupBy(col("r_name"), col("n_name"), col("c_mktsegment"))
+          .agg(sum(cents(col("o_totalprice"))).as("cents"))
+        val wN = Window.partitionBy("r_name", "n_name")
+        val wR = Window.partitionBy("r_name")
+        val wT = Window.partitionBy()
+        leaf
+          .withColumn("nation_cents", sum(col("cents")).over(wN))
+          .withColumn("region_cents", sum(col("cents")).over(wR))
+          .withColumn("total_cents", sum(col("cents")).over(wT))
+          .withColumn("share_nation_ppm", expr("cents * 1000000 div nation_cents"))
+          .withColumn("share_region_ppm", expr("nation_cents * 1000000 div region_cents"))
+          .withColumn("share_total_ppm", expr("region_cents * 1000000 div total_cents"))
+          .select(col("r_name"), col("n_name"), col("c_mktsegment"),
+            col("cents"), col("share_nation_ppm"), col("share_region_ppm"),
+            col("share_total_ppm"))
+          .orderBy("r_name", "n_name", "c_mktsegment")
+      },
+      Some("""WITH leaf AS (SELECT r_name, n_name, c_mktsegment,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation ON n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey
+             |  GROUP BY 1, 2, 3),
+             |w AS (SELECT r_name, n_name, c_mktsegment, cents,
+             |    sum(cents) OVER (PARTITION BY r_name, n_name) AS nation_cents,
+             |    sum(cents) OVER (PARTITION BY r_name) AS region_cents,
+             |    sum(cents) OVER () AS total_cents
+             |  FROM leaf)
+             |SELECT r_name, n_name, c_mktsegment, cents,
+             |  CAST(divide(cents * 1000000, nation_cents) AS BIGINT) AS share_nation_ppm,
+             |  CAST(divide(nation_cents * 1000000, region_cents) AS BIGINT) AS share_region_ppm,
+             |  CAST(divide(region_cents * 1000000, total_cents) AS BIGINT) AS share_total_ppm
+             |FROM w ORDER BY r_name, n_name, c_mktsegment""".stripMargin),
+      doc = "region→nation→segment contribution tree: leaf-grain exact " +
+        "cents with share-of-parent ppm at all three levels via " +
+        "partitioned window sums over the bounded dimension grain")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

@@ -304,6 +304,81 @@ class FrontierStatsSpec extends SparkSpec {
       s"no-effect pole: ${out("same")}")
   }
 
+  test("q117_ship_latency: hand-computed lag distribution incl. the " +
+      "interpolated p90 and exact milli mean") {
+    // URGENT: lags {1, 2, 3} days -> p50 = 2.0, p90 = 2.8 (quantile_cont
+    // interpolation), mean 2000 milli. LOW: single lag {5}.
+    val dir = tmp("graft-frontier-lat")
+    def day(n: Int) = new java.sql.Timestamp(n.toLong * 86400000L)
+    Seq((1L, 1L, "O", 1.0, day(0), "1-URGENT"),
+      (2L, 1L, "O", 1.0, day(10), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1), (1L, 2), (1L, 3), (2L, 15)).zipWithIndex.map {
+      case ((ok, shipDay), i) =>
+        (ok, 1L, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day(shipDay))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q117_ship_latency")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // 2.8000000000000003 is THE IEEE double of the {1,2,3} p90
+    // interpolation (1 + 0.9·2) — the q31/q103-pinned engine-shared value
+    assert(out("1-URGENT") == ((3L, 1L, 2.0, 2.8000000000000003, 3L, 2000L)),
+      s"urgent lags: ${out("1-URGENT")}")
+    assert(out("5-LOW") == ((1L, 5L, 5.0, 5.0, 5L, 5000L)),
+      s"single lag: ${out("5-LOW")}")
+  }
+
+  test("q118_lorenz_revenue: 20 linear spenders give the closed-form " +
+      "cumulative curve ending at exactly 1e6") {
+    // customer k spends k dollars -> decile d holds customers 2d-1, 2d
+    // with (4d-1)·100 cents; cum(d) = (2d² + d)·100; total 21000.
+    val dir = tmp("graft-frontier-lorenz")
+    (1 to 20).map(k => (k.toLong, k.toLong, "O", k.toDouble,
+        new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q118_lorenz_revenue")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (1 to 10).map { d =>
+      (d.toLong, 2L, (4L * d - 1) * 100L,
+        (2L * d * d + d) * 100L * 1000000L / 21000L)
+    }
+    assert(out.toSeq == expected, s"Lorenz curve must be closed-form: ${out.toSeq}")
+    assert(out.last._4 == 1000000L, "curve must end at exactly 1e6 ppm")
+  }
+
+  test("q119_contribution_tree: three-level shares multiply back to the " +
+      "planted totals") {
+    // R1 { N1 { A 1.00, B 3.00 }, N2 { A 6.00 } }: A@N1 250000 of N1,
+    // N1 400000 of R1, R1 1000000 of total.
+    val dir = tmp("graft-frontier-tree")
+    Seq((1, "R1")).toDF("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1, "N1", 1), (2, "N2", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "c1", 1, 0.0, "A"), (2L, "c2", 1, 0.0, "B"), (3L, "c3", 2, 0.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 1.00), (2L, 2L, 3.00), (3L, 3L, 6.00)).map { case (ok, ck, v) =>
+      (ok, ck, "O", v, new java.sql.Timestamp(0L), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q119_contribution_tree")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(("R1", "N1", "A")) == ((100L, 250000L, 400000L, 1000000L)), s"$out")
+    assert(out(("R1", "N1", "B")) == ((300L, 750000L, 400000L, 1000000L)), s"$out")
+    assert(out(("R1", "N2", "A")) == ((600L, 1000000L, 600000L, 1000000L)), s"$out")
+  }
+
   test("sim_pca_power: a planted two-axis corpus converges onto the " +
       "dominant axis with the hand-computed integer trace") {
     // vecs: ±2 on dim 1, ±1 on dim 2 (zero mean both) -> cov diag

@@ -216,7 +216,8 @@ class OperatorSpec extends SparkSpec {
       "q99_mannwhitney", // crossJoin(broadcast(|types|-row sizes)) pair grid
       "q106_welch_ttest", // crossJoin(broadcast(|types|-row co-moments)) pair grid
       "q112_path_3gram", // crossJoin(broadcast(1-row trigram-total scalar))
-      "sim_pca_power") // crossJoin(broadcast(1-row n / rescale scalars))
+      "sim_pca_power", // crossJoin(broadcast(1-row n / rescale scalars))
+      "q118_lorenz_revenue") // crossJoin(broadcast(1-row revenue-total scalar))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
@@ -235,8 +236,14 @@ class OperatorSpec extends SparkSpec {
       "text_zipf_slope",  // rank window over the already-LIMIT-256 token
                           // head (TakeOrdered feeds it; fixed 256 rows at
                           // any corpus size)
-      "q112_path_3gram")  // rank window over the |types|³-bounded (≤125)
+      "q112_path_3gram",  // rank window over the |types|³-bounded (≤125)
                           // trigram rollup, never the event table
+      "q118_lorenz_revenue", // 10-row cumulative over the decile AGGREGATE
+                          // (the corpus ranking is the distributed
+                          // prefix-rank, text_clf_gains discipline)
+      "q119_contribution_tree") // sum() OVER () runs on the bounded
+                          // (region×nation×segment) dimension grain,
+                          // never the fact table
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, Sf0001)
       val plan = df.queryExecution.executedPlan.toString
