@@ -2559,5 +2559,52 @@ object Temporal {
              |FROM t ORDER BY event_type""".stripMargin),
       doc = "one-way weekday ANOVA per event type: pivoted exact integer " +
         "group sums, fixed-order shared-spelling float SS expression, " +
-        "eta-squared and F with NULL degenerate guards"))
+        "eta-squared and F with NULL degenerate guards"),
+
+    // Q120 — DAU/MAU stickiness: the canonical engagement ratio ("what
+    // fraction of the monthly audience shows up on a given day"),
+    // composing the exact daily-active rollup with a rolling 28-day
+    // distinct via q38's contribution-explode — a user active on day d
+    // contributes presence to days d..d+27, so the rolling distinct is
+    // ONE groupBy, never a window-distinct (which Spark can't do) and
+    // never a 28-way self-join. Presence rows are (user, day)-distinct
+    // FIRST, so the explode is bounded by 28 × active-user-days — linear
+    // in the corpus, shuffle-keyed by day. Exact integers; ratio in ppm
+    // (DAU ⊆ MAU by construction, so the div is safe and ≤ 1e6).
+    "q120_stickiness" -> QueryDef(
+      (s, d) => {
+        val pres = tbl(s, d, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+          .distinct()
+          .localCheckpoint() // DAU + MAU explode + day-domain reuse it
+        val days = pres.select(col("d").as("day")).distinct()
+        val dau = pres.groupBy(col("d").as("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val mau = pres.select(col("user_id"),
+            explode(expr("sequence(d, date_add(d, 27))")).as("day"))
+          .join(days, Seq("day"), "left_semi")
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, Seq("day"))
+          .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
+          .select(col("day"), col("dau"), col("mau"), col("stickiness_ppm"))
+          .orderBy("day")
+      },
+      Some("""WITH pres AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+             |days AS (SELECT DISTINCT d AS day FROM pres),
+             |dau AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+             |        FROM pres GROUP BY 1),
+             |contrib AS (SELECT user_id, d + CAST(i AS INTEGER) AS day
+             |            FROM (SELECT user_id, d, unnest(generate_series(0, 27)) AS i
+             |                  FROM pres)),
+             |mau AS (SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+             |        FROM contrib c JOIN days ON days.day = c.day GROUP BY 1)
+             |SELECT dau.day AS day, dau, mau,
+             |  CAST(divide(dau * 1000000, mau) AS BIGINT) AS stickiness_ppm
+             |FROM dau JOIN mau ON mau.day = dau.day
+             |ORDER BY 1""".stripMargin),
+      doc = "DAU/MAU stickiness per day: exact rolling 28-day distinct " +
+        "via contribution-explode (no window-distinct, no self-join), " +
+        "ppm ratio — the q38 pattern at engagement-dashboard scale"))
 }

@@ -379,6 +379,24 @@ class FrontierStatsSpec extends SparkSpec {
     assert(out(("R1", "N2", "A")) == ((600L, 1000000L, 600000L, 1000000L)), s"$out")
   }
 
+  test("q120_stickiness: 28-day contribution windows expire exactly — " +
+      "hand-computed DAU/MAU poles") {
+    // u1 active days 1 & 30, u2 day 1 only, u3 day 5 only.
+    // day 1: DAU 2 / MAU 2 -> 1e6. day 5: DAU 1 / MAU {u1,u2,u3} = 3
+    // -> 333333. day 30: u2's day-1 presence expired (1+27 < 30), u3's
+    // day-5 presence still live (5+27 ≥ 30): DAU 1 / MAU 2 -> 500000.
+    val day = 86400L
+    val dir = mkEvents(Seq(
+      (1L, 1L, 1 * day, "click", 1.0), (2L, 1L, 30 * day, "click", 1.0),
+      (3L, 2L, 1 * day + 9, "click", 1.0), (4L, 3L, 5 * day + 3, "click", 1.0)))
+    val out = SparkEntry.queries("q120_stickiness")(spark, dir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("1970-01-02") == ((2L, 2L, 1000000L)), s"$out")
+    assert(out("1970-01-06") == ((1L, 3L, 333333L)), s"$out")
+    assert(out("1970-01-31") == ((1L, 2L, 500000L)), s"$out")
+  }
+
   test("sim_pca_power: a planted two-axis corpus converges onto the " +
       "dominant axis with the hand-computed integer trace") {
     // vecs: ±2 on dim 1, ±1 on dim 2 (zero mean both) -> cov diag
