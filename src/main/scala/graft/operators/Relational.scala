@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Qh}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2087,7 +2087,66 @@ object Relational {
              |FROM w ORDER BY r_name, n_name, c_mktsegment""".stripMargin),
       doc = "region→nation→segment contribution tree: leaf-grain exact " +
         "cents with share-of-parent ppm at all three levels via " +
-        "partitioned window sums over the bounded dimension grain")
+        "partitioned window sums over the bounded dimension grain"),
+
+    // Q121 — join-key skew audit: per candidate join/shuffle key, the
+    // multiplicity profile that decides whether a plain hash join is
+    // safe or the Skew.scala salting path is needed — the measurement
+    // that LICENSES the skew mitigation family the way sim_ann_recall
+    // licenses the ANN parameters. Per edge: rows N, distinct keys K,
+    // max multiplicity, mean multiplicity in exact milli (N·1000 div
+    // K), and the skew factor max/mean as max·K·1000 div N — a
+    // hash-partitioned join's worst task is ~skew_x_milli/1000× the
+    // average task, so skew_x ≫ cpu-count·1000 means salt. Each edge is
+    // one two-level hash agg (key rollup then 1-row summary — fully
+    // map-side combinable); the six summaries union into a bounded
+    // verdict table. event_type is the deliberate pathological row
+    // (K = 5): the audit must SHOW the disaster, not hide it.
+    "q121_join_skew" -> QueryDef(
+      (s, d) => {
+        def edge(name: String, df: DataFrame, key: String) = df
+          .groupBy(col(key).cast("string").as("k"))
+          .agg(count(lit(1)).as("m"))
+          .agg(sum(col("m")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("m")).as("max_mult"))
+          .select(lit(name).as("edge"), col("n_rows"), col("n_keys"),
+            col("max_mult"),
+            expr("n_rows * 1000 div n_keys").as("mean_milli"),
+            expr("max_mult * n_keys * 1000 div n_rows").as("skew_x_milli"))
+        edge("lineitem.l_orderkey", tbl(s, d, "lineitem"), "l_orderkey")
+          .union(edge("lineitem.l_partkey", tbl(s, d, "lineitem"), "l_partkey"))
+          .union(edge("lineitem.l_suppkey", tbl(s, d, "lineitem"), "l_suppkey"))
+          .union(edge("orders.o_custkey", tbl(s, d, "orders"), "o_custkey"))
+          .union(edge("events.user_id", tbl(s, d, "events"), "user_id"))
+          .union(edge("events.event_type", tbl(s, d, "events"), "event_type"))
+          .orderBy("edge")
+      },
+      Some("""WITH e1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lineitem GROUP BY l_orderkey),
+             |e2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lineitem GROUP BY l_partkey),
+             |e3 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lineitem GROUP BY l_suppkey),
+             |e4 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM orders GROUP BY o_custkey),
+             |e5 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM events GROUP BY user_id),
+             |e6 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM events GROUP BY event_type),
+             |u AS (
+             |  SELECT 'lineitem.l_orderkey' AS edge, CAST(sum(m) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(m) AS BIGINT) AS max_mult FROM e1
+             |  UNION ALL SELECT 'lineitem.l_partkey', CAST(sum(m) AS BIGINT),
+             |    CAST(count(*) AS BIGINT), CAST(max(m) AS BIGINT) FROM e2
+             |  UNION ALL SELECT 'lineitem.l_suppkey', CAST(sum(m) AS BIGINT),
+             |    CAST(count(*) AS BIGINT), CAST(max(m) AS BIGINT) FROM e3
+             |  UNION ALL SELECT 'orders.o_custkey', CAST(sum(m) AS BIGINT),
+             |    CAST(count(*) AS BIGINT), CAST(max(m) AS BIGINT) FROM e4
+             |  UNION ALL SELECT 'events.user_id', CAST(sum(m) AS BIGINT),
+             |    CAST(count(*) AS BIGINT), CAST(max(m) AS BIGINT) FROM e5
+             |  UNION ALL SELECT 'events.event_type', CAST(sum(m) AS BIGINT),
+             |    CAST(count(*) AS BIGINT), CAST(max(m) AS BIGINT) FROM e6)
+             |SELECT edge, n_rows, n_keys, max_mult,
+             |  CAST(divide(n_rows * 1000, n_keys) AS BIGINT) AS mean_milli,
+             |  CAST(divide(max_mult * n_keys * 1000, n_rows) AS BIGINT) AS skew_x_milli
+             |FROM u ORDER BY edge""".stripMargin),
+      doc = "join-key skew audit over six shuffle keys: exact N/K/max " +
+        "multiplicity and the max-over-mean skew factor in milli — the " +
+        "measurement that licenses (or spares) the salting path")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

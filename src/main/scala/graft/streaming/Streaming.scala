@@ -150,6 +150,33 @@ object Streaming {
         col("purchase_id"), col("purchase_ts"), col("value"))
   }
 
+  /** SQ11's LEFT OUTER sibling: every click row eventually emits — joined
+    * to each qualifying purchase within the horizon, or null-padded once
+    * the GLOBAL watermark (the min across both sides) passes
+    * `click_ts + horizon`, proving the click went unconverted. This is
+    * the semantics an attribution sink actually wants (inner joins
+    * silently drop non-converting clicks); the cost is emission LATENCY
+    * bounded by watermark delay + horizon, and state bounded exactly
+    * like [[intervalJoin]]. Null rows appear only at watermark expiry —
+    * a stopped stream leaves still-in-horizon clicks pending
+    * (spec-pinned with a watermark-advancing sentinel batch). */
+  def intervalJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour", horizonSec: Long = 3600L): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   /** SQ10 — stateful running aggregate per topic (count + mean score), for
     * update-mode sinks (the results-accumulation query of the serving
     * layer). */
