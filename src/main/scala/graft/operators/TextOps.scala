@@ -1924,7 +1924,72 @@ object TextOps {
              |FROM steps CROSS JOIN tot ORDER BY round""".stripMargin),
       doc = "greedy 3-round set-cover source selection over the bigram " +
         "universe: anti-join vs covered, per-source gain agg, 1-row " +
-        "argmax per round; oracle unrolls the identical greedy")
+        "argmax per round; oracle unrolls the identical greedy"),
+
+    // Horvitz-Thompson calibration of the priority sampler: the
+    // estimator half of sample_weighted (Duffield-Lund-Thorup) — from
+    // the k=10 smallest-priority sample per source, reconstruct the
+    // source's TOTAL token mass as Σ max(w_i, τ) with τ the (k+1)-th
+    // priority's weight equivalent, and report the error against the
+    // exact total — the self-measurement that tells a pipeline whether
+    // sampled-down statistics are trustworthy (the sim_ann_recall /
+    // dedup_eval_recall discipline applied to sampling). The threshold
+    // is kept RATIONAL: τ = HashP·w_τ div (hash_τ+1) in exact integers,
+    // so the per-item estimates and their sum are order-independent
+    // 64-bit integers — no float sum across sample items anywhere. A
+    // source with ≤ k docs is sampled exhaustively: τ = 0 and the
+    // estimate is exact by construction (spec-pinned pole).
+    "sample_ht_estimate" -> QueryDef(
+      (s, d) => {
+        val uh = strHash(concat(col("doc_id").cast("string"), lit(":ws"))) + 1L
+        val w = Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))
+        val ranked = tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"), uh.as("uh"),
+            (uh.cast("double") / lit(HashP.toDouble) /
+              col("n_chars").cast("double")).as("priority"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .localCheckpoint() // sample + threshold + exact rollup share it
+        val tau = ranked.filter(col("rn") === 11L)
+          .select(col("source"), expr(s"${HashP}L * n_chars div uh").as("thr"))
+        val est = ranked.filter(col("rn") <= 10L)
+          .join(tau, Seq("source"), "left")
+          .withColumn("thr", coalesce(col("thr"), lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("k_sampled"),
+            sum(greatest(col("n_chars"), col("thr"))).as("est_total"))
+        val exact = ranked.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("exact_total"))
+        exact.join(est, Seq("source"))
+          .withColumn("err_ppm",
+            expr("abs(est_total - exact_total) * 1000000 div exact_total"))
+          .select(col("source"), col("n_docs"), col("k_sampled"),
+            col("exact_total"), col("est_total"), col("err_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH r AS (SELECT source, doc_id, n_chars,
+              |    ${strHashSql(s"concat(CAST(doc_id AS STRING), ':ws')")} + 1 AS uh
+              |  FROM documents),
+              |rk AS (SELECT source, doc_id, n_chars, uh,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY CAST(uh AS DOUBLE) / ${HashP}.0 / CAST(n_chars AS DOUBLE),
+              |               doc_id) AS BIGINT) AS rn
+              |  FROM r),
+              |tau AS (SELECT source, CAST(divide(${HashP} * n_chars, uh) AS BIGINT) AS thr
+              |        FROM rk WHERE rn = 11),
+              |est AS (SELECT rk.source, CAST(count(*) AS BIGINT) AS k_sampled,
+              |    CAST(sum(greatest(n_chars, coalesce(thr, 0))) AS BIGINT) AS est_total
+              |  FROM rk LEFT JOIN tau ON tau.source = rk.source
+              |  WHERE rn <= 10 GROUP BY 1),
+              |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(n_chars) AS BIGINT) AS exact_total
+              |  FROM rk GROUP BY 1)
+              |SELECT ex.source AS source, n_docs, k_sampled, exact_total, est_total,
+              |  CAST(divide(abs(est_total - exact_total) * 1000000, exact_total) AS BIGINT) AS err_ppm
+              |FROM ex JOIN est ON est.source = ex.source
+              |ORDER BY 1""".stripMargin),
+      doc = "Horvitz-Thompson total reconstruction from the k=10 " +
+        "priority sample with an exact-integer rational threshold; " +
+        "err_ppm against the true total — the sampler's calibration gate")
   )
 
   /** Continuous sequence packing (see the pack_sequences entry above for

@@ -379,6 +379,25 @@ class FrontierStatsSpec extends SparkSpec {
     assert(out(("R1", "N2", "A")) == ((600L, 1000000L, 600000L, 1000000L)), s"$out")
   }
 
+  test("sample_ht_estimate: a source sampled exhaustively (≤ k docs) " +
+      "reconstructs its total exactly; a big source estimates from k=10") {
+    // "tiny": 5 docs -> the whole source IS the sample, τ = 0, est ==
+    // exact, err_ppm == 0 (the calibration pole that must never drift).
+    // "big": 40 docs -> k_sampled = 10, τ > 0, estimate positive.
+    val docs = (1 to 5).map(i => (i.toLong, ("x " * (10 + i)).trim, "tiny")) ++
+      (6 to 45).map(i => (i.toLong, ("y " * (5 + i % 7)).trim, "big"))
+    val dir = mkDocs(docs)
+    val out = SparkEntry.queries("sample_ht_estimate")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (nT, kT, exT, esT, errT) = out("tiny")
+    assert(nT == 5L && kT == 5L && esT == exT && errT == 0L,
+      s"exhaustive sample must be exact: ${out("tiny")}")
+    val (nB, kB, exB, esB, _) = out("big")
+    assert(nB == 40L && kB == 10L && esB > 0L && exB > 0L,
+      s"big source must estimate from k=10: ${out("big")}")
+  }
+
   test("q120_stickiness: 28-day contribution windows expire exactly — " +
       "hand-computed DAU/MAU poles") {
     // u1 active days 1 & 30, u2 day 1 only, u3 day 5 only.
