@@ -816,7 +816,48 @@ object Multimodal {
              |ORDER BY media_id""".stripMargin),
       doc = "energy-window VAD over real-decoded PCM: 32-sample exact " +
         "integer energies, per-length threshold, gaps-and-islands " +
-        "longest active run — closed-form oracle proves the full chain"))
+        "longest active run — closed-form oracle proves the full chain"),
+
+    // Image-quality QA over REAL decoded PNGs: mean luma (exposure),
+    // min-max contrast, and the horizontal gradient mass (the classic
+    // integer sharpness proxy — blurred images have small neighbor
+    // deltas) with dark/flat verdict flags — the visual analog of
+    // text_quality's Gopher gates, run before an image corpus is worth
+    // embedding. All exact integers (the planted grayscale makes
+    // luma = g exactly, so the oracle recomputes everything from the
+    // generating recurrence and the PNG roundtrip stays load-bearing).
+    // Batched mapPartitions decode, loud (-1) sentinel on failure.
+    "mm_image_qa" -> QueryDef(
+      (s, d) => {
+        imageQa(syntheticPng(s, d)).toDF()
+          .withColumn("grad_milli", expr("grad_sum * 1000 div (w * h - h)"))
+          .withColumn("is_dark", col("mean_luma_milli") < 80000L)
+          .withColumn("is_flat", col("contrast") < 32L)
+          .orderBy("media_id")
+      },
+      Some("""WITH im AS (SELECT doc_id, divide(doc_id, 6) AS gid
+             |          FROM documents WHERE doc_id % 3 = 0),
+             |px AS (SELECT doc_id, j,
+             |        (gid * 2654435761 + j * 40503) % 256 AS g
+             |      FROM (SELECT doc_id, gid,
+             |              unnest(generate_series(0, 63)) AS j FROM im)),
+             |gr AS (SELECT doc_id, j, g,
+             |        lag(g) OVER (PARTITION BY doc_id ORDER BY j) AS pg
+             |      FROM px),
+             |a AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS sg,
+             |        CAST(max(g) - min(g) AS BIGINT) AS contrast,
+             |        CAST(sum(CASE WHEN j % 8 <> 0 THEN abs(g - pg) ELSE 0 END) AS BIGINT) AS grad_sum
+             |      FROM gr GROUP BY 1)
+             |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+             |  CAST(divide(sg * 1000, 64) AS BIGINT) AS mean_luma_milli,
+             |  contrast, grad_sum,
+             |  CAST(divide(grad_sum * 1000, 56) AS BIGINT) AS grad_milli,
+             |  divide(sg * 1000, 64) < 80000 AS is_dark,
+             |  contrast < 32 AS is_flat
+             |FROM a ORDER BY media_id""".stripMargin),
+      doc = "image QA gates over real PNG decode: exact integer " +
+        "exposure/contrast/sharpness-gradient metrics with dark/flat " +
+        "flags — closed-form oracle proves decode + metric arithmetic"))
 
   /** Per-window PCM energies of real-decoded audio (fixed `winLen`
     * samples, last window partial): (media_id, win_idx, n_in_win,
@@ -834,6 +875,51 @@ object Multimodal {
               w.foldLeft(0L)((a, s) => a + s.toLong * s.toLong))
           }
         case None => Iterator.single((r.media_id, -1L, 0L, -1L))
+      }
+    }))
+  }
+
+  /** Image-quality metrics of one real-decoded image: exact integer
+    * mean-luma numerator, min-max contrast, and row-major horizontal
+    * gradient mass (Σ |luma(x,y) − luma(x−1,y)|). Decode failure or a
+    * non-image kind yields the loud (-1, …) sentinel row. */
+  final case class ImageQa(media_id: Long, w: Long, h: Long,
+      mean_luma_milli: Long, contrast: Long, grad_sum: Long)
+
+  def imageQa(ds: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[ImageQa] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      val img =
+        if (r.kind == "image")
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.bytes)))
+          catch { case _: java.io.IOException => None }
+        else None
+      img match {
+        case Some(im) =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          var sum = 0L; var minL = 255L; var maxL = 0L; var grad = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            var prev = -1L
+            while (x < w) {
+              val argb = im.getRGB(x, y)
+              val luma = (299L * ((argb >>> 16) & 0xff) +
+                587L * ((argb >>> 8) & 0xff) + 114L * (argb & 0xff)) / 1000L
+              sum += luma
+              if (luma < minL) minL = luma
+              if (luma > maxL) maxL = luma
+              if (prev >= 0L) grad += math.abs(luma - prev)
+              prev = luma
+              x += 1
+            }
+            y += 1
+          }
+          ImageQa(r.media_id, w.toLong, h.toLong,
+            sum * 1000L / (w.toLong * h), maxL - minL, grad)
+        case None => ImageQa(r.media_id, -1L, -1L, -1L, -1L, -1L)
       }
     }))
   }

@@ -2606,5 +2606,52 @@ object Temporal {
              |ORDER BY 1""".stripMargin),
       doc = "DAU/MAU stickiness per day: exact rolling 28-day distinct " +
         "via contribution-explode (no window-distinct, no self-join), " +
-        "ppm ratio — the q38 pattern at engagement-dashboard scale"))
+        "ppm ratio — the q38 pattern at engagement-dashboard scale"),
+
+    // Q122 — week-over-week growth per market segment: the
+    // period-over-period read every revenue dashboard leads with.
+    // ISO-week rollup of exact cents (date_trunc('week') is
+    // Monday-anchored in BOTH engines), then a segment-partitioned lag
+    // and a SIGN-SAFE truncating ppm ratio (q93 discipline — plain div
+    // rounds toward zero in Spark but floors in some engines; the CASE
+    // makes the negative branch explicit). First week per segment is
+    // NULL, not 0 — "no prior" must stay distinguishable from "flat".
+    // Plan: one fact scan + custkey join, a bounded (segment × week)
+    // rollup, windows partitioned by segment.
+    "q122_wow_growth" -> QueryDef(
+      (s, d) => {
+        val wk = tbl(s, d, "orders")
+          .join(tbl(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")), Seq("o_custkey"))
+          .groupBy(col("c_mktsegment"),
+            date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+          .agg(sum(cents(col("o_totalprice"))).as("cents"))
+        val w = Window.partitionBy("c_mktsegment").orderBy("week")
+        wk.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+          .withColumn("wow_ppm", expr(
+            "CASE WHEN prev_cents IS NULL THEN NULL " +
+              "WHEN cents >= prev_cents THEN (cents - prev_cents) * 1000000 div prev_cents " +
+              "ELSE -((prev_cents - cents) * 1000000 div prev_cents) END"))
+          .select(col("c_mktsegment"), col("week"), col("cents"),
+            col("prev_cents"), col("wow_ppm"))
+          .orderBy("c_mktsegment", "week")
+      },
+      Some("""WITH wk AS (SELECT c_mktsegment,
+             |    CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON c_custkey = o_custkey
+             |  GROUP BY 1, 2),
+             |l AS (SELECT c_mktsegment, week, cents,
+             |    lag(cents) OVER (PARTITION BY c_mktsegment ORDER BY week) AS prev_cents
+             |  FROM wk)
+             |SELECT c_mktsegment, week, cents, prev_cents,
+             |  CASE WHEN prev_cents IS NULL THEN NULL
+             |    WHEN cents >= prev_cents
+             |      THEN CAST(divide((cents - prev_cents) * 1000000, prev_cents) AS BIGINT)
+             |    ELSE -CAST(divide((prev_cents - cents) * 1000000, prev_cents) AS BIGINT)
+             |  END AS wow_ppm
+             |FROM l ORDER BY c_mktsegment, week""".stripMargin),
+      doc = "week-over-week revenue growth per segment: Monday-anchored " +
+        "week rollup in exact cents, segment-partitioned lag, sign-safe " +
+        "ppm growth with NULL first weeks"))
 }

@@ -1989,7 +1989,73 @@ object TextOps {
               |ORDER BY 1""".stripMargin),
       doc = "Horvitz-Thompson total reconstruction from the k=10 " +
         "priority sample with an exact-integer rational threshold; " +
-        "err_ppm against the true total — the sampler's calibration gate")
+        "err_ppm against the true total — the sampler's calibration gate"),
+
+    // Pairwise total-variation distance between source unigram
+    // DISTRIBUTIONS — text_source_overlap asks "do sources share
+    // vocabulary?"; this asks the mixture-planner's sharper question
+    // "do they USE it in the same proportions?" (two sources can share
+    // every token yet have wildly different registers). q97's TV
+    // discipline applied to the source pair grid: exact integer token
+    // counts, ppm shares by truncating div, TV = Σ|Δshare| div 2 over
+    // the union domain (one-sided tokens contribute their full share).
+    // The rollup is (source × vocab)-bounded; the pair expansion rides
+    // the same tiny broadcast grid as q98/q99.
+    "text_source_tv" -> QueryDef(
+      (s, d) => {
+        val r = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // sizes + both pair-grid sides
+        val sizes = r.groupBy("source").agg(sum(col("n")).as("t"))
+        val pairs = sizes.select(col("source").as("source_a"), col("t").as("t_a"))
+          .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
+            col("t").as("t_b"))))
+          .filter(col("source_a") < col("source_b"))
+        val pk = pairs.select("source_a", "source_b")
+        val pv = pk.join(r.select(col("source").as("source_a"), col("token")),
+            Seq("source_a"))
+          .select("source_a", "source_b", "token")
+          .union(pk.join(r.select(col("source").as("source_b"), col("token")),
+            Seq("source_b"))
+            .select("source_a", "source_b", "token"))
+          .distinct()
+        pv
+          .join(r.select(col("source").as("source_a"), col("token"),
+            col("n").as("n_a")), Seq("source_a", "token"), "left")
+          .join(r.select(col("source").as("source_b"), col("token"),
+            col("n").as("n_b")), Seq("source_b", "token"), "left")
+          .join(broadcast(pairs), Seq("source_a", "source_b"))
+          .withColumn("d", abs(expr("coalesce(n_a, 0) * 1000000 div t_a") -
+            expr("coalesce(n_b, 0) * 1000000 div t_b")))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_tokens"),
+            expr("sum(d) div 2").as("tv_ppm"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH r AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |sizes AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM r GROUP BY 1),
+             |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    a.t AS t_a, b.t AS t_b
+             |  FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source),
+             |pv AS (SELECT DISTINCT p.source_a, p.source_b, r.token
+             |  FROM pairs p JOIN r ON r.source = p.source_a OR r.source = p.source_b),
+             |g AS (SELECT pv.source_a, pv.source_b,
+             |    abs(CAST(divide(coalesce(ra.n, 0) * 1000000, p.t_a) AS BIGINT)
+             |      - CAST(divide(coalesce(rb.n, 0) * 1000000, p.t_b) AS BIGINT)) AS d
+             |  FROM pv
+             |  JOIN pairs p ON p.source_a = pv.source_a AND p.source_b = pv.source_b
+             |  LEFT JOIN r ra ON ra.source = pv.source_a AND ra.token = pv.token
+             |  LEFT JOIN r rb ON rb.source = pv.source_b AND rb.token = pv.token)
+             |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(divide(sum(d), 2) AS BIGINT) AS tv_ppm
+             |FROM g GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+      doc = "pairwise source-distribution total variation over the " +
+        "union vocabulary in exact ppm — the register-difference signal " +
+        "vocabulary overlap cannot see")
   )
 
   /** Continuous sequence packing (see the pack_sequences entry above for

@@ -217,7 +217,8 @@ class OperatorSpec extends SparkSpec {
       "q106_welch_ttest", // crossJoin(broadcast(|types|-row co-moments)) pair grid
       "q112_path_3gram", // crossJoin(broadcast(1-row trigram-total scalar))
       "sim_pca_power", // crossJoin(broadcast(1-row n / rescale scalars))
-      "q118_lorenz_revenue") // crossJoin(broadcast(1-row revenue-total scalar))
+      "q118_lorenz_revenue", // crossJoin(broadcast(1-row revenue-total scalar))
+      "text_source_tv") // crossJoin(broadcast(|sources|-row sizes)) pair grid
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
