@@ -934,6 +934,64 @@ object Dedup {
         "cluster keep-first, saved share in exact ppm — the curation " +
         "run's headline number and duplication-regression canary"),
 
+    // Token-distribution distortion of the dedup keep decision:
+    // dedup_savings counts what dedup REMOVES; this measures what it
+    // CHANGES — per vocabulary token, the unigram frequency share
+    // before vs after keep-first, in exact ppm with a signed exact
+    // delta. Duplicated boilerplate inflates its tokens' shares in the
+    // raw corpus; the deduped distribution is what the LM actually
+    // trains on, so a large |delta| on a content token is the signal
+    // that dedup is reshaping the corpus, not just shrinking it
+    // (Lee et al. 2022's motivation, made measurable). Plan: the kept
+    // set comes from the materialized cluster table (the memo every
+    // dedup consumer reads); two vocab-bounded rollups + a full-outer
+    // token join + two 1-row totals. Delta is a SUBTRACTION of two
+    // already-truncated integers — exact, no signed division.
+    "text_dedup_distortion" -> QueryDef(
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val kept = clustersTable(s, d)
+          .filter(col("doc_id") === col("cluster")).select("doc_id")
+        val full = toks.groupBy("token").agg(count(lit(1)).as("n_full"))
+        val kc = toks.join(kept, Seq("doc_id"), "left_semi")
+          .groupBy("token").agg(count(lit(1)).as("n_kept"))
+        val tot = full.agg(sum(col("n_full")).as("t_full"))
+          .crossJoin(kc.agg(sum(col("n_kept")).as("t_kept")))
+        full.join(kc, Seq("token"), "full_outer")
+          .withColumn("n_full", coalesce(col("n_full"), lit(0L)))
+          .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("share_full_ppm", expr("n_full * 1000000 div t_full"))
+          .withColumn("share_kept_ppm", expr("n_kept * 1000000 div t_kept"))
+          .withColumn("delta_ppm", col("share_kept_ppm") - col("share_full_ppm"))
+          .select(col("token"), col("n_full"), col("n_kept"),
+            col("share_full_ppm"), col("share_kept_ppm"), col("delta_ppm"))
+          .orderBy("token")
+      },
+      Some(s"""WITH RECURSIVE $clusterCteSql,
+              |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |  FROM documents),
+              |kept AS (SELECT doc_id FROM clusters WHERE doc_id = cluster),
+              |f AS (SELECT token, CAST(count(*) AS BIGINT) AS n_full
+              |      FROM toks GROUP BY 1),
+              |k AS (SELECT token, CAST(count(*) AS BIGINT) AS n_kept
+              |      FROM toks JOIN kept USING (doc_id) GROUP BY 1),
+              |tt AS (SELECT (SELECT CAST(sum(n_full) AS BIGINT) FROM f) AS t_full,
+              |              (SELECT CAST(sum(n_kept) AS BIGINT) FROM k) AS t_kept)
+              |SELECT coalesce(f.token, k.token) AS token,
+              |  CAST(coalesce(n_full, 0) AS BIGINT) AS n_full,
+              |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+              |  CAST(divide(coalesce(n_full, 0) * 1000000, t_full) AS BIGINT) AS share_full_ppm,
+              |  CAST(divide(coalesce(n_kept, 0) * 1000000, t_kept) AS BIGINT) AS share_kept_ppm,
+              |  CAST(divide(coalesce(n_kept, 0) * 1000000, t_kept) AS BIGINT)
+              |    - CAST(divide(coalesce(n_full, 0) * 1000000, t_full) AS BIGINT) AS delta_ppm
+              |FROM f FULL OUTER JOIN k ON k.token = f.token CROSS JOIN tt
+              |ORDER BY token""".stripMargin),
+      doc = "per-token unigram share before vs after dedup keep-first: " +
+        "exact ppm shares and signed exact delta — measures how dedup " +
+        "reshapes the training distribution, not just its size"),
+
     // Embedding-cosine near-dup: LSH bucket (random-hyperplane, see
     // Similarity.lshBucket) equi-join generates candidates; exact cosine
     // >= 0.4 verifies. Both engines bucket identically, so the oracle runs

@@ -2653,5 +2653,81 @@ object Temporal {
              |FROM l ORDER BY c_mktsegment, week""".stripMargin),
       doc = "week-over-week revenue growth per segment: Monday-anchored " +
         "week rollup in exact cents, segment-partitioned lag, sign-safe " +
-        "ppm growth with NULL first weeks"))
+        "ppm growth with NULL first weeks"),
+
+    // Q123 — per-user feature assembly (the feature-store read): ONE
+    // wide row per user with the engagement features a churn/LTV model
+    // trains on — recency/tenure day arithmetic, exact activity and
+    // type-mix counts (the five types pivoted by conditional agg, the
+    // q116 discipline — never five scans), purchase cents, and the mean
+    // inter-event gap in exact integer seconds (a (user)-window lag
+    // pre-pass feeding the same single shuffle key). Everything is one
+    // user-keyed shuffle; at 100 TB this is the canonical "assemble the
+    // training matrix" pass and stays map-side-combinable throughout.
+    "q123_user_features" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        tbl(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), cents(col("value")).as("c"),
+            date_trunc("day", col("ts")).cast("date").as("day"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("prev_us", lag(col("tus"), 1).over(w))
+          .withColumn("gap_s", expr("(tus - prev_us) div 1000000"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("day")).as("active_days"),
+            min(col("day")).as("first_day"),
+            max(col("day")).as("last_day"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+            sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+            sum(when(col("event_type") === "purchase", col("c")).otherwise(0L))
+              .as("purchase_cents"),
+            count(col("gap_s")).as("n_gaps"),
+            coalesce(sum(col("gap_s")), lit(0L)).as("gap_total_s"))
+          .withColumn("tenure_days",
+            datediff(col("last_day"), col("first_day")).cast("long"))
+          .withColumn("mean_gap_ms", expr(
+            "CASE WHEN n_gaps = 0 THEN NULL ELSE gap_total_s * 1000 div n_gaps END"))
+          .select(col("user_id"), col("n_events"), col("active_days"),
+            col("first_day"), col("last_day"), col("tenure_days"),
+            col("n_click"), col("n_view"), col("n_purchase"),
+            col("n_signup"), col("n_error"), col("purchase_cents"),
+            col("mean_gap_ms"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |    CAST(round(value*100) AS BIGINT) AS c,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    epoch_us(ts) AS tus,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_us
+             |  FROM events),
+             |g AS (SELECT *, CASE WHEN prev_us IS NULL THEN NULL
+             |    ELSE divide(tus - prev_us, 1000000) END AS gap_s FROM e),
+             |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+             |    min(day) AS first_day, max(day) AS last_day,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS purchase_cents,
+             |    CAST(count(gap_s) AS BIGINT) AS n_gaps,
+             |    CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS gap_total_s
+             |  FROM g GROUP BY 1)
+             |SELECT user_id, n_events, active_days, first_day, last_day,
+             |  CAST(divide(epoch_us(CAST(last_day AS TIMESTAMP))
+             |    - epoch_us(CAST(first_day AS TIMESTAMP)), 86400000000) AS BIGINT) AS tenure_days,
+             |  n_click, n_view, n_purchase, n_signup, n_error, purchase_cents,
+             |  CASE WHEN n_gaps = 0 THEN NULL
+             |    ELSE CAST(divide(gap_total_s * 1000, n_gaps) AS BIGINT) END AS mean_gap_ms
+             |FROM a ORDER BY user_id""".stripMargin),
+      doc = "per-user feature-store row: tenure/activity/type-mix/spend/" +
+        "cadence in one user-keyed pass — exact integers, pivoted type " +
+        "counts, NULL-guarded mean gap"))
 }

@@ -42,6 +42,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "corpus_manifest" -> "consumes dedup_cluster's recursive-UNION closure",
     "dedup_keep_best" -> "consumes dedup_cluster's recursive-UNION closure",
     "dedup_savings" -> "consumes dedup_cluster's recursive-UNION closure",
+    "text_dedup_distortion" -> "consumes dedup_cluster's recursive-UNION closure",
     "dedup_substring_cut" ->
       ("rebuilds the cut text with string_agg(tok, ' ' ORDER BY pos) — " +
         "in-aggregate ORDER BY is DuckDB/Postgres dialect Spark's parser " +
