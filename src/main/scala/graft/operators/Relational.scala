@@ -2146,7 +2146,99 @@ object Relational {
              |FROM u ORDER BY edge""".stripMargin),
       doc = "join-key skew audit over six shuffle keys: exact N/K/max " +
         "multiplicity and the max-over-mean skew factor in milli — the " +
-        "measurement that licenses (or spares) the salting path")
+        "measurement that licenses (or spares) the salting path"),
+
+    // Q124 — calendar dimension GENERATION: the densify-then-join
+    // primitive behind every "no gaps" daily report (q46's LOCF fills a
+    // user's series; this builds the conformed date spine everything
+    // joins to). The span is derived from the fact table's own min/max
+    // order date (one bounds row, broadcast), the spine is one
+    // sequence-explode (never a driver loop), and the attributes are
+    // pure date arithmetic: ISO weekday (q92 spelling), Monday-anchored
+    // ISO week, month/quarter keys, weekend flag, and the day's order
+    // count via a left join — zero-order days surface as explicit
+    // n_orders = 0 rows, which is the entire point of a spine.
+    "q124_calendar_dim" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_orderdate").cast("date").as("day"))
+        val span = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val spine = span
+          .select(explode(expr("sequence(lo, hi)")).as("day"))
+        val counts = o.groupBy("day").agg(count(lit(1)).as("n_orders"))
+        spine.join(counts, Seq("day"), "left")
+          .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+          .withColumn("dow", expr("pmod(dayofweek(day) + 5, 7) + 1").cast("long"))
+          .withColumn("iso_week", date_trunc("week", col("day")).cast("date"))
+          .withColumn("month_key",
+            (year(col("day")) * 100 + month(col("day"))).cast("long"))
+          .withColumn("quarter_key",
+            (year(col("day")) * 10 + quarter(col("day"))).cast("long"))
+          .withColumn("is_weekend", col("dow") >= 6L)
+          .select(col("day"), col("dow"), col("iso_week"), col("month_key"),
+            col("quarter_key"), col("is_weekend"), col("n_orders"))
+          .orderBy("day")
+      },
+      Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
+             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS dayt
+             |          FROM span),
+             |c AS (SELECT day, CAST(count(*) AS BIGINT) AS n_orders FROM o GROUP BY 1)
+             |SELECT CAST(dayt AS DATE) AS day,
+             |  CAST(isodow(dayt) AS BIGINT) AS dow,
+             |  CAST(date_trunc('week', dayt) AS DATE) AS iso_week,
+             |  CAST(year(dayt) * 100 + month(dayt) AS BIGINT) AS month_key,
+             |  CAST(year(dayt) * 10 + quarter(dayt) AS BIGINT) AS quarter_key,
+             |  isodow(dayt) >= 6 AS is_weekend,
+             |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+             |FROM spine LEFT JOIN c ON c.day = CAST(dayt AS DATE)
+             |ORDER BY 1""".stripMargin),
+      doc = "generated calendar spine over the fact span: sequence-" +
+        "explode days with ISO dow/week, month/quarter keys, weekend " +
+        "flag, and explicit zero-order days via left join"),
+
+    // Q125 — revenue-mix diversification per nation (Gini-Simpson
+    // index): 1 − Σ share² over market segments — "how concentrated is
+    // this nation's revenue in one segment?" — the log-free diversity
+    // measure (entropy needs libm; Simpson is pure integer arithmetic:
+    // shares in exact ppm, their squares div 1e6 summed, subtracted
+    // from 1e6). Perfectly even k-way mixes read ~1e6·(1−1/k), a
+    // single-segment nation reads exactly 0 — the poles the planted
+    // spec pins. One fact scan + custkey join, bounded (nation ×
+    // segment) rollup, nation-partitioned window sum.
+    "q125_mix_simpson" -> QueryDef(
+      (s, d) => {
+        val leaf = tbl(s, d, "orders")
+          .join(tbl(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey"), col("c_mktsegment")), Seq("o_custkey"))
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(sum(cents(col("o_totalprice"))).as("cents"))
+        val w = Window.partitionBy("c_nationkey")
+        leaf
+          .withColumn("nation_cents", sum(col("cents")).over(w))
+          .withColumn("share_ppm", expr("cents * 1000000 div nation_cents"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_segments"),
+            max(col("share_ppm")).as("top_share_ppm"),
+            (lit(1000000L) - sum(expr("share_ppm * share_ppm div 1000000")))
+              .as("simpson_ppm"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH leaf AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON c_custkey = o_custkey
+             |  GROUP BY 1, 2),
+             |sh AS (SELECT c_nationkey,
+             |    CAST(divide(cents * 1000000,
+             |      sum(cents) OVER (PARTITION BY c_nationkey)) AS BIGINT) AS share_ppm
+             |  FROM leaf)
+             |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_segments,
+             |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+             |  CAST(1000000 - sum(divide(share_ppm * share_ppm, 1000000)) AS BIGINT) AS simpson_ppm
+             |FROM sh GROUP BY 1 ORDER BY c_nationkey""".stripMargin),
+      doc = "Gini-Simpson revenue diversification per nation: exact ppm " +
+        "segment shares, 1e6 − Σ share² div 1e6 — log-free concentration " +
+        "with exact single-segment-zero and even-mix poles")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

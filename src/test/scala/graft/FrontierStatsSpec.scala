@@ -398,6 +398,24 @@ class FrontierStatsSpec extends SparkSpec {
       s"big source must estimate from k=10: ${out("big")}")
   }
 
+  test("q125_mix_simpson: single-segment nation reads exactly 0; an " +
+      "even two-way split reads exactly 500000") {
+    val dir = tmp("graft-frontier-simpson")
+    Seq((1L, "c1", 1, 0.0, "A"), (2L, "c2", 2, 0.0, "A"), (3L, "c3", 2, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 5.00), (2L, 2L, 3.00), (3L, 3L, 3.00)).map { case (ok, ck, v) =>
+      (ok, ck, "O", v, new java.sql.Timestamp(0L), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q125_mix_simpson")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1) == ((1L, 1000000L, 0L)), s"monoculture pole: $out")
+    assert(out(2) == ((2L, 500000L, 500000L)), s"even-mix pole: $out")
+  }
+
   test("q120_stickiness: 28-day contribution windows expire exactly — " +
       "hand-computed DAU/MAU poles") {
     // u1 active days 1 & 30, u2 day 1 only, u3 day 5 only.
