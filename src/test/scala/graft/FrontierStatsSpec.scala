@@ -398,6 +398,77 @@ class FrontierStatsSpec extends SparkSpec {
       s"big source must estimate from k=10: ${out("big")}")
   }
 
+  test("q122_wow_growth: the sign-safe branch — a 50% drop reads " +
+      "exactly -500000 ppm, a 50% rise exactly +500000, first week NULL") {
+    // one segment, three ISO weeks: 4.00 -> 2.00 -> 3.00 dollars.
+    val dir = tmp("graft-frontier-wow")
+    Seq((1L, "c1", 1, 0.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // 1970-01-05 is a Monday: weeks start at days 4, 11, 18.
+    def day(n: Int) = new java.sql.Timestamp(n.toLong * 86400000L)
+    Seq((1L, day(4), 4.00), (2L, day(11), 2.00), (3L, day(18), 3.00))
+      .map { case (ok, ts, v) => (ok, 1L, "O", v, ts, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q122_wow_growth")(spark, dir)
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getLong(2), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out("1970-01-05") == ((400L, None)), s"first week NULL: $out")
+    assert(out("1970-01-12") == ((200L, Some(-500000L))), s"drop: $out")
+    assert(out("1970-01-19") == ((300L, Some(500000L))), s"rise: $out")
+  }
+
+  test("q124_calendar_dim: a gap day surfaces as an explicit zero-order " +
+      "spine row with correct ISO attributes") {
+    val dir = tmp("graft-frontier-cal")
+    def day(n: Int) = new java.sql.Timestamp(n.toLong * 86400000L)
+    // orders on Sat 1970-01-03 and Mon 1970-01-05; Sunday the 4th is the
+    // gap the spine must surface.
+    Seq((1L, day(2)), (2L, day(4)), (3L, day(4)))
+      .map { case (ok, ts) => (ok, 1L, "O", 1.0, ts, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q124_calendar_dim")(spark, dir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getBoolean(5), r.getLong(6))).toMap
+    assert(out.size == 3, s"spine must densify the span: $out")
+    assert(out("1970-01-03") == ((6L, true, 1L)), s"Saturday: $out")
+    assert(out("1970-01-04") == ((7L, true, 0L)),
+      s"gap Sunday must appear with zero orders: $out")
+    assert(out("1970-01-05") == ((1L, false, 2L)), s"Monday: $out")
+  }
+
+  test("q121_join_skew: a planted hot key reads the exact skew factor") {
+    // lineitem: orderkey 1 has 9 lines, orderkeys 2..10 one each ->
+    // N=18, K=10, max=9, mean_milli=1800, skew_x = 9*10*1000/18 = 5000.
+    val dir = tmp("graft-frontier-skew")
+    val lines = Seq.fill(9)(1L) ++ (2L to 10L)
+    lines.zipWithIndex.map { case (ok, i) =>
+      (ok, 1L, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(0L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, "O", 1.0, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, new java.sql.Timestamp(0L), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q121_join_skew")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("lineitem.l_orderkey") == ((18L, 10L, 9L, 1800L, 5000L)),
+      s"hot key must read skew 5.0x: $out")
+    assert(out("lineitem.l_partkey") == ((18L, 1L, 18L, 18000L, 1000L)),
+      s"single-key edge has skew exactly 1.0x: $out")
+  }
+
   test("q125_mix_simpson: single-segment nation reads exactly 0; an " +
       "even two-way split reads exactly 500000") {
     val dir = tmp("graft-frontier-simpson")
