@@ -2238,7 +2238,73 @@ object Relational {
              |FROM sh GROUP BY 1 ORDER BY c_nationkey""".stripMargin),
       doc = "Gini-Simpson revenue diversification per nation: exact ppm " +
         "segment shares, 1e6 − Σ share² div 1e6 — log-free concentration " +
-        "with exact single-segment-zero and even-mix poles")
+        "with exact single-segment-zero and even-mix poles"),
+
+    // Q126 — the 80/20 point: the SMALLEST top-spender count whose
+    // cumulative revenue reaches 80% — q118's Lorenz deciles answer
+    // "what does each tenth carry", this answers the inverse executive
+    // question "how few customers carry 80%?" EXACTLY. The cumulative
+    // revenue in descending-spend rank order is a global prefix-SUM —
+    // the third fold of the two-pass bucket family (prefix-rank =
+    // [[graft.Qh.globalRowNumber]], prefix-max = q110, prefix-sum =
+    // here): rank customers via the distributed prefix-rank, bucket on
+    // the rank (width known from the same pass — no extra job),
+    // per-bucket cent sums → ≤256-row driver exclusive prefix →
+    // broadcast → bucket-local running sum + offset = the exact global
+    // cumulative, every stage parallel. The crossing is a filter +
+    // 1-row min (cumulative is monotone: revenue is non-negative).
+    // All integers; cum·5 ≥ total·4 avoids any division.
+    "q126_pareto_8020" -> QueryDef(
+      (s, d) => {
+        val spend = tbl(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("cents"))
+          .localCheckpoint() // rank bounds pass + bucket sums reuse it
+        val ranked = globalRowNumber(spend, -col("cents"), col("o_custkey"), "rn")
+        val n = ranked.n
+        val width = math.max(1L, (n - 1) / 256L + 1L)
+        val bucketed = ranked.df
+          .withColumn("bkt", expr(s"(rn - 1) div ${width}L"))
+          .localCheckpoint() // offsets collect + the cumsum pass
+        val spark = s
+        import spark.implicits._
+        val offs = {
+          val sums = bucketed.groupBy("bkt").agg(sum(col("cents")).as("sc"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          var acc = 0L
+          sums.map { case (k, sc) => val o = (k, acc); acc += sc; o }
+        }.toSeq.toDF("bkt", "off")
+        val wLoc = Window.partitionBy("bkt").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = spend.agg(sum(col("cents")).as("t"))
+        bucketed.join(broadcast(offs), Seq("bkt"))
+          .withColumn("cum", sum(col("cents")).over(wLoc) + col("off"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cum") * 5L >= col("t") * 4L)
+          .agg(min(col("rn")).as("k80"), max(col("t")).as("t"))
+          .select(lit(n).as("n_customers"), col("k80"),
+            expr(s"k80 * 1000000 div ${n}L").as("k80_share_ppm"), col("t"))
+          .orderBy("k80")
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT o_custkey, cents,
+             |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rn
+             |  FROM spend),
+             |c AS (SELECT rn, CAST(sum(cents) OVER (ORDER BY rn
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM r),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS t,
+             |             CAST(count(*) AS BIGINT) AS n FROM spend)
+             |SELECT n AS n_customers, CAST(min(rn) AS BIGINT) AS k80,
+             |  CAST(divide(min(rn) * 1000000, n) AS BIGINT) AS k80_share_ppm, t
+             |FROM c CROSS JOIN t WHERE cum * 5 >= t * 4
+             |GROUP BY n, t ORDER BY k80""".stripMargin),
+      doc = "exact 80/20 crossing: distributed bucketed prefix-SUM over " +
+        "the descending-spend ranking (the prefix-rank/prefix-max " +
+        "family's third fold) — smallest top-customer count reaching " +
+        "80% of revenue, pure integers")
   )
 
   /** q54's single text — the builder runs the oracle verbatim through

@@ -469,6 +469,26 @@ class FrontierStatsSpec extends SparkSpec {
       s"single-key edge has skew exactly 1.0x: $out")
   }
 
+  test("q126_pareto_8020: hand-built concentration crosses 80% at " +
+      "exactly the third customer") {
+    // spends 50, 20, 10, 10, 10 -> desc cum 50, 70, 80, 90, 100;
+    // cum·5 ≥ total·4 first holds at rn 3 (80 of 100): k80 = 3 of 5.
+    val dir = tmp("graft-frontier-pareto")
+    Seq((1L, 1L, 50.0), (2L, 2L, 20.0), (3L, 3L, 10.0),
+      (4L, 4L, 10.0), (5L, 5L, 10.0))
+      .map { case (ok, ck, v) =>
+        (ok, ck, "O", v, new java.sql.Timestamp(0L), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q126_pareto_8020")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 3L, 600000L, 10000L)),
+      s"80/20 crossing must be exact: ${out.toSeq}")
+  }
+
   test("q125_mix_simpson: single-segment nation reads exactly 0; an " +
       "even two-way split reads exactly 500000") {
     val dir = tmp("graft-frontier-simpson")

@@ -219,7 +219,8 @@ class OperatorSpec extends SparkSpec {
       "sim_pca_power", // crossJoin(broadcast(1-row n / rescale scalars))
       "q118_lorenz_revenue", // crossJoin(broadcast(1-row revenue-total scalar))
       "text_source_tv", // crossJoin(broadcast(|sources|-row sizes)) pair grid
-      "text_dedup_distortion") // crossJoin(broadcast(two 1-row token-total scalars))
+      "text_dedup_distortion", // crossJoin(broadcast(two 1-row token-total scalars))
+      "q126_pareto_8020") // crossJoin(broadcast(1-row revenue-total scalar))
     // An unpartitioned Window/WindowGroupLimit materializes its whole
     // input in ONE task ("Moving all data to a single partition") — the
     // scale-killer class the distributed two-pass prefix-rank
