@@ -1790,6 +1790,9 @@ object Relational {
           .agg(min(col("pc")).as("price_c"), sum(col("q")).as("qty"))
           .localCheckpoint() // bounds pass + bucket counts + sweep reuse it
         val b = a.agg(min(col("price_c")), max(col("price_c"))).head()
+        if (b.isNullAt(0)) { // empty catalog: oracle returns zero rows
+          a.select(col("l_partkey"), col("price_c"), col("qty"))
+        } else {
         val (lo, hi) = (b.getLong(0), b.getLong(1))
         val width = math.max(1L, (hi - lo) / 256L + 1L)
         val bucketed = a.withColumn("bkt", expr(s"(price_c - ${lo}L) div ${width}L"))
@@ -1811,6 +1814,7 @@ object Relational {
           .filter(col("max_cheaper") < col("qty") && col("eq_max") <= col("qty"))
           .select(col("l_partkey"), col("price_c"), col("qty"))
           .orderBy("price_c", "l_partkey")
+        }
       },
       Some("""WITH a AS (SELECT l_partkey,
              |    CAST(min(round(l_extendedprice*100)) AS BIGINT) AS price_c,

@@ -2015,9 +2015,15 @@ object Temporal {
     // column is 2-decimal in a fixed range, so ≤ |types|·~49k rollup
     // rows at ANY corpus scale — one full scan, then constant-size),
     // CDF steps are ppm shares (q97's truncating-div spelling), and the
-    // argmax cent rides a collision-free composite max (diff·1e5 − c,
-    // c < 1e5) so ties resolve to the smallest cent deterministically —
-    // no max_by tie lottery. The cumsum windows are PARTITIONED by the
+    // argmax cent rides a collision-free composite max over the SHIFTED
+    // cent c' = c − min(c) with factor span = max(c) − min(c) + 1
+    // (diff·span − c', 0 ≤ c' < span by construction — valid for any
+    // cent domain incl. negatives, not just [0, 1e5)), so ties resolve
+    // to the smallest cent deterministically — no max_by tie lottery.
+    // Overflow bound: diff ≤ 1e6 ppm, so diff·span fits int64 for any
+    // value span under ~$92 B — far past the money domain. The span
+    // read is a 1-row bounded aggregate (control-plane read, q110
+    // precedent). The cumsum windows are PARTITIONED by the
     // type pair (bounded partitions, q59 precedent), never global. The
     // only floats are the significance threshold's sqrt/divide on
     // identical 64-bit integers (q95 discipline); 1.358 is the
@@ -2028,6 +2034,10 @@ object Temporal {
           .groupBy(col("event_type"), cents(col("value")).as("c"))
           .agg(count(lit(1)).as("n"))
           .localCheckpoint() // sizes + both pair-grid sides; bounded
+        val cb = r.agg(min(col("c")), max(col("c"))).head() // 1-row bound
+        val (minC, span) =
+          if (cb.isNullAt(0)) (0L, 1L) // empty events: result is empty
+          else (cb.getLong(0), cb.getLong(1) - cb.getLong(0) + 1L)
         val sizes = r.groupBy("event_type").agg(sum(col("n")).as("t"))
         val pairs = sizes.select(col("event_type").as("type_a"), col("t").as("t_a"))
           .crossJoin(broadcast(sizes.select(col("event_type").as("type_b"),
@@ -2055,8 +2065,9 @@ object Temporal {
             abs(expr("ca * 1000000 div t_a - cb * 1000000 div t_b")))
           .groupBy(col("type_a"), col("type_b"), col("t_a"), col("t_b"))
           .agg(max(col("diff")).as("d_ppm"),
-            max(expr("diff * 100000 - c")).as("__comp"))
-          .withColumn("d_at_cents", expr("d_ppm * 100000 - __comp"))
+            max(expr(s"diff * ${span}L - (c - ${minC}L)")).as("__comp"))
+          .withColumn("d_at_cents",
+            expr(s"d_ppm * ${span}L - __comp + ${minC}L"))
           .withColumn("significant",
             expr("CAST(d_ppm AS DOUBLE) > 1358000.0 * " +
               "sqrt(CAST(t_a + t_b AS DOUBLE) / (CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)))"))
@@ -2084,12 +2095,17 @@ object Temporal {
              |    sum(n_b) OVER (PARTITION BY type_a, type_b ORDER BY c
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
              |  FROM g),
-             |dd AS (SELECT cum.type_a, cum.type_b, p.t_a, p.t_b, cum.c,
+             |bnd AS (SELECT CAST(min(c) AS BIGINT) AS minc,
+             |    CAST(max(c) - min(c) + 1 AS BIGINT) AS span FROM r),
+             |dd AS (SELECT cum.type_a, cum.type_b, p.t_a, p.t_b,
+             |    cum.c - (SELECT minc FROM bnd) AS cs,
              |    abs(divide(ca * 1000000, t_a) - divide(cb * 1000000, t_b)) AS diff
              |  FROM cum JOIN pairs p ON p.type_a = cum.type_a AND p.type_b = cum.type_b)
              |SELECT type_a, type_b, t_a, t_b,
              |  CAST(max(diff) AS BIGINT) AS d_ppm,
-             |  CAST(max(diff) * 100000 - max(diff * 100000 - c) AS BIGINT) AS d_at_cents,
+             |  CAST(max(diff) * (SELECT span FROM bnd)
+             |    - max(diff * (SELECT span FROM bnd) - cs)
+             |    + (SELECT minc FROM bnd) AS BIGINT) AS d_at_cents,
              |  CAST(max(diff) AS DOUBLE) > 1358000.0 *
              |    sqrt(CAST(t_a + t_b AS DOUBLE) / (CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE))) AS significant
              |FROM dd GROUP BY 1, 2, 3, 4 ORDER BY type_a, type_b""".stripMargin),

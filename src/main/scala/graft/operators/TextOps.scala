@@ -1867,7 +1867,10 @@ object TextOps {
         val vTotal = sv.select("gram").distinct().count()
         var picked = List.empty[String]
         var cum = 0L
-        var exhausted = false
+        // vTotal == 0 (no >=2-token docs) => the greedy has nothing to
+        // cover and the cum_ppm divisor is zero; the oracle returns zero
+        // rows, so short-circuit before the loop can divide.
+        var exhausted = vTotal == 0L
         val rows = (1 to 3).flatMap { r =>
           if (exhausted) None
           else {

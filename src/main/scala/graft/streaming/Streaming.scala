@@ -669,7 +669,12 @@ object Streaming {
     * its own micro-batch (the streaming-enrichment contract; full
     * history tracking is q51's SCD2, not this). Per-batch overwrite
     * paths keep checkpoint-recovery replays idempotent (the
-    * [[nearDupIngest]] contract). At scale each batch is one
+    * [[nearDupIngest]] contract) — with the explicit caveat that a
+    * REPLAYED batch re-reads the dim snapshot as of RECOVERY time, so
+    * replay is byte-identical only while the dim is unchanged between
+    * the original run and the recovery; if the dim moved in between,
+    * the replayed batch carries the newer dim rows (still
+    * arrival-time-consistent, just a later arrival). At scale each batch is one
     * broadcast/shuffle join of BATCH-sized facts — the unbounded fact
     * history is never re-joined. */
   def ivmJoinIngest(stream: DataFrame, dimDir: String, viewDir: String,
@@ -789,10 +794,26 @@ object Streaming {
     * ordered-feed contract is spec-pinned (StreamPathSpec), like
     * [[ivmJoinIngest]]/[[driftIngest]].
     *
-    * Scale: state is 2 small tuples per ACTIVE user key; emission is
-    * map-side (no shuffle beyond the groupByKey hash) — the standard
-    * mapGroupsWithState topology at any fan-in. */
-  def pathTrigramIngest(stream: DataFrame): DataFrame = {
+    * Scale: state is 2 small tuples PER USER KEY EVER SEEN when
+    * `idleTtl = None` (the default) — fine for bounded keyspaces, but on
+    * an unbounded stream the store grows with total user cardinality,
+    * not active users; that is the explicit trade of keeping the
+    * high-water mark forever. Pass `idleTtl = Some("24 hours")` (the
+    * reference's TTL discipline, T7) to EVICT idle keys via a
+    * processing-time timeout, bounding state by the TTL-window-active
+    * cardinality. The eviction trade, equally explicit: a user returning
+    * after the TTL restarts the sliding window (their first two post-gap
+    * events emit no trigram — usually right, the gap IS a session
+    * break), and redelivery older than the TTL is no longer deduped by
+    * the high-water mark (upstream replay horizons are hours, not days).
+    * Operational note: with a timeout registered, Spark schedules extra
+    * empty micro-batches to fire timers — run the query on a real
+    * processing-time trigger (not trigger-per-availability test
+    * harnesses, where timer batches starve `processAllAvailable`).
+    * Emission is map-side (no shuffle beyond the groupByKey hash) — the
+    * standard mapGroupsWithState topology at any fan-in. */
+  def pathTrigramIngest(stream: DataFrame,
+      idleTtl: Option[String] = None): DataFrame = {
     import stream.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val keyed = stream
@@ -801,21 +822,30 @@ object Streaming {
         col("event_id").cast("long").as("eid"),
         col("event_type").cast("string").as("et"))
       .as[(Long, Long, Long, String)]
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed.groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, Long, String)], (Long, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (u, rows, state: GroupState[List[(Long, Long, String)]]) =>
-          val prev = state.getOption.getOrElse(Nil) // last ≤2, ascending
-          val hw = prev.lastOption.map(p => (p._1, p._2))
-          val news = rows.map(r => (r._2, r._3, r._4)).toVector
-            .sortBy(r => (r._1, r._2))
-            .filter(r => hw.forall(h =>
-              r._1 > h._1 || (r._1 == h._1 && r._2 > h._2)))
-          val all = prev.toVector ++ news
-          val out = (math.max(2, prev.size) until all.size)
-            .map(i => (u, s"${all(i - 2)._3}>${all(i - 1)._3}>${all(i)._3}"))
-          state.update(all.takeRight(2).toList)
-          out.iterator
+          if (state.hasTimedOut) { // idle past TTL: evict, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Nil) // last ≤2, ascending
+            val hw = prev.lastOption.map(p => (p._1, p._2))
+            val news = rows.map(r => (r._2, r._3, r._4)).toVector
+              .sortBy(r => (r._1, r._2))
+              .filter(r => hw.forall(h =>
+                r._1 > h._1 || (r._1 == h._1 && r._2 > h._2)))
+            val all = prev.toVector ++ news
+            val out = (math.max(2, prev.size) until all.size)
+              .map(i => (u, s"${all(i - 2)._3}>${all(i - 1)._3}>${all(i)._3}"))
+            state.update(all.takeRight(2).toList)
+            idleTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
       }
       .toDF("user_id", "path")
   }
