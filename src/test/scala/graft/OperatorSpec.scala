@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Layout, Relational, Similarity, TextOps}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Relational/dedup/similarity invariants not covered by the DuckDB
@@ -247,6 +248,11 @@ class OperatorSpec extends SparkSpec {
       "q119_contribution_tree") // sum() OVER () runs on the bounded
                           // (region×nation×segment) dimension grain,
                           // never the fact table
+    // Expand feeding SortAggregate (the multi-distinct rewrite) — see
+    // the msda flag below. Empty by design: no registered query may
+    // ship the trap; add a name here ONLY with a one-line justification
+    // proving the expanded input is cardinality-bounded.
+    val expandSortAggOk = Set.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, Sf0001)
       val plan = df.queryExecution.executedPlan.toString
@@ -258,11 +264,51 @@ class OperatorSpec extends SparkSpec {
         case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
           if w.partitionSpec.isEmpty => w
       }.nonEmpty
-      if (cartesian || bnlj || gwin)
-        Some(s"$name (cartesian=$cartesian bnlj=$bnlj globalWindow=$gwin)")
+      // The multi-distinct trap (hand-fixed twice: q69 in r7, q67 in
+      // r8): 2+ distinct aggregates mixed with plain ones in ONE
+      // aggregate make RewriteDistinctAggregates emit Expand(×N+1)
+      // feeding stacked SortAggregates over a wide expanded key — N+1
+      // input copies, sort-based per-key passes, ~3× slower measured,
+      // and the shuffle carries the expansion. The scale-safe spelling
+      // is unpivot-first (q69) or a single-distinct aggregate per
+      // branch (q67). Flagged on Expand+SortAggregate CO-OCCURRING in
+      // one executed plan; rollup/cube's Expand stays hash-aggregated
+      // so it does not trip this.
+      val msda = !expandSortAggOk(name) &&
+        plan.contains("Expand") && plan.contains("SortAggregate")
+      if (cartesian || bnlj || gwin || msda)
+        Some(s"$name (cartesian=$cartesian bnlj=$bnlj globalWindow=$gwin " +
+          s"expandSortAgg=$msda)")
       else None
     }
     assert(offenders.isEmpty, s"scale-hostile plans in: ${offenders.mkString(", ")}")
+  }
+
+  test("the Expand→SortAggregate gate really catches the multi-distinct " +
+      "trap: q69's pre-fix spelling must trip it") {
+    // Positive control so the sweep above can't rot into a tautology:
+    // rebuild the exact shape that shipped (and was reverted) twice —
+    // five countDistincts mixed with min/max/sum in one aggregate —
+    // and assert it produces the Expand + SortAggregate co-occurrence
+    // the gate rejects. If a Spark upgrade starts planning this shape
+    // hash-aggregated, this control fails and the gate can be retired.
+    val o = Tables(spark, Sf0001, "orders")
+      .withColumn("day", col("o_orderdate").cast("date"))
+    def metrics(c: String, render: Column) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c"),
+      min(render).as(s"min_$c"), max(render).as(s"max_$c"))
+    val aggs = count(lit(1)).as("n") +:
+      (metrics("o_orderkey", col("o_orderkey").cast("string")) ++
+        metrics("o_custkey", col("o_custkey").cast("string")) ++
+        metrics("o_orderstatus", col("o_orderstatus")) ++
+        metrics("o_orderpriority", col("o_orderpriority")) ++
+        metrics("day", col("day").cast("string")))
+    val plan = o.agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && plan.contains("SortAggregate"),
+      s"the multi-distinct control no longer plans as Expand+SortAggregate " +
+        s"— re-evaluate the gate:\n$plan")
   }
 
   test("sample_split never puts a near-dup pair across the train/eval boundary") {
