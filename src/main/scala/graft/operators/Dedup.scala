@@ -227,6 +227,38 @@ object Dedup {
     * least this many tokens contains at least one repeated window. */
   val SubstringWindow = 16
 
+  /** dedup_eval_recall's fixed truth-panel size. CONSTANT by design (the
+    * sim_ann_recall 20-query-panel shape): the eval's truth side joins
+    * panel × corpus — linear in corpus size for any fixed panel — so the
+    * shipped measurement runs at ANY scale, unlike the all-pairs exact
+    * truth it estimates (config-guarded baseline mode). Declared BEFORE
+    * `defs` (oracle SQL interpolates it at object init). */
+  val EvalPanelSize = 256
+
+  /** Deterministic fixed-size eval panel: the [[EvalPanelSize]] docs with
+    * the smallest integer hash (doc_id·104729 + 12345) mod 1000003, ties
+    * broken by doc_id — a uniform pseudo-random sample both engines
+    * compute identically, planned as TakeOrderedAndProject (no global
+    * sort). Input must carry doc_id/source/tk. */
+  def evalPanel(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    base.select(col("doc_id"), col("source"), col("tk"))
+      .withColumn("ph", expr("(doc_id * 104729 + 12345) % 1000003"))
+      .orderBy("ph", "doc_id").limit(EvalPanelSize).drop("ph")
+
+  /** Doc-level dedup ground truth over a panel: panel member b SHOULD
+    * drop iff some EARLIER same-source corpus doc a has token-Jaccard
+    * ≥ 0.7 with it. Passing the full base as the panel yields the exact
+    * all-pairs truth (the guarded baseline mode); a fixed panel makes
+    * this one bounded equi-join per source — linear in corpus size. */
+  def evalTruthDrop(base: org.apache.spark.sql.DataFrame,
+      panel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    panel.select(col("source"), col("doc_id").as("b"), col("tk").as("tb"))
+      .join(base.select(col("source"), col("doc_id").as("a"), col("tk").as("ta")),
+        Seq("source"))
+      .filter(col("a") < col("b"))
+      .filter(jaccard(col("ta"), col("tb")) >= 0.7)
+      .select(col("source"), col("b")).distinct()
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Exact dedup via content fingerprint: hash-groupBy on the normalized
@@ -1255,34 +1287,40 @@ object Dedup {
     // DECISION is "drop doc b": pair-level counting would punish the
     // bucket-min candidate form for pairs keep-first semantics never
     // needs. Truth: b should drop iff some EARLIER same-source doc has
-    // token-Jaccard ≥ 0.7 with it (the q28a all-pairs baseline shape at
-    // the LSH threshold, behind the same maxDocs guard — at scale the
-    // truth set is sampled, never computed in full; source scoping
-    // matches exact dedup / corpus_manifest's canonicalization).
+    // token-Jaccard ≥ 0.7 with it — measured over a FIXED deterministic
+    // [[EvalPanelSize]]-doc panel ([[evalPanel]]), so the truth side is
+    // panel × corpus: linear at any scale, a uniform-sample unbiased
+    // estimate of the full recall (source scoping matches exact dedup /
+    // corpus_manifest's canonicalization). The config
+    // spark.graft.dedupEval.exactTruth=true switches to the exact
+    // all-pairs truth over every doc — the deliberate baseline mode,
+    // behind the same maxDocs guard as q28a; DedupEvalSpec proves the
+    // panel truth ≡ the exact truth restricted to the panel.
     // Prediction: per-source band buckets → bucket-min edge → exact
-    // verify ≥ 0.7 → drop. Every predicted drop carries a verified
-    // pair witness (precision 1), so the measurement is per-source
-    // recall; misses = earlier-dup docs whose banding never collides,
-    // or whose bucket-min verification fails though a DIFFERENT
-    // earlier dup exists — the rule's real blind spots, now measured.
+    // verify ≥ 0.7 → drop, restricted to panel members (a doc's drop
+    // verdict depends only on its own candidates, so the restriction
+    // is exact, not approximate). Every predicted drop carries a
+    // verified pair witness (precision 1), so the measurement is
+    // per-source recall; misses = earlier-dup docs whose banding never
+    // collides, or whose bucket-min verification fails though a
+    // DIFFERENT earlier dup exists — the rule's real blind spots.
     "dedup_eval_recall" -> QueryDef(
       (s, d) => {
         val raw = tbl(s, d, "documents")
-        val cap = s.conf.get("spark.graft.q28a.maxDocs", "100000").toLong
-        val nDocs = raw.count()
-        require(nDocs <= cap,
-          s"dedup_eval_recall computes the exact all-pairs truth set: $nDocs docs exceeds " +
-            s"the $cap-doc guard. At scale, sample the truth panel (the sim_ann_recall " +
-            "pattern) or raise spark.graft.q28a.maxDocs for a deliberate baseline run.")
+        val exact = s.conf.get("spark.graft.dedupEval.exactTruth", "false").toBoolean
+        if (exact) {
+          val cap = s.conf.get("spark.graft.q28a.maxDocs", "100000").toLong
+          val nDocs = raw.count()
+          require(nDocs <= cap,
+            s"dedupEval.exactTruth computes the exact all-pairs truth set: $nDocs docs " +
+              s"exceeds the $cap-doc guard. Use the default panel mode at scale, or " +
+              "raise spark.graft.q28a.maxDocs for a deliberate baseline run.")
+        }
         val base = raw.select(col("doc_id"), col("source"),
             toks(col("text")).as("tk"), tokHashes(col("text")).as("th"))
           .localCheckpoint()
-        val truthDrop = base.select(col("source"), col("doc_id").as("a"), col("tk").as("ta"))
-          .join(base.select(col("source"), col("doc_id").as("b"), col("tk").as("tb")),
-            Seq("source"))
-          .filter(col("a") < col("b"))
-          .filter(jaccard(col("ta"), col("tb")) >= 0.7)
-          .select(col("source"), col("b")).distinct()
+        val panel = if (exact) base else evalPanel(base).localCheckpoint()
+        val truthDrop = evalTruthDrop(base, panel)
         val sig = base.withColumn("mhs", minhashSig(col("th")))
         val banded = bandExplode(sig, "mhs", Seq("doc_id", "source"))
         val bucketMin = banded.groupBy("source", "band", "bkey")
@@ -1290,7 +1328,10 @@ object Dedup {
         val cand = banded.join(bucketMin, Seq("source", "band", "bkey"))
           .filter(col("doc_id") > col("min_id"))
           .select("source", "doc_id", "min_id").distinct()
-        val predDrop = cand
+        val candPanel =
+          if (exact) cand
+          else cand.join(panel.select("doc_id"), Seq("doc_id"), "left_semi")
+        val predDrop = candPanel
           .join(base.select(col("doc_id"), col("tk").as("ta")), Seq("doc_id"))
           .join(base.select(col("doc_id").as("min_id"), col("tk").as("tb")), Seq("min_id"))
           .filter(jaccard(col("ta"), col("tb")) >= 0.7)
@@ -1310,9 +1351,12 @@ object Dedup {
           .mkString("\nUNION ALL\n")
         s"""WITH base AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tk,
            |    ${tokHashesSql("text")} AS th FROM documents),
-           |truth AS (SELECT DISTINCT x.source, y.doc_id AS b
-           |          FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id
-           |          WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.7),
+           |panel AS (SELECT doc_id, source, tk FROM base
+           |          ORDER BY (doc_id * 104729 + 12345) % 1000003, doc_id
+           |          LIMIT $EvalPanelSize),
+           |truth AS (SELECT DISTINCT p.source, p.doc_id AS b
+           |          FROM panel p JOIN base x ON x.source = p.source AND x.doc_id < p.doc_id
+           |          WHERE ${jaccardSql("x.tk", "p.tk")} >= 0.7),
            |sig AS (SELECT doc_id, source,
            |    $mhs
            |  FROM base),
@@ -1327,7 +1371,8 @@ object Dedup {
            |         FROM cand c
            |         JOIN base x ON x.doc_id = c.doc_id
            |         JOIN base y ON y.doc_id = c.min_id
-           |         WHERE ${jaccardSql("x.tk", "y.tk")} >= 0.7)
+           |         WHERE c.doc_id IN (SELECT doc_id FROM panel)
+           |           AND ${jaccardSql("x.tk", "y.tk")} >= 0.7)
            |SELECT truth.source, CAST(count(*) AS BIGINT) AS n_should_drop,
            |  CAST(coalesce(sum(CASE WHEN pred.b IS NOT NULL THEN 1 END), 0)
            |    AS BIGINT) AS n_hit,
@@ -1337,9 +1382,10 @@ object Dedup {
            |GROUP BY truth.source ORDER BY truth.source""".stripMargin
       },
       doc = "doc-level recall of the source-scoped MinHash-LSH keep-first " +
-        "decision vs the exact all-pairs truth set (guarded): per-source " +
-        "exact integer n_should_drop/n_hit/recall_ppm — the dedup twin " +
-        "of sim_ann_recall")
+        "decision vs ground truth over a fixed 256-doc deterministic " +
+        "panel (exact all-pairs truth behind dedupEval.exactTruth, " +
+        "guarded): per-source exact integer n_should_drop/n_hit/" +
+        "recall_ppm — the dedup twin of sim_ann_recall")
   )
 
   // ------------------------------------------------------------------
