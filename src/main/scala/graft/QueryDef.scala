@@ -98,6 +98,29 @@ object Qh {
   /** Distinct whitespace tokens of `text`. */
   def toks(c: Column): Column = array_distinct(split(c, " "))
 
+  /** Refuse to run a basket self-join whose widest basket exceeds
+    * `spark.graft.basket.maxItems` (default 1024). The basket pair
+    * explode is O(Σ basket²) — linear in baskets only while baskets stay
+    * small, so ONE pathological 10⁴-item basket emits 10⁸ pairs on its
+    * own: at 100× corpus scale an invisible detonation no timing at toy
+    * scale would surface. The check is one hash agg + a 1-row driver
+    * read over the (already checkpointed) presence frame — control-plane
+    * cost — and mirrors the `spark.graft.q28a.maxDocs` guard discipline:
+    * fail loudly, name the config, let a deliberate wide-basket run
+    * raise it consciously rather than silently quadrupling a shuffle. */
+  def requireBoundedBaskets(s: SparkSession, pres: DataFrame, key: String,
+      query: String): Unit = {
+    val cap = s.conf.get("spark.graft.basket.maxItems", "1024").toLong
+    val m = pres.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head()
+    if (!m.isNullAt(0) && m.getLong(0) > cap)
+      throw new IllegalArgumentException(
+        s"$query: widest basket carries ${m.getLong(0)} items, past " +
+          s"spark.graft.basket.maxItems=$cap — the basket self-join would " +
+          "explode quadratically on it. Raise the cap only for a " +
+          "deliberate wide-basket run.")
+  }
+
   /** A frame carrying a freshly computed global row number plus the total
     * row count n (known driver-side from the same bounds pass, so exact
     * ntile arithmetic needs no extra job). */

@@ -1593,7 +1593,11 @@ object Relational {
     // to DECIMAL(38,0) (q96's discipline). Scale shape: one fact scan,
     // one partkey equi-join, one distinct shuffle on (order, brand), a
     // basket-keyed self-join emitting ≤|brands|² pairs per order, a
-    // bounded pair agg, broadcast sizes.
+    // bounded pair agg, broadcast sizes. The self-join's only
+    // unbounded dimension is the per-order basket width, so it is
+    // guarded by [[graft.Qh.requireBoundedBaskets]]: one pathological
+    // 10⁴-brand order would emit 10⁸ pairs alone — refuse loudly
+    // instead (raise spark.graft.basket.maxItems deliberately).
     "q102_basket_lift" -> QueryDef(
       (s, d) => {
         val pres = tbl(s, d, "lineitem")
@@ -1601,6 +1605,7 @@ object Relational {
             col("p_brand")), Seq("l_partkey"))
           .select(col("l_orderkey"), col("p_brand")).distinct()
           .localCheckpoint() // sizes + both self-join sides + total
+        Qh.requireBoundedBaskets(s, pres, "l_orderkey", "q102_basket_lift")
         val nOrders = pres.agg(countDistinct(col("l_orderkey")).as("n_orders"))
         val sizes = pres.groupBy("p_brand").agg(count(lit(1)).as("sz"))
         val inter = pres
@@ -1710,7 +1715,8 @@ object Relational {
     // generation stays a per-order self-join (basket size is bounded by
     // the order, ≤ ~7 lines in this schema, so the pair explode is
     // O(orders · basket²) — linear in the corpus, never all-pairs across
-    // the catalog). Cosine is ranked by its SQUARE in exact integer ppm
+    // the catalog; [[graft.Qh.requireBoundedBaskets]] enforces the
+    // boundedness instead of assuming it). Cosine is ranked by its SQUARE in exact integer ppm
     // (monotone for non-negatives, so the ranking is identical):
     // n_both²·10⁶ div (n_a·n_b) stays in 64-bit while per-pair co-counts
     // are ≤ ~3·10⁶; past that (planet-scale catalogs) the same ranking
@@ -1723,6 +1729,7 @@ object Relational {
         val pres = tbl(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
           .localCheckpoint() // sizes + both self-join sides; one scan
+        Qh.requireBoundedBaskets(s, pres, "l_orderkey", "q108_item2item")
         val sizes = pres.groupBy("l_partkey").agg(count(lit(1)).as("sz"))
         val co = pres
           .join(pres.select(col("l_orderkey"), col("l_partkey").as("item_b")),
