@@ -427,14 +427,24 @@ object Multimodal {
   }
 
   /** Deterministic synthetic PNG corpus: the `image`-kind documents
-    * (doc_id ≡ 0 mod 3) carry a REAL 8×8 grayscale PNG whose pixels come
-    * from a closed-form recurrence — `g(j) = (gid·2654435761 + j·40503)
-    * mod 256` over row-major j = y·8+x, with `gid = doc_id div 6` so
-    * consecutive image ids (0,3), (6,9), … SHARE pixel content: planted
-    * near-dup pairs for the aHash grouping to find. As with
-    * [[syntheticWav]], the formula lives only here and in the oracle —
-    * the registered query must recover pixels by DECODING THE PNG. */
-  def syntheticPng(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    * (doc_id ≡ 0 mod 3) carry a REAL 8×8 grayscale image whose pixels
+    * come from a closed-form recurrence — `g(j) = (gid·2654435761 +
+    * j·40503) mod 256` over row-major j = y·8+x, with `gid = doc_id
+    * div 6` so consecutive image ids (0,3), (6,9), … SHARE pixel
+    * content: planted near-dup pairs for the aHash grouping to find.
+    * The CONTAINER cycles png → bmp → gif by image ordinal
+    * `(doc_id div 3) % 3` — all three are lossless for a ≤256-color
+    * grayscale payload (GIF's palette holds every gray exactly), so one
+    * closed-form pixel oracle gates the decode of all three in-JDK
+    * readers, and each planted near-dup pair spans TWO formats
+    * (png≡bmp, gif≡png, …): the hash grouping is proven
+    * container-independent. JPEG is deliberately NOT in the oracle
+    * cycle — DCT quantization is lossy, so no closed-form pixel oracle
+    * can gate it; its decode path is spec-gated with a tolerance
+    * instead (AHashSpec). As with [[syntheticWav]], the formula lives
+    * only here and in the oracle — the registered query must recover
+    * pixels by DECODING THE CONTAINER. */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"))
@@ -450,10 +460,15 @@ object Multimodal {
           img.setRGB(j % 8, j / 8, (g << 16) | (g << 8) | g)
           j += 1
         }
+        val fmt = ((id / 3L) % 3L) match {
+          case 0L => "png"
+          case 1L => "bmp"
+          case _  => "gif"
+        }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(img, fmt, bos)
         MediaRecord(id, "image", bos.toByteArray,
-          MediaMeta("image/png", 8, 8, 0, 0L))
+          MediaMeta(s"image/$fmt", 8, 8, 0, 0L))
       }
   }
 
@@ -643,28 +658,35 @@ object Multimodal {
         "walker; exact integer waveform features (peak/energy/zero-" +
         "crossings/poly hash) gated against the closed-form oracle"),
 
-    // REAL image near-dup detection end-to-end: generate 8×8 grayscale
-    // PNGs (closed-form pixels; consecutive image ids share content —
-    // planted duplicate pairs), decode them through the in-JDK ImageIO
-    // reader, compute the perceptual average-hash, and count hash-bucket
-    // sizes — the visual analog of dedup_exact's fingerprint groupBy.
-    // The oracle recomputes everything from the generating recurrence,
-    // so the gate proves the PNG encode∘decode roundtrip AND the hash
-    // arithmetic; n_same > 1 rows are the planted (and any aHash-
-    // colliding) duplicate groups. Scale shape: batched mapPartitions
-    // decode + a window count partitioned by the HASH (the dedup
-    // bucket key) — at 100 TB the bucket count is the same
+    // REAL image near-dup detection end-to-end: generate a MIXED-FORMAT
+    // 8×8 grayscale corpus (png/bmp/gif cycling per image; closed-form
+    // pixels; consecutive image ids share content — planted duplicate
+    // pairs that now SPAN formats), decode through the in-JDK ImageIO
+    // readers, compute the perceptual average-hash, and count
+    // hash-bucket sizes — the visual analog of dedup_exact's
+    // fingerprint groupBy. The oracle recomputes everything from the
+    // generating recurrence, so the gate proves all three containers'
+    // encode∘decode roundtrips AND the hash arithmetic — and because
+    // the planted pairs cross formats, n_same > 1 proves the perceptual
+    // bucket is container-independent. Scale shape: batched
+    // mapPartitions decode + a window count partitioned by the HASH
+    // (the dedup bucket key) — at 100 TB the bucket count is the same
     // fingerprint-keyed shuffle every exact-dedup pass uses.
     "mm_image_ahash" -> QueryDef(
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        imageAHash(syntheticPng(s, d)).toDF()
+        val recs = syntheticImages(s, d)
+        val fmt = recs.toDF().select(col("media_id"), col("meta.mime").as("format"))
+        imageAHash(recs).toDF()
+          .join(fmt, Seq("media_id"))
           .withColumn("n_same",
             count(lit(1)).over(Window.partitionBy("ahash_hi", "ahash_lo")))
           .orderBy("media_id")
       },
-      Some("""WITH im AS (SELECT doc_id, divide(doc_id, 6) AS gid
+      Some("""WITH im AS (SELECT doc_id, divide(doc_id, 6) AS gid,
+             |          'image/' || CASE divide(doc_id, 3) % 3 WHEN 0 THEN 'png'
+             |            WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
              |          FROM documents WHERE doc_id % 3 = 0),
              |px AS (SELECT doc_id, j,
              |        (gid * 2654435761 + j * 40503) % 256 AS g
@@ -679,14 +701,15 @@ object Multimodal {
              |          THEN CAST(pow(2, px.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash_lo
              |      FROM px JOIN m ON px.doc_id = m.doc_id
              |      GROUP BY px.doc_id, m.mean_g)
-             |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS w,
+             |SELECT h.doc_id AS media_id, CAST(8 AS BIGINT) AS w,
              |  CAST(8 AS BIGINT) AS h, CAST(mean_g AS BIGINT) AS mean_g,
-             |  ahash_hi, ahash_lo,
+             |  ahash_hi, ahash_lo, im.format AS format,
              |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS n_same
-             |FROM h ORDER BY media_id""".stripMargin),
-      doc = "perceptual average-hash near-dup over REAL decoded 8×8 " +
-        "PNGs: planted duplicate pairs resolve to shared (hi, lo) " +
-        "buckets; closed-form oracle proves the PNG roundtrip"),
+             |FROM h JOIN im ON im.doc_id = h.doc_id ORDER BY media_id""".stripMargin),
+      doc = "perceptual average-hash near-dup over a REAL mixed-format " +
+        "(png/bmp/gif) decoded 8×8 corpus: planted duplicate pairs span " +
+        "containers yet resolve to shared (hi, lo) buckets; closed-form " +
+        "oracle proves all three roundtrips"),
 
     // Scene-cut detection over the sampled frame stream: per video, an
     // exact integer frame signature (mean clamped-byte intensity in
@@ -818,24 +841,30 @@ object Multimodal {
         "integer energies, per-length threshold, gaps-and-islands " +
         "longest active run — closed-form oracle proves the full chain"),
 
-    // Image-quality QA over REAL decoded PNGs: mean luma (exposure),
-    // min-max contrast, and the horizontal gradient mass (the classic
-    // integer sharpness proxy — blurred images have small neighbor
-    // deltas) with dark/flat verdict flags — the visual analog of
-    // text_quality's Gopher gates, run before an image corpus is worth
-    // embedding. All exact integers (the planted grayscale makes
-    // luma = g exactly, so the oracle recomputes everything from the
-    // generating recurrence and the PNG roundtrip stays load-bearing).
-    // Batched mapPartitions decode, loud (-1) sentinel on failure.
+    // Image-quality QA over the REAL mixed-format (png/bmp/gif) decoded
+    // corpus: mean luma (exposure), min-max contrast, and the
+    // horizontal gradient mass (the classic integer sharpness proxy —
+    // blurred images have small neighbor deltas) with dark/flat verdict
+    // flags — the visual analog of text_quality's Gopher gates, run
+    // before an image corpus is worth embedding. All exact integers
+    // (the planted grayscale makes luma = g exactly, so the oracle
+    // recomputes everything from the generating recurrence and all
+    // three container roundtrips stay load-bearing). Batched
+    // mapPartitions decode, loud (-1) sentinel on failure.
     "mm_image_qa" -> QueryDef(
       (s, d) => {
-        imageQa(syntheticPng(s, d)).toDF()
+        val recs = syntheticImages(s, d)
+        val fmt = recs.toDF().select(col("media_id"), col("meta.mime").as("format"))
+        imageQa(recs).toDF()
+          .join(fmt, Seq("media_id"))
           .withColumn("grad_milli", expr("grad_sum * 1000 div (w * h - h)"))
           .withColumn("is_dark", col("mean_luma_milli") < 80000L)
           .withColumn("is_flat", col("contrast") < 32L)
           .orderBy("media_id")
       },
-      Some("""WITH im AS (SELECT doc_id, divide(doc_id, 6) AS gid
+      Some("""WITH im AS (SELECT doc_id, divide(doc_id, 6) AS gid,
+             |          'image/' || CASE divide(doc_id, 3) % 3 WHEN 0 THEN 'png'
+             |            WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
              |          FROM documents WHERE doc_id % 3 = 0),
              |px AS (SELECT doc_id, j,
              |        (gid * 2654435761 + j * 40503) % 256 AS g
@@ -848,16 +877,17 @@ object Multimodal {
              |        CAST(max(g) - min(g) AS BIGINT) AS contrast,
              |        CAST(sum(CASE WHEN j % 8 <> 0 THEN abs(g - pg) ELSE 0 END) AS BIGINT) AS grad_sum
              |      FROM gr GROUP BY 1)
-             |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+             |SELECT a.doc_id AS media_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
              |  CAST(divide(sg * 1000, 64) AS BIGINT) AS mean_luma_milli,
-             |  contrast, grad_sum,
+             |  contrast, grad_sum, im.format AS format,
              |  CAST(divide(grad_sum * 1000, 56) AS BIGINT) AS grad_milli,
              |  divide(sg * 1000, 64) < 80000 AS is_dark,
              |  contrast < 32 AS is_flat
-             |FROM a ORDER BY media_id""".stripMargin),
-      doc = "image QA gates over real PNG decode: exact integer " +
-        "exposure/contrast/sharpness-gradient metrics with dark/flat " +
-        "flags — closed-form oracle proves decode + metric arithmetic"))
+             |FROM a JOIN im ON im.doc_id = a.doc_id ORDER BY media_id""".stripMargin),
+      doc = "image QA gates over real mixed-format (png/bmp/gif) " +
+        "decode: exact integer exposure/contrast/sharpness-gradient " +
+        "metrics with dark/flat flags — closed-form oracle proves all " +
+        "three decodes + metric arithmetic"))
 
   /** Per-window PCM energies of real-decoded audio (fixed `winLen`
     * samples, last window partial): (media_id, win_idx, n_in_win,
