@@ -27,7 +27,15 @@ import org.apache.spark.sql.DataFrame
   * group index (defaults differ: DuckDB 0, Spark 1), and day counts
   * come from `epoch_us` micros (datediff takes a quoted unit in DuckDB
   * but a keyword in Spark).
+  *
+  * Tagged [[org.scalatest.tags.Slow]]: the verbatim sweep re-executes
+  * every oracle text through spark.sql AND its DataFrame builder —
+  * ~22 min of the full suite's ~28 — so the default dev loop excludes
+  * it (`sbt fastTest`, ~6 min) and the full matrix runs it pre-record
+  * (`sbt test`). Per-query iteration uses `runMain graft.SqlSweep
+  * <names>` instead, which is seconds.
   */
+@org.scalatest.tags.Slow
 class SqlSurfaceSpec extends SparkSpec {
 
   /** Oracle texts that CANNOT run through spark.sql, with the blocker.
