@@ -529,6 +529,67 @@ object Multimodal {
     *   h_i = (17·31^(i+1) + 31^i · Σ_{j≤i} b_j·inv31^j) mod p
     * turns the sequential fold into a windowed prefix sum over
     * position-joined power tables (one tiny recursive CTE). */
+  /** GZIP-compressed text payloads of every document — the at-rest
+    * reality of a 100 TB corpus (web crawls ship gzip/zstd; the JDK
+    * carries a REAL gzip codec, so this boundary is genuinely decoded,
+    * like the PNG/BMP/GIF and WAV halves). The compressed BYTES are a
+    * deflate-implementation detail (level, header flags) and never
+    * appear in any gated output; the contract is the roundtrip — the
+    * registered query must recover the text by INFLATING the payload
+    * and compute features from the DECODED text only, which the oracle
+    * recomputes from the plain table. */
+  def syntheticGzipDocs(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        gz.close()
+        MediaRecord(id, "text", bos.toByteArray,
+          MediaMeta("application/gzip", 0, 0, 0, 0L))
+      }
+  }
+
+  /** Decoded-text features of one gzip payload: char count, exact
+    * token count (separator count + 1 — the `len(string_split(…))`
+    * definition, trailing separators included), and the 58-bit
+    * [[graft.Qh.strHashWide]] polynomial digest proving the decoded
+    * BYTES, not just their shape. A payload that fails the inflate
+    * yields the loud (ok=false, -1, …) sentinel — corrupt members of a
+    * 100 TB archive must be counted, never silently dropped. */
+  final case class GzipTextFeatures(media_id: Long, ok: Boolean,
+      n_chars: Long, n_tok: Long, fp: Long)
+
+  def gunzipFeatures(ds: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[GzipTextFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      val txt =
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case _: java.io.IOException => None }
+      txt match {
+        case Some(t) =>
+          var h = 0L
+          var i = 0
+          while (i < t.length) { h = (h * 31 + t.charAt(i)) % graft.Qh.WinHashP; i += 1 }
+          GzipTextFeatures(r.media_id, ok = true, t.length.toLong,
+            t.count(_ == ' ').toLong + 1L, h)
+        case None => GzipTextFeatures(r.media_id, ok = false, -1L, -1L, -1L)
+      }
+    }))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "mm_decode_features" -> QueryDef(
       (s, d) => {
@@ -887,7 +948,32 @@ object Multimodal {
       doc = "image QA gates over real mixed-format (png/bmp/gif) " +
         "decode: exact integer exposure/contrast/sharpness-gradient " +
         "metrics with dark/flat flags — closed-form oracle proves all " +
-        "three decodes + metric arithmetic"))
+        "three decodes + metric arithmetic"),
+
+    // Compressed-payload ingestion end-to-end: every document travels
+    // as a REAL gzip binary column (JDK Deflater at write, JDK Inflater
+    // at read — the at-rest format of web-scale corpora), and the
+    // registered query recovers char/token counts plus the 58-bit
+    // polynomial digest FROM THE INFLATED TEXT. The oracle recomputes
+    // all three from the plain table, so a pass proves the
+    // compress∘decompress roundtrip is byte-exact on every document —
+    // the digest makes a silent corruption of any single byte visible.
+    // Scale shape: batched mapPartitions inflate (the codec/FFI
+    // boundary pattern shared with PNG/WAV), then pure column math —
+    // one scan, no shuffle at all until the output sort.
+    "mm_text_gzip" -> QueryDef(
+      (s, d) => {
+        gunzipFeatures(syntheticGzipDocs(s, d)).toDF()
+          .orderBy("media_id")
+      },
+      Some(s"""SELECT doc_id AS media_id, TRUE AS ok,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |  ${graft.Qh.strHashWideSql("text")} AS fp
+             |FROM documents ORDER BY media_id""".stripMargin),
+      doc = "gzip-compressed text ingestion: real JDK inflate in batched " +
+        "mapPartitions, decoded-text char/token counts + 58-bit digest " +
+        "gated against the plain table — byte-exact roundtrip proof"))
 
   /** Per-window PCM energies of real-decoded audio (fixed `winLen`
     * samples, last window partial): (media_id, win_idx, n_in_win,

@@ -177,4 +177,29 @@ class MultimodalSpec extends SparkSpec {
     val total = frames.count()
     assert(total > media.filter(col("kind") === "video").count(), "videos produce multiple frames")
   }
+
+  test("gzip roundtrip recovers the text exactly; corruption surfaces as the sentinel") {
+    val recs = Multimodal.syntheticGzipDocs(spark, Sf0001).limit(4).collect()
+    assert(recs.nonEmpty && recs.forall(_.meta.mime == "application/gzip"))
+    // corrupt ONE deflate-stream byte (past the 10-byte gzip header) of
+    // one record: its row must turn into the loud sentinel, the intact
+    // payloads must still inflate to exact features.
+    val broken = recs.head.bytes.clone()
+    broken(12) = (broken(12) ^ 0x5a).toByte
+    val mixed = recs.tail :+ recs.head.copy(bytes = broken)
+    val out = Multimodal.gunzipFeatures(spark.createDataset(mixed))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(!out(recs.head.media_id).ok &&
+      out(recs.head.media_id).n_chars == -1L,
+      "a corrupted payload must be the sentinel row, never dropped")
+    recs.tail.foreach { r =>
+      val plain = Tables(spark, Sf0001, "documents")
+        .filter(col("doc_id") === r.media_id)
+        .select("text").collect().head.getString(0)
+      val f = out(r.media_id)
+      assert(f.ok && f.n_chars == plain.length.toLong &&
+        f.n_tok == plain.count(_ == ' ').toLong + 1L,
+        s"doc ${r.media_id} did not roundtrip")
+    }
+  }
 }
