@@ -59,12 +59,13 @@ object Graph {
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
-        // Hash-partition the edge list on src once before the lineage
-        // cut (the q77 discipline): every superstep's rank→edge join
-        // reuses the partitioning instead of re-shuffling the edges.
+        // NB: do NOT pre-repartition before the lineage cut — under AQE
+        // the checkpointed LogicalRDD reports UnknownPartitioning, so a
+        // repartition here is a full shuffle whose layout Catalyst then
+        // forgets (plan-audited in r9: the superstep joins re-exchange
+        // either way; dropping the repartition removes one shuffle).
         val und = edges
           .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("src"))
           .localCheckpoint()
         val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
         var rank = deg.select(col("src").as("node"), col("deg"), lit(R0).as("pr"))
@@ -211,13 +212,12 @@ object Graph {
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
-        // Hash-partition the edge list on src ONCE before the lineage
-        // cut: LogicalRDD keeps the partitioning, so all three hop joins
-        // (and the degree count) reuse it instead of re-shuffling the
-        // edges per hop — the dominant cost of the loop.
+        // NB: no pre-repartition before the lineage cut — under AQE the
+        // checkpointed LogicalRDD reports UnknownPartitioning (the hop
+        // joins re-exchange regardless), so repartitioning here would
+        // only add a forgotten shuffle (r9 plan audit, q55 note).
         val und = edges
           .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("src"))
           .localCheckpoint()
         val seeds = und.groupBy("src").agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("src")).limit(3)
@@ -302,8 +302,8 @@ object Graph {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
           .distinct()
-          .repartition(col("supp"))
           .localCheckpoint() // both supersteps re-join the edge list
+          // (no pre-repartition: forgotten under AQE — q55 note)
         val a1 = edges.groupBy("supp").agg(count(lit(1)).as("a1"))
         val h1 = edges.join(a1, Seq("supp"))
           .groupBy("cust").agg(sum(col("a1")).as("h1"))
@@ -354,8 +354,8 @@ object Graph {
           greatest(lit(1L), expr("1000000 div co")).as("w"))
         val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
             col("w")))
-          .repartition(col("src"))
           .localCheckpoint() // every relaxation round re-joins it
+          // (no pre-repartition: forgotten under AQE — q55 note)
         val seed = und.groupBy("src").agg(count(lit(1)).as("dg"))
           .orderBy(col("dg").desc, col("src")).limit(1)
           .select(col("src").as("node"))
