@@ -582,6 +582,28 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(out(("lo", "same")) == ((10L, 10L, 0L, 100L, false)), s"$out")
   }
 
+  test("q98_ks_pairwise: negative and >$1000 cents — the shifted-span " +
+      "argmax picks the true divergence cent outside [0, 1e5)") {
+    // The case the oracle gate structurally cannot catch (both engines
+    // share the formula): a value domain spanning -7.00 .. 4000.00.
+    // A: {-7.00, -5.00, 4000.00}, B: {-5.00, -5.00, 2500.00}, t = 3
+    // each. Grid cents {-700, -500, 250000, 400000}; truncating ppm
+    // CDF diffs: 333333 at -700, 0 at -500, 333334 at 250000, 0 at
+    // 400000 — d_ppm = 333334 with its UNIQUE argmax at c = 250000.
+    // The pre-r9 fixed-1e5 composite (valid only for 0 ≤ c < 1e5)
+    // would have reported d_at_cents = 99300 — not even a grid cent.
+    // significant: 0.333 < 1.358·sqrt(6/9) ≈ 1.109 → false.
+    val dir = mkEvents(Seq(
+      (1L, 1L, 1000000L, "A", -7.00), (2L, 1L, 1000001L, "A", -5.00),
+      (3L, 1L, 1000002L, "A", 4000.00),
+      (4L, 2L, 1000003L, "B", -5.00), (5L, 2L, 1000004L, "B", -5.00),
+      (6L, 2L, 1000005L, "B", 2500.00)))
+    val out = SparkEntry.queries("q98_ks_pairwise")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(("A", "B")) == ((3L, 3L, 333334L, 250000L, false)), s"$out")
+  }
+
   test("q99_mannwhitney: complete dominance reads u2 = 2·t_a·t_b and " +
       "rank-biserial +1; identical distributions read exactly 0") {
     // Same planted corpus as the KS test. Pair (hi, lo): every hi value
