@@ -13,9 +13,10 @@ Test / fork := true
 run / fork := true
 // Two-lane test matrix: `sbt fastTest` is the dev loop (~6 min) — it
 // excludes suites tagged @org.scalatest.tags.Slow (currently only
-// SqlSurfaceSpec's ~22-min verbatim SQL sweep; per-query SQL iteration
-// goes through `runMain graft.SqlSweep <names>` instead). `sbt test`
-// stays the FULL pre-record/pre-commit-of-record gate (~28 min).
+// SqlSurfaceSpec's verbatim SQL sweep — ~10 min since it was
+// parallelized 8-wide, 22 min before; per-query SQL iteration goes
+// through `runMain graft.SqlSweep <names>` instead). `sbt test` stays
+// the FULL pre-record/pre-commit-of-record gate (~16 min).
 addCommandAlias("fastTest", "testOnly * -- -l org.scalatest.tags.Slow")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

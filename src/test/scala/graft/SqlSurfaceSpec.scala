@@ -66,19 +66,32 @@ class SqlSurfaceSpec extends SparkSpec {
     Tables.registerAll(spark, Sf0001)
     val names = SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(excluded.contains)
     assert(names.size >= 86, s"portable surface shrank: ${names.size}")
-    val failures = names.flatMap { name =>
+    // The sweep is embarrassingly parallel and each text is a small
+    // sf0.001 job, so drive the shared session from a fixed 8-thread
+    // pool (multi-threaded job submission is a supported SparkSession
+    // pattern; the process-lifetime memos are computeIfAbsent-safe).
+    // Sequential, this test was 22 min of the 28-min full suite.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures =
       try {
-        val sqlText = SparkEntry.oracleSql(name)
-        val viaSql: DataFrame = spark.sql(sqlText)
-        val viaDf: DataFrame = SparkEntry.queries(name)(spark, Sf0001)
-        val cols = viaDf.columns.sorted.toIndexedSeq
-        val a = viaSql.select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
-        val b = viaDf.select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
-        if (a == b) None else Some(s"$name: ${a.size} vs ${b.size} rows or value mismatch")
-      } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}")
-      }
-    }
+        names.map { name =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            override def call(): Option[String] =
+              try {
+                val sqlText = SparkEntry.oracleSql(name)
+                val viaSql: DataFrame = spark.sql(sqlText)
+                val viaDf: DataFrame = SparkEntry.queries(name)(spark, Sf0001)
+                val cols = viaDf.columns.sorted.toIndexedSeq
+                val a = viaSql.select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+                val b = viaDf.select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+                if (a == b) None else Some(s"$name: ${a.size} vs ${b.size} rows or value mismatch")
+              } catch {
+                case e: Throwable =>
+                  Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
+              }
+          })
+        }.flatMap(_.get())
+      } finally pool.shutdown()
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
