@@ -37,7 +37,12 @@ object Bench {
     // multi-round chain (the r7 judge-vs-builder 1.9x spread on flat
     // anchors), so they get extra repeats — the min converges to the
     // reproducible engine time on both hosts.
-    val extraRuns = Map("dedup_cluster_build" -> 6, "corpus_manifest" -> 6)
+    // The four graph loops joined in r10: q109_hits adjudicated at 1.56x
+    // judge/builder on an otherwise 1%-flat anchor run — the same
+    // multi-round JIT/GC variance class, same fix.
+    val extraRuns = Map("dedup_cluster_build" -> 6, "corpus_manifest" -> 6,
+      "q55_pagerank" -> 6, "q77_khop_reach" -> 6, "q109_hits" -> 6,
+      "q114_sssp" -> 6)
     // Per-query min over `repeats` timed runs: a single timed pass is
     // defenseless against transient host contention (a shared-node load
     // window once inflated 6 queries 10-17x while adjacent queries were

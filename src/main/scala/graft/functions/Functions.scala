@@ -45,8 +45,17 @@ object Functions {
   /** T18 JSON repair: 1) strip markdown code fences, 2) normalize curly
     * quotes to straight quotes, 3) trim to the outermost {...} (drops any
     * LLM chatter around the object). Returns NULL-safe empty string when
-    * no object is present. */
-  def jsonRepair(c: Column): Column = {
+    * no object is present. Backed by the native single-pass codegen
+    * expression [[graft.plans.JsonRepair]] — the three-stage regex chain
+    * ([[jsonRepairDeclarative]]) re-scans each string per stage and was
+    * the 8th slowest bench entry; values are identical (JsonRepairSpec
+    * pins parity on planted edge cases and the events corpus). */
+  def jsonRepair(c: Column): Column = graft.plans.JsonRepair.column(c)
+
+  /** The original declarative formulation of [[jsonRepair]] (same values;
+    * kept for the native-expression parity test, the strHashDecl
+    * pattern). */
+  def jsonRepairDeclarative(c: Column): Column = {
     val noFence = regexp_replace(c, "```(json)?", "")
     val straight = translate(noFence, "“”‘’", "\"\"''")
     regexp_extract(straight, "(\\{.*\\})", 1)

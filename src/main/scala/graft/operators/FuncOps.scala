@@ -37,10 +37,18 @@ object FuncOps {
         val dirty = concat(lit("Sure! Here is the JSON: ```json "),
           translate(col("props"), "\"", "“"), lit(" ``` hope this helps"))
         val repaired = Functions.jsonRepair(dirty)
+        // Sort FIRST, project AFTER: the range partitioner SAMPLES its
+        // child to pick sort boundaries, so any expensive projection
+        // below the Sort is evaluated twice (sampling pass + real pass).
+        // event_id is a unique total order, so projecting above the Sort
+        // yields byte-identical rows in identical order at ~2/3 the cost
+        // (profiled at sf0.1: 0.86 s → 0.54 s; get_json_object is the
+        // dominant term, the native repair scan is ~30 ms).
         tbl(s, d, "events")
+          .select(col("event_id"), col("props"))
+          .orderBy("event_id")
           .select(col("event_id"), repaired.as("repaired"),
             get_json_object(repaired, "$.k").cast("int").as("k"))
-          .orderBy("event_id")
       },
       Some {
         val dirty = "concat('Sure! Here is the JSON: ```json ', translate(props, '\"', '“'), ' ``` hope this helps')"

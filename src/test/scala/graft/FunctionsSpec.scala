@@ -40,6 +40,53 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2).getString(0) == "")
   }
 
+  test("json_repair native expression ≡ declarative regex chain (edge cases + events corpus)") {
+    // Every branch of the single-pass scan vs the 3-stage regex chain it
+    // replaced: fence variants, terminator classes, brace orderings,
+    // curly quotes, surrogate pairs.
+    val cases = Seq(
+      "Sure! ```json {“k“: 42} ``` done",
+      "{\"k\": 7}",
+      "no json here",
+      "",
+      "````json {“a”:1}```", // 4 backticks: ``` eaten, `json survives
+      "```jso {‘x’: 2} ```", // fence without the full json suffix
+      "chatter { no close",
+      "} { }", // leading close skipped, the later pair matches
+      "}{\"a\":1}", // earliest '{' with a later '}' wins
+      "{\"a\":1}\n{\"b\":2}", // newline: match cannot cross, first segment wins
+      "pre {unclosed\n{\"b\": 2} post {\"c\":3}", // greedy to LAST } in 2nd segment
+      "line1\r{\"r\": 1}\rtail", // carriage-return terminators
+      "u2028" + 0x2028.toChar + "{\"u\":1}" + 0x2028.toChar + "x", // LINE SEPARATOR is a Java terminator
+      "nel" + 0x85.toChar + "{\"n\":1}" + 0x85.toChar + "x", // NEL likewise
+      "{“q”: ‘v’}", // curly quotes inside the braces
+      "```json```{\"f\":5}```", // adjacent fences
+      "emoji 😀 {\"e\": 1} tail", // non-BMP outside the object
+      "{\"s\": \"😀\"}", // non-BMP inside the object
+      "```json") // fence only
+    val both = cases.toDF("s")
+      .select(Functions.jsonRepair(col("s")).as("n"),
+        Functions.jsonRepairDeclarative(col("s")).as("d"))
+      .collect()
+    both.zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"native='${r.getString(0)}' declarative='${r.getString(1)}' on input: $in") }
+    // null in → null out (UnaryExpression null-safety)
+    val nl = Seq[Option[String]](None).toDF("s")
+      .select(Functions.jsonRepair(col("s"))).head()
+    assert(nl.isNullAt(0))
+    // SQL registration face
+    assert(spark.sql("SELECT graft_json_repair('x {\"k\":1} y')").head().getString(0) == "{\"k\":1}")
+    // corpus parity on the exact dirty construction func_json_repair runs
+    val dirty = concat(lit("Sure! Here is the JSON: ```json "),
+      translate(col("props"), "\"", "“"), lit(" ``` hope this helps"))
+    val diff = Qh.tbl(spark, Sf001, "events")
+      .select(Functions.jsonRepair(dirty).as("n"),
+        Functions.jsonRepairDeclarative(dirty).as("d"))
+      .filter(col("n") =!= col("d")).count()
+    assert(diff == 0L)
+  }
+
   test("dedupFirstStateful: keep-first per key across micro-batches, state TTL via watermark") {
     val ms = MemoryStream[Ev](spark)
     val out = Streaming.dedupFirstStateful(ms.toDF(), "event_id", "ts")
