@@ -55,6 +55,38 @@ object Qh {
 
   def tbl(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** THE sanctioned driver-side read. Every `.collect()` / `.head()` in
+    * operator code must go through [[boundedCollect]] / [[boundedHead]]:
+    * the call declares its structural cap and the reason it is a
+    * control-plane read (bucket offsets, band-pair prune sets, 1-row
+    * bounds/argmaxes, nlist centroid tables), fetches cap+1 rows, and
+    * raises loudly the moment the read turns out to be data-plane sized —
+    * the same fail-loud discipline as [[requireBoundedBaskets]] and the
+    * `spark.graft.q28a.maxDocs` guard. Until r10 every site was bounded
+    * by INSPECTION only; nothing stopped entry #222 from collecting a
+    * table. CollectGateSpec's grep sweep now forbids raw collects in
+    * operator sources, so the bound is structural across rounds. */
+  def boundedCollect(df: DataFrame, cap: Int, why: String): Array[org.apache.spark.sql.Row] = {
+    require(cap >= 1 && cap <= (1 << 22),
+      s"boundedCollect($why): cap $cap is not a sane control-plane bound")
+    val rows = df.limit(cap + 1).collect() // the ONE sanctioned raw collect (boundedCollect impl)
+    if (rows.length > cap) throw new IllegalStateException(
+      s"boundedCollect($why): driver-side read exceeded its declared $cap-row bound — " +
+        "that is a data-plane read, not control-plane. Pre-aggregate harder or " +
+        "consciously declare a bigger bound.")
+    rows
+  }
+
+  /** 1-row driver read (global-aggregate bounds, limit(1) argmax). Raises
+    * on an empty frame — callers that tolerate empties use
+    * `boundedCollect(df, 1, why)` and check. */
+  def boundedHead(df: DataFrame, why: String): org.apache.spark.sql.Row = {
+    val rows = boundedCollect(df, 1, why)
+    if (rows.isEmpty) throw new IllegalStateException(
+      s"boundedHead($why): expected one row, got none")
+    rows(0)
+  }
+
   /** Exact integer cents of a 2-decimal money column. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -111,8 +143,8 @@ object Qh {
   def requireBoundedBaskets(s: SparkSession, pres: DataFrame, key: String,
       query: String): Unit = {
     val cap = s.conf.get("spark.graft.basket.maxItems", "1024").toLong
-    val m = pres.groupBy(col(key)).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).head()
+    val m = boundedHead(pres.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))), s"$query basket-width bound (global aggregate)")
     if (!m.isNullAt(0) && m.getLong(0) > cap)
       throw new IllegalArgumentException(
         s"$query: widest basket carries ${m.getLong(0)} items, past " +
@@ -161,8 +193,9 @@ object Qh {
     val nBuckets = spark.conf.get("spark.graft.rank.buckets", "256").toLong
     val tagged = df.withColumn("__grk_v", value.cast("long"))
       .withColumn("__grk_t", tie.cast("long"))
-    val b = tagged.agg(min(col("__grk_v")), max(col("__grk_v")),
-      min(col("__grk_t")), max(col("__grk_t")), count(lit(1))).head()
+    val b = boundedHead(tagged.agg(min(col("__grk_v")), max(col("__grk_v")),
+      min(col("__grk_t")), max(col("__grk_t")), count(lit(1))),
+      "globalRowNumber bounds (global aggregate)")
     val n = b.getLong(4)
     if (n == 0L)
       return Ranked(tagged.withColumn(out, lit(0L))
@@ -183,7 +216,9 @@ object Qh {
     val bucketed = keyed
       .withColumn("__grk_b", expr(s"__grk_k div ${width}L"))
     val offs = {
-      val totals = bucketed.groupBy("__grk_b").count().collect()
+      // width = ceil(span/nBuckets) so bucket ids stay < nBuckets
+      val totals = boundedCollect(bucketed.groupBy("__grk_b").count(),
+        nBuckets.toInt, "globalRowNumber bucket offsets")
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       var acc = 0L
       totals.map { case (bkt, cnt) => val o = (bkt, acc); acc += cnt; o }

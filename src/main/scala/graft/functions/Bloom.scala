@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Qh
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -75,11 +76,11 @@ object Bloom {
     // Distributed OR-reduction: positions fold into (word, mask) and
     // bit_or-aggregate BEFORE the collect, so the driver receives at most
     // one row per SET WORD (≤ mBits/64) — never the k·n raw positions.
-    ks.select(explode(array(positions(col(keyCol), mBits, kEff): _*)).as("p"))
+    val setWords = ks.select(explode(array(positions(col(keyCol), mBits, kEff): _*)).as("p"))
       .select(call_function("div", col("p"), lit(64L)).cast("int").as("w"),
         call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int")).as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("m"))
-      .collect()
+    Qh.boundedCollect(setWords, words.length, "bloom set-word OR-reduction")
       .foreach(r => words(r.getInt(0)) = r.getLong(1))
     Filter(words, mBits, kEff)
   }

@@ -79,7 +79,7 @@ object Bpe {
     var done = false
     var rank = 0L
     while (rank < nMerges && !done) {
-      val top = words
+      val top0 = words
         .where(size(col("sym")) >= 2)
         .select(col("freq"), explode(
           zip_with(
@@ -89,7 +89,8 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("pf"))
         .orderBy(col("pf").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(1)
+      val top = Qh.boundedCollect(top0, 1, "BPE best-pair argmax")
       if (top.isEmpty || top(0).getLong(2) < minPairFreq) done = true
       else {
         val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))

@@ -1826,7 +1826,8 @@ object Dedup {
     // probe can hit — kb is a pure function of bkey, so dropping every
     // other partition cannot lose a join match. The pair set is <= 64
     // values (Bands x KbBuckets); collecting it is a tiny aggregate.
-    val probePairs = banded.select("band", "kb").distinct().collect()
+    val probePairs = Qh.boundedCollect(banded.select("band", "kb").distinct(),
+      Bands * KbBuckets, "LSH probe (band, kb) partition prune set")
       .map(r => (r.getInt(0), r.getInt(1))).toSeq
 
     // vs the stored corpus: all colliding (new, stored) pairs, verified.
@@ -2061,7 +2062,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSigs = withSig.select(col("doc_id"), col("tk"))
     // static partition prune: <= Bands*KbBuckets pairs, O(1) to collect
-    val probePairs = banded.select("band", "kb").distinct().collect()
+    val probePairs = Qh.boundedCollect(banded.select("band", "kb").distinct(),
+      Bands * KbBuckets, "LSH probe (band, kb) partition prune set")
       .map(r => (r.getInt(0), r.getInt(1))).toSeq
     // Edges scope by source on BOTH probes — the closure must match what
     // clusterDocs would compute on the union corpus, and clusterDocs only

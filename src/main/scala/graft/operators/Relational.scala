@@ -659,12 +659,12 @@ object Relational {
           .select(explode(split(col("text"), " ")).as("token"))
         val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("token")).limit(10)
-        val skBytes = toks
-          .select(count_min_sketch(col("token"), lit(0.001), lit(0.999), lit(42)).as("sk"))
-          .head.getAs[Array[Byte]](0)
+        val skBytes = Qh.boundedHead(toks
+          .select(count_min_sketch(col("token"), lit(0.001), lit(0.999), lit(42)).as("sk")),
+          "count-min sketch bytes (global aggregate)").getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch
           .readFrom(new java.io.ByteArrayInputStream(skBytes))
-        val probed = top.collect().toSeq.map(r =>
+        val probed = Qh.boundedCollect(top, 10, "top-10 probe tokens").toSeq.map(r =>
           (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
         import s.implicits._
         probed.toDF("token", "exact_cnt", "est_cnt").orderBy("token")
@@ -1796,7 +1796,8 @@ object Relational {
           .groupBy("l_partkey")
           .agg(min(col("pc")).as("price_c"), sum(col("q")).as("qty"))
           .localCheckpoint() // bounds pass + bucket counts + sweep reuse it
-        val b = a.agg(min(col("price_c")), max(col("price_c"))).head()
+        val b = Qh.boundedHead(a.agg(min(col("price_c")), max(col("price_c"))),
+          "q110 price bounds (global aggregate)")
         if (b.isNullAt(0)) { // empty catalog: oracle returns zero rows
           a.select(col("l_partkey"), col("price_c"), col("qty"))
         } else {
@@ -1806,8 +1807,10 @@ object Relational {
         val spark = s
         import spark.implicits._
         val pre = {
-          val maxes = bucketed.groupBy("bkt").agg(max(col("qty")).as("m"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val maxes = Qh.boundedCollect(
+            bucketed.groupBy("bkt").agg(max(col("qty")).as("m")), 256,
+            "q110 bucket prefix-maxima (width = ceil(span/256))")
+            .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
           var acc = -1L // exclusive prefix max over strictly earlier buckets
           maxes.map { case (k, m) => val o = (k, acc); acc = math.max(acc, m); o }
         }.toSeq.toDF("bkt", "pre_max")
@@ -2280,8 +2283,10 @@ object Relational {
         val spark = s
         import spark.implicits._
         val offs = {
-          val sums = bucketed.groupBy("bkt").agg(sum(col("cents")).as("sc"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val sums = Qh.boundedCollect(
+            bucketed.groupBy("bkt").agg(sum(col("cents")).as("sc")), 256,
+            "cumsum bucket offsets (width = ceil(n/256))")
+            .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
           var acc = 0L
           sums.map { case (k, sc) => val o = (k, acc); acc += sc; o }
         }.toSeq.toDF("bkt", "off")

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import Qh._
 
+  /** Structural cap on a driver-read centroid table: a control-plane
+    * object by definition (indexes here are built at nlist ≤ 64; even a
+    * 100 TB-corpus IVF stays in the low thousands of cells). A table past
+    * this is an index-build bug, and boundedCollect raises on it. */
+  val MaxCentroids = 4096
+
   /** Sequential-fold dot product of two array<float|double> columns —
     * native codegen expression ([[graft.plans.DotProd]]); exact
     * left-to-right double accumulation, bit-identical to the DuckDB
@@ -240,8 +246,9 @@ object Similarity {
   private def chooseProbeCells(spark: SparkSession, indexDir: String,
       queryVec: Array[Float], nprobe: Int): IndexedSeq[Long] = {
     val qnorm = math.sqrt(foldDot(queryVec, queryVec))
-    spark.read.parquet(s"$indexDir/centroids")
-      .select(col("cent_id"), col("cvec"), col("cnorm")).collect()
+    Qh.boundedCollect(spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cent_id"), col("cvec"), col("cnorm")),
+      MaxCentroids, "IVF centroid table (nlist rows)")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .map { case (id, cvec, cnorm) => (foldDot(queryVec, cvec) / (qnorm * cnorm), id) }
       .sortBy { case (csim, id) => (-csim, id) }
@@ -794,8 +801,9 @@ object Similarity {
     // OperatorSpec pins this entry ≡ a fresh write+probe run.
     "sim_pq_adc" -> QueryDef(
       (s, d) => {
-        val q = tbl(s, d, "embeddings").filter(col("vec_id") === 0L)
-          .select(col("embedding")).head.getSeq[Float](0).toArray
+        val q = Qh.boundedHead(tbl(s, d, "embeddings")
+          .filter(col("vec_id") === 0L).select(col("embedding")),
+          "PQ query vector (vec_id 0)").getSeq[Float](0).toArray
         ivfPqProbe(s, ivfPqIndexDir(s, d), q, nprobe = 4, k = 5,
           excludeVecId = Some(0L))
       },
@@ -894,9 +902,10 @@ object Similarity {
             (dotD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("mc"))
           .localCheckpoint()
         for (r <- 2 to K) {
-          val pick = scored.filter(!col("vec_id").isin(chosen.map(_._2): _*))
-            .orderBy(col("mc").asc, col("vec_id")).limit(1)
-            .select(col("vec_id"), col("mc")).head()
+          val pick = Qh.boundedHead(
+            scored.filter(!col("vec_id").isin(chosen.map(_._2): _*))
+              .orderBy(col("mc").asc, col("vec_id")).limit(1)
+              .select(col("vec_id"), col("mc")), "k-center round argmax")
           chosen :+= ((r.toLong, pick.getLong(0), pick.getDouble(1)))
           if (r < K) {
             scored = scored.crossJoin(broadcast(centerRow(pick.getLong(0))))
@@ -976,10 +985,11 @@ object Similarity {
           .localCheckpoint()
         var chosen = Seq.empty[(Long, Long, Double, Double, Double)]
         for (r <- 1 to K) {
-          val pick = pool
+          val pick = Qh.boundedHead(pool
             .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("mc"))
             .orderBy(col("score").desc, col("vec_id")).limit(1)
-            .select(col("vec_id"), col("rel"), col("mc"), col("score")).head()
+            .select(col("vec_id"), col("rel"), col("mc"), col("score")),
+            "MMR round argmax")
           chosen :+= ((r.toLong, pick.getLong(0), pick.getDouble(1),
             pick.getDouble(2), pick.getDouble(3)))
           if (r < K) {

@@ -35,11 +35,11 @@ object Skew {
     val salted = df.withColumn("__salt", pmod(hash(saltFrom), lit(n)))
     val partial = salted
       .groupBy((key :+ "__salt").map(col): _*)
-      .agg(aggs.head.partial.as(aggs.head.name),
+      .agg(aggs(0).partial.as(aggs(0).name),
         aggs.tail.map(a => a.partial.as(a.name)): _*)
     partial
       .groupBy(key.map(col): _*)
-      .agg(aggs.head.merge(col(aggs.head.name)).as(aggs.head.name),
+      .agg(aggs(0).merge(col(aggs(0).name)).as(aggs(0).name),
         aggs.tail.map(a => a.merge(col(a.name)).as(a.name)): _*)
   }
 

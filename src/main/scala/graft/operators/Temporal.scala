@@ -2034,7 +2034,8 @@ object Temporal {
           .groupBy(col("event_type"), cents(col("value")).as("c"))
           .agg(count(lit(1)).as("n"))
           .localCheckpoint() // sizes + both pair-grid sides; bounded
-        val cb = r.agg(min(col("c")), max(col("c"))).head() // 1-row bound
+        val cb = Qh.boundedHead(r.agg(min(col("c")), max(col("c"))),
+          "q98 cents bounds (global aggregate)")
         val (minC, span) =
           if (cb.isNullAt(0)) (0L, 1L) // empty events: result is empty
           else (cb.getLong(0), cb.getLong(1) - cb.getLong(0) + 1L)

@@ -1879,10 +1879,10 @@ object TextOps {
               else sv.filter(!col("source").isin(picked: _*))
                 .join(sv.filter(col("source").isin(picked: _*))
                   .select("gram").distinct(), Seq("gram"), "left_anti")
-            val best = remaining.groupBy("source")
+            val best = Qh.boundedCollect(remaining.groupBy("source")
               .agg(count(lit(1)).as("gain"))
               .orderBy(col("gain").desc, col("source"))
-              .limit(1).collect() // bounded 1-row argmax per round
+              .limit(1), 1, "greedy source-cover argmax") // 1 row per round
             if (best.isEmpty) { exhausted = true; None } // all grams covered
             else {
               picked = best(0).getString(0) :: picked
@@ -2090,15 +2090,20 @@ object TextOps {
       size(split(col("text"), " ")).cast("long").as("ntok"))
     // pass 0 (doc_id column only — text pruned from the scan): bucket
     // geometry. BigInt guards the width math against span overflow.
-    val bounds = sized.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val bounds = Qh.boundedHead(sized.agg(min(col("doc_id")), max(col("doc_id"))),
+      "packSequences doc_id bounds (global aggregate)")
     val lo = if (bounds.isNullAt(0)) 0L else bounds.getAs[Number](0).longValue
     val hi = if (bounds.isNullAt(1)) 0L else bounds.getAs[Number](1).longValue
     val width = math.max(1L, ((BigInt(hi) - BigInt(lo)) / nBuckets + 1).toLong)
     val bucketed = sized.withColumn("bkt", expr(s"(doc_id - ${lo}L) div ${width}L"))
     // pass 1: per-(source, bucket) totals -> driver-side exclusive
     // prefix in (source, bucket) order -> broadcast offsets.
-    val totals = bucketed.groupBy("source", "bkt").agg(sum(col("ntok")).as("tot"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // |sources| is a bounded catalog enum (<= 64 by contract); the read
+    // is nBuckets x |sources| rows — structural, not data-plane.
+    val totals = Qh.boundedCollect(
+      bucketed.groupBy("source", "bkt").agg(sum(col("ntok")).as("tot")),
+      nBuckets * 64, "packSequences per-(source,bucket) token totals")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy { case (src, bkt, _) => (src, bkt) }
     val offs = Seq.newBuilder[(String, Long, Long)]
     var curSrc: String = null

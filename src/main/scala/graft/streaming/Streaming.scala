@@ -541,8 +541,10 @@ object Streaming {
       val versions = spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT, batch BIGINT"))
         .parquet(clustersDir)
-      val latest = versions.filter(org.apache.spark.sql.functions.col("batch") < belowBatch)
-        .agg(org.apache.spark.sql.functions.max("batch")).collect()(0)
+      val latest = graft.Qh.boundedHead(
+        versions.filter(org.apache.spark.sql.functions.col("batch") < belowBatch)
+          .agg(org.apache.spark.sql.functions.max("batch")),
+        "latest cluster-snapshot batch (global aggregate)")
       if (latest.isNullAt(0)) None
       else Some(versions
         .filter(org.apache.spark.sql.functions.col("batch") === latest.getLong(0))
