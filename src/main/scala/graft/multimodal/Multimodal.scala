@@ -580,10 +580,25 @@ object Multimodal {
         } catch { case _: java.io.IOException => None }
       txt match {
         case Some(t) =>
+          // Fold over Unicode CODE POINTS, not UTF-16 units: the DuckDB
+          // oracle counts codepoints (length()) and hashes ascii() per
+          // split character, which is the codepoint — verified to return
+          // e.g. 128512 for a non-BMP emoji. A charAt fold (the BMP-only
+          // PolyHash58 convention) silently diverges on any supplementary-
+          // plane character in crawled text; this digest is oracle-exact
+          // for ALL Unicode. The WinHashP construction stays exact:
+          // 31·(P−1) + 0x10FFFF < 2^63−1 (the proof's headroom past 31·P
+          // is ~2.0e6; the max codepoint is 1114111).
           var h = 0L
+          var nCp = 0L
           var i = 0
-          while (i < t.length) { h = (h * 31 + t.charAt(i)) % graft.Qh.WinHashP; i += 1 }
-          GzipTextFeatures(r.media_id, ok = true, t.length.toLong,
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            h = (h * 31 + cp) % graft.Qh.WinHashP
+            nCp += 1
+            i += Character.charCount(cp)
+          }
+          GzipTextFeatures(r.media_id, ok = true, nCp,
             t.count(_ == ' ').toLong + 1L, h)
         case None => GzipTextFeatures(r.media_id, ok = false, -1L, -1L, -1L)
       }

@@ -236,13 +236,19 @@ object Dedup {
   val EvalPanelSize = 256
 
   /** Deterministic fixed-size eval panel: the [[EvalPanelSize]] docs with
-    * the smallest integer hash (doc_id·104729 + 12345) mod 1000003, ties
-    * broken by doc_id — a uniform pseudo-random sample both engines
-    * compute identically, planned as TakeOrderedAndProject (no global
-    * sort). Input must carry doc_id/source/tk. */
+    * the smallest 58-bit polynomial digest of the id's decimal string
+    * ([[graft.Qh.strHashWide]]), ties broken by doc_id — a uniform
+    * pseudo-random sample both engines compute identically, planned as
+    * TakeOrderedAndProject (no global sort). The digit-string fold (vs
+    * the r9 affine `id·104729 + 12345 mod 1000003`) is exact in signed
+    * 64-bit for ANY BIGINT id in BOTH engines (the affine form raised a
+    * DuckDB overflow past id ~8.8e13 while Spark wrapped silently) and
+    * keeps the panel unbiased past 1e6 docs (at ~20 bits the doc_id
+    * tie-break favored small ids once buckets collided). Input must
+    * carry doc_id/source/tk. */
   def evalPanel(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     base.select(col("doc_id"), col("source"), col("tk"))
-      .withColumn("ph", expr("(doc_id * 104729 + 12345) % 1000003"))
+      .withColumn("ph", strHashWide(col("doc_id").cast("string")))
       .orderBy("ph", "doc_id").limit(EvalPanelSize).drop("ph")
 
   /** Doc-level dedup ground truth over a panel: panel member b SHOULD
@@ -869,9 +875,9 @@ object Dedup {
       (s, d) => splitFromClusters(clustersTable(s, d)),
       Some(s"""WITH RECURSIVE $clusterCteSql
               |SELECT doc_id, cluster,
-              |  ((cluster * 104729 + 12345) % 1000003) % 100 AS split_h,
-              |  CASE WHEN ((cluster * 104729 + 12345) % 1000003) % 100 < 80 THEN 'train'
-              |       WHEN ((cluster * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
+              |  (((cluster % 1000003) * 104729 + 12345) % 1000003) % 100 AS split_h,
+              |  CASE WHEN (((cluster % 1000003) * 104729 + 12345) % 1000003) % 100 < 80 THEN 'train'
+              |       WHEN (((cluster % 1000003) * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
               |       ELSE 'test' END AS split
               |FROM clusters ORDER BY doc_id""".stripMargin),
       doc = "cluster-aware 80/10/10 split: near-dups never straddle train/eval"),
@@ -1259,8 +1265,8 @@ object Dedup {
               |  CASE WHEN d.doc_id % 97 = 0 THEN 'eval' ELSE 'corpus' END AS role,
               |  e.canonical AS canonical,
               |  CAST(cl.cluster AS BIGINT) AS cluster,
-              |  CASE WHEN ((cl.cluster * 104729 + 12345) % 1000003) % 100 < 80 THEN 'train'
-              |       WHEN ((cl.cluster * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
+              |  CASE WHEN (((cl.cluster % 1000003) * 104729 + 12345) % 1000003) % 100 < 80 THEN 'train'
+              |       WHEN (((cl.cluster % 1000003) * 104729 + 12345) % 1000003) % 100 < 90 THEN 'val'
               |       ELSE 'test' END AS split,
               |  t.n_tok AS n_tok,
               |  (divide((t.n_tok - t.n_dist) * 1000, t.n_tok) <= $GopherDupMilli
@@ -1352,7 +1358,7 @@ object Dedup {
         s"""WITH base AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tk,
            |    ${tokHashesSql("text")} AS th FROM documents),
            |panel AS (SELECT doc_id, source, tk FROM base
-           |          ORDER BY (doc_id * 104729 + 12345) % 1000003, doc_id
+           |          ORDER BY ${strHashWideSql("CAST(doc_id AS STRING)")}, doc_id
            |          LIMIT $EvalPanelSize),
            |truth AS (SELECT DISTINCT p.source, p.doc_id AS b
            |          FROM panel p JOIN base x ON x.source = p.source AND x.doc_id < p.doc_id
@@ -1683,7 +1689,8 @@ object Dedup {
     * parquet table identically — spec-asserted equivalent. */
   def splitFromClusters(clusters: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     clusters
-      .withColumn("split_h", expr("((cluster * 104729 + 12345) % 1000003) % 100"))
+      .withColumn("split_h", // mod-first: value-identical, overflow-proof
+        expr("(((cluster % 1000003) * 104729 + 12345) % 1000003) % 100"))
       .withColumn("split",
         when(col("split_h") < 80, "train")
           .when(col("split_h") < 90, "val").otherwise("test"))

@@ -808,10 +808,13 @@ object Streaming {
     * events emit no trigram — usually right, the gap IS a session
     * break), and redelivery older than the TTL is no longer deduped by
     * the high-water mark (upstream replay horizons are hours, not days).
-    * Operational note: with a timeout registered, Spark schedules extra
-    * empty micro-batches to fire timers — run the query on a real
-    * processing-time trigger (not trigger-per-availability test
-    * harnesses, where timer batches starve `processAllAvailable`).
+    * Operational note: with a timeout registered, Spark schedules an
+    * empty micro-batch on EVERY trigger (timers may always fire), so
+    * `noNewData` is never signaled and `processAllAvailable` NEVER
+    * RETURNS — triggered or not (jstack-verified, StreamPathSpec). Run
+    * the query on a real processing-time trigger and observe it by
+    * deadline-bounded polling of the sink and state metrics, never by
+    * awaiting.
     * Emission is map-side (no shuffle beyond the groupByKey hash) — the
     * standard mapGroupsWithState topology at any fan-in. */
   def pathTrigramIngest(stream: DataFrame,

@@ -27,7 +27,7 @@ class DedupEvalSpec extends SparkSpec {
     assert(p1 == p2, "panel selection must be deterministic across runs")
     // the panel is the min-hash prefix: no non-member may hash below a member
     val hashes = b.select(col("doc_id"),
-        expr("(doc_id * 104729 + 12345) % 1000003").as("h"))
+        Qh.strHashWide(col("doc_id").cast("string")).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val inPanel = p1.toSet
     val worstIn = hashes.filter(x => inPanel(x._1)).map(x => (x._2, x._1)).max

@@ -202,4 +202,46 @@ class MultimodalSpec extends SparkSpec {
         s"doc ${r.media_id} did not roundtrip")
     }
   }
+
+  test("multi-member gzip inflates fully; features count code points, not UTF-16 units") {
+    // Web-crawl WARC members are routinely CONCATENATED gzip streams: a
+    // first-member-only inflate silently truncates every such record.
+    // JDK GZIPInputStream handles multi-member; this pins that the FULL
+    // stream reaches the features.
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); g.close()
+      bos.toByteArray
+    }
+    val partA = "hello crawl"
+    val partB = " world shard"
+    val partC = " tail"
+    val full = partA + partB + partC
+    // and a supplementary-plane payload: the DuckDB oracle counts
+    // length() = CODE POINTS and hashes ascii() per split char = the
+    // codepoint (128512 for the emoji), so the Scala fold must too
+    val uni = "a😀 b" // 'a', U+1F600, ' ', 'b' — 4 codepoints, 5 UTF-16 units
+    val recs2 = Seq(
+      MediaRecord(1L, "text", gz(partA) ++ gz(partB) ++ gz(partC),
+        MediaMeta("application/gzip", 0, 0, 0, 0L)),
+      MediaRecord(2L, "text", gz(uni),
+        MediaMeta("application/gzip", 0, 0, 0, 0L)))
+    val out = Multimodal.gunzipFeatures(spark.createDataset(recs2))
+      .collect().map(f => f.media_id -> f).toMap
+    val f1 = out(1L)
+    assert(f1.ok && f1.n_chars == full.length.toLong,
+      s"multi-member inflate must cover all members: expected ${full.length} chars, got ${f1.n_chars}")
+    assert(f1.n_tok == full.count(_ == ' ').toLong + 1L)
+    var h = 0L
+    full.foreach(c => h = (h * 31 + c) % Qh.WinHashP) // all-ASCII: char ≡ codepoint
+    assert(f1.fp == h, "digest must fold the full concatenated text")
+    val f2 = out(2L)
+    assert(f2.ok && f2.n_chars == 4L,
+      s"n_chars must count code points (got ${f2.n_chars} for 4 codepoints / 5 UTF-16 units)")
+    var h2 = 0L
+    Seq('a'.toInt, 0x1F600, ' '.toInt, 'b'.toInt)
+      .foreach(cp => h2 = (h2 * 31 + cp) % Qh.WinHashP)
+    assert(f2.fp == h2, "fp must fold code points (DuckDB ascii() per split char)")
+  }
 }

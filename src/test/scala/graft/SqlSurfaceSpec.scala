@@ -71,6 +71,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // pool (multi-threaded job submission is a supported SparkSession
     // pattern; the process-lifetime memos are computeIfAbsent-safe).
     // Sequential, this test was 22 min of the 28-min full suite.
+    // INVARIANT: query builders swept here must NOT mutate session conf —
+    // the 8 threads share one SparkSession, so a builder that sets conf
+    // (the BasketGuardSpec/DedupEvalSpec test pattern, which is fine in
+    // those single-threaded specs) would race every concurrent builder
+    // silently. All registered builders only READ conf; keep it that way.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val failures =
       try {
@@ -91,7 +96,7 @@ class SqlSurfaceSpec extends SparkSpec {
               }
           })
         }.flatMap(_.get())
-      } finally pool.shutdown()
+      } finally pool.shutdownNow() // interrupt stragglers too, not just stop intake
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 

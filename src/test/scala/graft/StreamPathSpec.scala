@@ -66,4 +66,50 @@ class StreamPathSpec extends SparkSpec {
     assert(out2 == Map("a>b>c" -> 1L, "b>c>d" -> 1L),
       s"replayed batch must emit nothing new: $out2")
   }
+
+  test("idleTtl evicts idle keys: the window AND the high-water mark restart after the gap") {
+    def ev(id: Long, u: Long, sec: Long, t: String) =
+      Ev(id, new java.sql.Timestamp(sec * 1000L), u, t, 1.0)
+    // ProcessingTimeTimeout makes shouldRunAnotherBatch true on EVERY
+    // trigger (timers may always fire), so `noNewData` is never signaled
+    // and processAllAvailable NEVER RETURNS once a timer is registered —
+    // triggered or not (jstack-verified; the untriggered variant was the
+    // r9 hang). A TTL'd query must therefore be driven by a real
+    // processing-time trigger and observed by deadline-bounded POLLING of
+    // the sink table and state-store metrics, never awaited.
+    val ms = MemoryStream[Ev](spark)
+    val q = Streaming.pathTrigramIngest(ms.toDF(), idleTtl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("ptri_ttl").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    def stateRows(): Long = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+    def sunk(): Seq[String] =
+      spark.table("ptri_ttl").collect().map(_.getString(1)).toSeq.sorted
+    try {
+      ms.addData(Seq(ev(1, 1, 100, "a"), ev(2, 1, 200, "b"), ev(3, 1, 300, "c")))
+      await("the pre-gap trigram")(sunk() == Seq("a>b>c"))
+      // the idle timer fires in a trigger-scheduled empty batch; observe
+      // the eviction as the state store draining
+      await("the TTL eviction")(stateRows() == 0L)
+      // Post-gap rows sit BELOW the pre-gap high-water (ts 300, id 3): had
+      // the mark survived eviction they would all drop as late and d>e>f
+      // could never appear. And the first two post-gap events must emit
+      // no trigram — the sliding window restarts (the documented trade:
+      // the gap IS a session break).
+      ms.addData(Seq(ev(4, 1, 10, "d"), ev(5, 1, 20, "e")))
+      await("the post-gap state rebuild")(stateRows() == 1L)
+      assert(sunk() == Seq("a>b>c"),
+        "the first two post-gap events must emit no trigram")
+      ms.addData(Seq(ev(6, 1, 30, "f")))
+      await("the post-gap trigram")(sunk() == Seq("a>b>c", "d>e>f"))
+    } finally q.stop()
+    assert(sunk() == Seq("a>b>c", "d>e>f"),
+      s"eviction must restart the window and reset the high-water mark; got ${sunk()}")
+  }
 }
