@@ -77,6 +77,20 @@ object Qh {
     rows
   }
 
+  /** Bounded-or-nothing driver read: Some(rows) when the frame fits the
+    * cap, None when it does not — for HYBRID operators with a guarded
+    * small-input fast path and a distributed fallback (the mergeClusters
+    * micro-graph union-find). Same discipline as [[boundedCollect]]; the
+    * only difference is that exceeding the cap selects the fallback
+    * instead of raising, because here a big input is a legitimate state,
+    * not a bug. */
+  def collectIfBounded(df: DataFrame, cap: Int, why: String): Option[Array[org.apache.spark.sql.Row]] = {
+    require(cap >= 0 && cap <= (1 << 22),
+      s"collectIfBounded($why): cap $cap is not a sane control-plane bound")
+    val rows = df.limit(cap + 1).collect() // the 2nd sanctioned raw collect (collectIfBounded impl)
+    if (rows.length > cap) None else Some(rows)
+  }
+
   /** 1-row driver read (global-aggregate bounds, limit(1) argmax). Raises
     * on an empty frame — callers that tolerate empties use
     * `boundedCollect(df, 1, why)` and check. */

@@ -270,15 +270,21 @@ object Dedup {
     // Exact dedup via content fingerprint: hash-groupBy on the normalized
     // text hash, keep the lowest doc_id per group (reference T19 keep-first,
     // topic_generation.go:202-216). One shuffle on the 8-byte fingerprint —
-    // never on the full text.
+    // never on the full text. The fingerprint is the 58-bit WinHashP
+    // digest (r10; was the ~20-bit HashP demo hash): an EXACT-dup
+    // decision keyed on 1e6 buckets false-merges distinct texts at
+    // ~n²/2e6 — a dozen silently dropped docs at 5k docs, certainty at
+    // corpus scale — and made downstream kept-counts depend on arrival
+    // order (colliding texts with different quality verdicts). At 2^58
+    // the same birthday term is ~n²/5.9e17.
     "dedup_exact" -> QueryDef(
       (s, d) => tbl(s, d, "documents")
-        .select(col("source"), col("doc_id"), strHash(lower(trim(col("text")))).as("fp"))
+        .select(col("source"), col("doc_id"), strHashWide(lower(trim(col("text")))).as("fp"))
         .groupBy("source", "fp")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("source", "keep_id"),
       Some(s"""SELECT source, fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
-              |FROM (SELECT source, doc_id, ${strHashSql("lower(trim(text))")} AS fp FROM documents)
+              |FROM (SELECT source, doc_id, ${strHashWideSql("lower(trim(text))")} AS fp FROM documents)
               |GROUP BY source, fp ORDER BY source, keep_id""".stripMargin)),
 
     // URL-canonicalization dedup — the first dedup any web-crawl corpus
@@ -1210,7 +1216,7 @@ object Dedup {
       (s, d) => {
         val docs = tbl(s, d, "documents")
         val fp = docs.select(col("source"), col("doc_id"),
-          strHash(lower(trim(col("text")))).as("fp"))
+          strHashWide(lower(trim(col("text")))).as("fp"))
         val canon = fp.groupBy("source", "fp").agg(min("doc_id").as("keep_id"))
         val exact = fp.join(canon, Seq("source", "fp"))
           .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("canonical"))
@@ -1246,7 +1252,7 @@ object Dedup {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $clusterCteSql,
-              |fp AS (SELECT source, doc_id, ${strHashSql("lower(trim(text))")} AS fp FROM documents),
+              |fp AS (SELECT source, doc_id, ${strHashWideSql("lower(trim(text))")} AS fp FROM documents),
               |canon AS (SELECT source, fp, MIN(doc_id) AS keep_id FROM fp GROUP BY source, fp),
               |exact AS (SELECT fp.doc_id, (fp.doc_id = canon.keep_id) AS canonical
               |          FROM fp JOIN canon ON fp.source = canon.source AND fp.fp = canon.fp),
@@ -1567,6 +1573,54 @@ object Dedup {
     * O(log eccentricity) rounds, not O(eccentricity) — a 10k-link drift
     * chain needs ~14 rounds, not 10k sequential jobs. The cap is a pure
     * runaway guard and exits LOUDLY. */
+  /** Hybrid component labeling for MICRO-BATCH graphs (the mergeClusters
+    * path): a batch's verified near-dup edge set is usually tiny — one
+    * checkpoint + count decide, and under `spark.graft.merge
+    * .localGraphCap` (default 65536 edges) the labels come from a
+    * driver-side min-root union-find in microseconds instead of ~10
+    * Spark jobs of distributed propagation per micro-batch (the r10
+    * composed-lane profile: propagateMin was half the merge's job
+    * count). Past the cap — a pathological batch, or genuinely huge
+    * ingest — it falls through to the same [[propagateMin]] loop,
+    * reusing the already-checkpointed edge frame, so the 100 TB shape
+    * is unchanged. Labels are IDENTICAL either way: both compute each
+    * component's minimum id (union-find attaches the larger root under
+    * the smaller; propagation converges to the min) — MergeHybridSpec
+    * pins the equivalence with the cap forced to 0. clusterDocs (the
+    * corpus-scale builder behind dedup_cluster_build) deliberately does
+    * NOT take this path: its graph is the whole corpus and its bench
+    * entry is the declared distributed-propagation cost. */
+  private def propagateMinHybrid(pairs: org.apache.spark.sql.DataFrame,
+      mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cap = spark.conf.get("spark.graft.merge.localGraphCap", "65536").toInt
+    // The fast path collects the lazy edge plan directly — one job, no
+    // checkpoint. Only the (rare) over-cap fallback re-executes the edge
+    // joins, inside propagateMin's own materialization.
+    Qh.collectIfBounded(pairs.select(col("a"), col("b")), cap,
+        "micro-batch near-dup edge graph") match {
+      case Some(rows) =>
+        val uf = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (uf.getOrDefault(r, r) != r) r = uf.get(r)
+          var c = x // path compression
+          while (uf.getOrDefault(c, c) != c) { val n = uf.get(c); uf.put(c, r); c = n }
+          r
+        }
+        rows.foreach { e =>
+          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (ra != rb) uf.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val nodes = rows.iterator.flatMap(e => Iterator(e.getLong(0), e.getLong(1)))
+          .toArray.distinct
+        nodes.map(d => (d, find(d))).toSeq.toDF("doc_id", "label")
+      case None => propagateMin(pairs.select(col("a"), col("b")), mat)
+    }
+  }
+
   private def propagateMin(pairs: org.apache.spark.sql.DataFrame,
       mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -1992,6 +2046,7 @@ object Dedup {
     bandExplode(withSig, "mhs", Seq("doc_id", "source"))
       .withColumn("kb", kbOf(col("bkey")))
       .select("bkey", "doc_id", "source", "band", "kb")
+      .repartition(col("band"), col("kb")) // one file set per target dir (see mergeAndIndex)
       .write.partitionBy("band", "kb")
       .mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
     withSig.select("doc_id", "tk")
@@ -2041,7 +2096,43 @@ object Dedup {
   def mergeClusters(clusters: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, indexDir: String,
       threshold: Double = 0.8,
-      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame =
+    mergeCore(clusters, batch, indexDir, threshold, checkpointDir, indexWriteBatch = None)
+
+  /** [[mergeClusters]] FUSED with the batch's index write — the shape
+    * [[graft.streaming.Streaming.clusterBatch]] runs per micro-batch.
+    * The separate mergeClusters-then-indexBatch sequence computed the
+    * tokHashes+MinHash signatures and the band explode TWICE per batch
+    * over the same documents; here the index write reuses the cached
+    * frames the merge already built (~25% of the composed lane's
+    * per-batch cost at the r10 profile). Semantics:
+    *   - only FRESH docs index (batch minus docs already clustered) — a
+    *     doc re-delivered in a later batch is already in the index from
+    *     its first batch; re-indexing it under the new batch id would
+    *     only duplicate probe candidates.
+    *   - the stored-index probe EXCLUDES batch=batchId (the
+    *     incrementalNearDup replay rule): a crash between the index
+    *     write and the snapshot write leaves batch=N index rows that a
+    *     replay must not probe against. (Even unexcluded they were
+    *     harmless — edges to unclustered old_ids drop at the clusters
+    *     join — but exclusion keeps replay reads byte-identical to the
+    *     first run.)
+    * Write order (index before the caller materializes the returned
+    * merge) is replay-safe: both halves write only batch=N overwrite
+    * paths, and the merge plan's index/cluster reads resolved their
+    * file listings before the write. */
+  def mergeAndIndex(clusters: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, indexDir: String, batchId: Long,
+      threshold: Double = 0.8,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame =
+    mergeCore(clusters, batch, indexDir, threshold, checkpointDir,
+      indexWriteBatch = Some(batchId))
+
+  private def mergeCore(clusters: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, indexDir: String,
+      threshold: Double,
+      checkpointDir: Option[String],
+      indexWriteBatch: Option[Long]): org.apache.spark.sql.DataFrame = {
     val spark = batch.sparkSession
     // Same lineage-durability choice as clusterDocs: localCheckpoint
     // blocks are lost with an executor; pass a reliable checkpointDir on
@@ -2051,9 +2142,10 @@ object Dedup {
     val mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       if (checkpointDir.isDefined) _.checkpoint() else _.localCheckpoint(true)
     val storedBands = readIndexTable(spark, s"$indexDir/bands",
-      "band INT, bkey STRING, doc_id BIGINT, source STRING, kb INT", excludeBatch = None)
+      "band INT, bkey STRING, doc_id BIGINT, source STRING, kb INT",
+      excludeBatch = indexWriteBatch)
     val storedSigs = readIndexTable(spark, s"$indexDir/sigs",
-      "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = None)
+      "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = indexWriteBatch)
     // At-least-once delivery can duplicate a doc_id WITHIN one batch;
     // collapse before the anti-join or both copies pass as "fresh" and
     // the output table gains duplicate rows.
@@ -2069,21 +2161,30 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSigs = withSig.select(col("doc_id"), col("tk"))
     // static partition prune: <= Bands*KbBuckets pairs, O(1) to collect
-    val probePairs = Qh.boundedCollect(banded.select("band", "kb").distinct(),
+    def probePairs: Seq[(Int, Int)] = Qh.boundedCollect(
+      banded.select("band", "kb").distinct(),
       Bands * KbBuckets, "LSH probe (band, kb) partition prune set")
       .map(r => (r.getInt(0), r.getInt(1))).toSeq
     // Edges scope by source on BOTH probes — the closure must match what
     // clusterDocs would compute on the union corpus, and clusterDocs only
-    // pairs docs within one source.
-    val edgesOld = banded
-      .join(storedBands.filter(bandPrunePredicate(probePairs))
-        .select(col("band"), col("bkey"), col("source"), col("doc_id").as("old_id")),
-        Seq("band", "bkey", "source"))
-      .select("doc_id", "old_id").distinct()
-      .join(newSigs, Seq("doc_id"))
-      .join(storedSigs.select(col("doc_id").as("old_id"), col("tk").as("tko")), Seq("old_id"))
-      .filter(jaccard(col("tk"), col("tko")) >= threshold)
-      .select(col("doc_id"), col("old_id"))
+    // pairs docs within one source. First batch (no index on disk yet):
+    // the stored side is definitionally empty — skip the probe chain AND
+    // its (band, kb) prune-set collect rather than running five jobs
+    // against an empty frame.
+    val haveIndex = graft.sources.Sources.fsExists(spark, s"$indexDir/bands")
+    val edgesOld =
+      if (!haveIndex)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, old_id BIGINT"))
+      else banded
+        .join(storedBands.filter(bandPrunePredicate(probePairs))
+          .select(col("band"), col("bkey"), col("source"), col("doc_id").as("old_id")),
+          Seq("band", "bkey", "source"))
+        .select("doc_id", "old_id").distinct()
+        .join(newSigs, Seq("doc_id"))
+        .join(storedSigs.select(col("doc_id").as("old_id"), col("tk").as("tko")), Seq("old_id"))
+        .filter(jaccard(col("tk"), col("tko")) >= threshold)
+        .select(col("doc_id"), col("old_id"))
     val edgesNew = banded.select(col("band"), col("bkey"), col("source"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("source"), col("doc_id").as("b")),
         Seq("band", "bkey", "source"))
@@ -2097,7 +2198,7 @@ object Dedup {
     val micro = edgesNew.union(
       edgesOld.join(clusters.select(col("doc_id").as("old_id"), col("cluster")), Seq("old_id"))
         .select(col("doc_id").as("a"), col("cluster").as("b")))
-    val labels = propagateMin(micro, mat)
+    val labels = propagateMinHybrid(micro, mat)
     val newRows = fresh.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
@@ -2110,6 +2211,26 @@ object Dedup {
       .join(broadcast(relabel), Seq("cluster"), "left")
       .select(col("doc_id"), coalesce(col("new_cluster"), col("cluster")).as("cluster"))
     val out = updatedOld.union(newRows)
+    // Fused index write (mergeAndIndex): reuse the cached signature and
+    // band frames the merge just built instead of recomputing them in a
+    // separate indexBatch pass. Runs before the unpersists below; the
+    // probe reads above resolved their file listings already.
+    indexWriteBatch.foreach { bid =>
+      // Cluster rows onto their (band, kb) target dirs BEFORE the
+      // dynamic-partition write: from P input partitions the writer
+      // opens up to P x 64 files and sorts every task by the partition
+      // key; repartitioned, each task owns whole directories — ~30x
+      // fewer files per micro-batch, faster commit, and cheaper listing
+      // for every later probe of this index (the r10 lane profile had
+      // this write as the largest merge slice). One extra shuffle of a
+      // 5-rows-per-doc frame — negligible at any scale.
+      banded.select("bkey", "doc_id", "source", "band", "kb")
+        .repartition(col("band"), col("kb"))
+        .write.partitionBy("band", "kb")
+        .mode("overwrite").parquet(s"$indexDir/bands/batch=$bid")
+      newSigs.coalesce(math.min(8, spark.sparkContext.defaultParallelism))
+        .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$bid")
+    }
     banded.unpersist(blocking = false)
     withSig.unpersist(blocking = false)
     out

@@ -1321,15 +1321,20 @@ object TextOps {
       }),
 
     // Document fingerprinting: deterministic polynomial rolling hash over
-    // the full text (north-star "document fingerprinting"; also the exact-
-    // dedup key at scale — 8 bytes instead of the full text).
+    // the full text (north-star "document fingerprinting"). fp/fp_norm
+    // are the ~20-bit HashP fold (token-hash convention); fp_wide is the
+    // 58-bit WinHashP digest of the normalized text — the ACTUAL
+    // exact-dedup key (dedup_exact / corpus_manifest / streaming curate
+    // share it; 20 bits false-merges distinct texts at corpus scale).
     "text_fingerprint" -> QueryDef(
       (s, d) => tbl(s, d, "documents")
         .select(col("doc_id"), strHash(col("text")).as("fp"),
-          strHash(lower(trim(col("text")))).as("fp_norm"))
+          strHash(lower(trim(col("text")))).as("fp_norm"),
+          strHashWide(lower(trim(col("text")))).as("fp_wide"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, ${strHashSql("text")} AS fp,
-              |  ${strHashSql("lower(trim(text))")} AS fp_norm
+              |  ${strHashSql("lower(trim(text))")} AS fp_norm,
+              |  ${strHashWideSql("lower(trim(text))")} AS fp_wide
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Context-window chunking: split every document into overlapping

@@ -151,10 +151,11 @@ object GraftExtensions {
   val graftLshBucket2: FnDef = fn("graft_lsh_bucket2", classOf[LshBucket64], c => LshBucket64(c.head, table = 1))
   val graftShingles: FnDef = fn("graft_shingles", classOf[Shingles3], c => Shingles3(c.head, distinct = true))
   val graftJsonRepair: FnDef = fn("graft_json_repair", classOf[JsonRepair], c => JsonRepair(c.head))
+  val graftTokenProfile: FnDef = fn("graft_token_profile", classOf[TokenProfile], c => TokenProfile(c.head))
 
   val all: Seq[FnDef] = Seq(graftHash, graftHash58, graftSimHash, graftMinHash,
     graftJaccard, graftDot, graftSumSq, graftLshBucket, graftLshBucket2, graftShingles,
-    graftJsonRepair) ++
+    graftJsonRepair, graftTokenProfile) ++
     DuckCompat.all // DuckDB-dialect aliases so oracle texts run verbatim in spark.sql
 
   /** Imperative registration for sessions we did not build (e.g. the

@@ -370,9 +370,13 @@ object Streaming {
         org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))
     // reliableCheckpointDir: pass on a real cluster so a lost executor
     // mid-propagation recomputes instead of failing the micro-batch.
-    val merged = Dedup.mergeClusters(prior, batch, indexDir, threshold, reliableCheckpointDir)
+    // mergeAndIndex fuses the index write into the merge so the batch's
+    // signatures and band explode are computed once, not twice (r10
+    // lane-amortization; same batch=N overwrite replay contract as the
+    // former mergeClusters + indexBatch sequence).
+    val merged = Dedup.mergeAndIndex(prior, batch, indexDir, batchId,
+      threshold, reliableCheckpointDir)
     merged.write.mode("overwrite").parquet(s"$clustersDir/batch=$batchId")
-    Dedup.indexBatch(batch, indexDir, batchId)
   }
 
   /** The full streaming curation pipeline a training-data ingest
@@ -396,12 +400,13 @@ object Streaming {
       fpDir: String, keptDir: String, indexDir: String, clustersDir: String,
       checkpoint: String, threshold: Double = 0.8,
       trigger: Trigger = DefaultTrigger,
-      reliableCheckpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      reliableCheckpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val eval = evalArtifacts(evalDocs) // once per stream, not per batch
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(batch, evalDocs, fpDir, keptDir, batchId)
+        curateBatch(batch, eval, fpDir, keptDir, batchId)
         // Re-read what curateBatch just wrote rather than re-deriving the
         // kept set in memory: the parquet under batch=N IS the contract
         // between the halves, so a replayed batch clusters exactly what
@@ -411,6 +416,7 @@ object Streaming {
           .parquet(s"$keptDir/batch=$batchId")
         clusterBatch(kept, indexDir, clustersDir, batchId, threshold, reliableCheckpointDir)
       }
+  }
 
   /** One-call streaming curation — the ingest-time composition of the
     * batch corpus_manifest verdict, for the parts that are exact and
@@ -451,22 +457,53 @@ object Streaming {
     * into clusterIngest for the full curation pipeline. */
   def curateIngest(stream: DataFrame, evalDocs: DataFrame, fpDir: String,
       keptDir: String, checkpoint: String,
-      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val eval = evalArtifacts(evalDocs) // once per stream, not per batch
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(batch, evalDocs, fpDir, keptDir, batchId)
+        curateBatch(batch, eval, fpDir, keptDir, batchId)
       }
+  }
 
   /** One [[curateIngest]] micro-batch — public so recovery semantics are
     * directly testable (CurateIngestSpec replays a batch id). */
+  /** Batch-invariant eval-set artifacts for [[curateBatch]]: the eval
+    * docs' distinct shingle hashes and (source, fp) fingerprints. The
+    * eval set is a FIXED bounded artifact passed to every micro-batch,
+    * so the ingest entry points compute this ONCE per stream
+    * (localCheckpointed) instead of re-aggregating the eval docs in
+    * every foreachBatch — two fewer shuffle jobs per batch at an
+    * identical kept set (the r10 lane-amortization pass). */
+  final case class EvalArtifacts(shingles: DataFrame, fps: DataFrame,
+      shinglesNonEmpty: Boolean, fpsNonEmpty: Boolean)
+
+  def evalArtifacts(evalDocs: DataFrame): EvalArtifacts = {
+    import graft.operators.Dedup.{shingles3, tokHashesSeq}
+    val evalSrc = if (evalDocs.columns.contains("source")) col("source") else lit("")
+    val sh = evalDocs.select(explode(shingles3(tokHashesSeq(col("text")))).as("g"))
+      .distinct().localCheckpoint(true)
+    val fps = evalDocs.select(evalSrc.as("source"),
+        graft.Qh.strHashWide(lower(trim(col("text")))).as("fp"))
+      .distinct().localCheckpoint(true)
+    // Emptiness decided ONCE per stream (the frames are checkpointed, so
+    // isEmpty is a cheap bounds read): an empty exclusion set must not
+    // cost every batch a per-doc shingle explode + distinct — the gate
+    // against it is the identity.
+    EvalArtifacts(sh, fps, !sh.isEmpty, !fps.isEmpty)
+  }
+
+  /** Single-shot form (tests, one-off batches): derives the eval
+    * artifacts in place. Streaming entry points precompute them. */
   def curateBatch(batch: DataFrame, evalDocs: DataFrame, fpDir: String,
+      keptDir: String, batchId: Long): Unit =
+    curateBatch(batch, evalArtifacts(evalDocs), fpDir, keptDir, batchId)
+
+  def curateBatch(batch: DataFrame, eval: EvalArtifacts, fpDir: String,
       keptDir: String, batchId: Long): Unit = {
     import graft.operators.Dedup.{shingles3, tokHashesSeq}
     val spark = batch.sparkSession
-    val evalShingles = evalDocs
-      .select(explode(shingles3(tokHashesSeq(col("text")))).as("g")).distinct()
     // Canonicalization runs over ALL arriving docs — contaminated and
     // quality-failed docs still claim their fingerprint (exactly the
     // manifest's semantics, where `canonical` is computed over the
@@ -475,7 +512,11 @@ object Streaming {
     val srcCol = if (batch.columns.contains("source")) col("source") else lit("")
     val fp = batch
       .select(col("doc_id"), srcCol.as("source"), col("text"))
-      .withColumn("fp", graft.Qh.strHash(lower(trim(col("text")))))
+      // 58-bit digest, in lockstep with dedup_exact/corpus_manifest (r10):
+      // a 20-bit fp false-merged distinct texts and made the kept set
+      // depend on arrival order whenever the colliding pair's quality
+      // verdicts differed.
+      .withColumn("fp", graft.Qh.strHashWide(lower(trim(col("text")))))
     val wCanon = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "fp").orderBy("doc_id")
     val canon = fp.withColumn("rn", row_number().over(wCanon))
@@ -487,29 +528,34 @@ object Streaming {
     // ride on the contamination/quality gates' thresholds. Seed-dropped
     // docs need no store write: the eval set itself is the permanent
     // fingerprint claim (it is passed to every batch).
-    val evalSrc = if (evalDocs.columns.contains("source")) col("source") else lit("")
-    val evalFp = evalDocs
-      .select(evalSrc.as("source"), graft.Qh.strHash(lower(trim(col("text")))).as("fp"))
-      .distinct()
-    val fresh = canon.join(readFpStore(spark, fpDir, excludeBatch = batchId),
+    val deduped = canon.join(readFpStore(spark, fpDir, excludeBatch = batchId),
         Seq("source", "fp"), "left_anti")
-      .join(broadcast(evalFp), Seq("source", "fp"), "left_anti")
+    val fresh = (if (eval.fpsNonEmpty)
+        deduped.join(broadcast(eval.fps), Seq("source", "fp"), "left_anti")
+      else deduped)
       .persist()
     try {
-      val contaminated = fresh
-        .select(col("doc_id"), explode(shingles3(tokHashesSeq(col("text")))).as("g"))
-        .join(broadcast(evalShingles), Seq("g"), "left_semi")
-        .select("doc_id").distinct()
-      val qualityIds = fresh
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(sum("cnt").as("n_tok"),
-          count(lit(1)).as("n_dist"), max("cnt").as("top_cnt"))
-        .filter(expr(s"(n_tok - n_dist) * 1000 div n_tok <= ${graft.Qh.GopherDupMilli}" +
-          s" AND top_cnt * 1000 div n_tok <= ${graft.Qh.GopherTopMilli}"))
-        .select("doc_id")
-      fresh.join(contaminated, Seq("doc_id"), "left_anti")
-        .join(qualityIds, Seq("doc_id"), "left_semi")
+      val kept0 =
+        if (!eval.shinglesNonEmpty) fresh // empty eval: nothing can contaminate
+        else {
+          val contaminated = fresh
+            .select(col("doc_id"), explode(shingles3(tokHashesSeq(col("text")))).as("g"))
+            .join(broadcast(eval.shingles), Seq("g"), "left_semi")
+            .select("doc_id").distinct()
+          fresh.join(contaminated, Seq("doc_id"), "left_anti")
+        }
+      // Gopher repetition gate as a PER-ROW filter (graft.plans
+      // .TokenProfile): the (n_tok, n_dist, top_cnt) triple in one
+      // map-only pass — same integers as the explode → groupBy(doc,
+      // token) → groupBy(doc) aggregation this replaces, without
+      // shuffling a (doc, token) pair stream that at 100 TB dwarfs the
+      // corpus itself. CurateIngestSpec pins kept ≡ manifest verdict.
+      val qualityOk = expr(s"(__tp[0] - __tp[1]) * 1000 div __tp[0] <= " +
+        s"${graft.Qh.GopherDupMilli} AND __tp[2] * 1000 div __tp[0] <= " +
+        s"${graft.Qh.GopherTopMilli}")
+      kept0
+        .withColumn("__tp", graft.plans.TokenProfile.column(split(col("text"), " ")))
+        .filter(qualityOk)
         .select("doc_id", "source", "text")
         .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
       // ALL fresh fingerprints persist, kept or not (see above).
