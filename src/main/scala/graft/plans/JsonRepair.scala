@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Java's line-terminator set for the backtick-dot exclusion: n, r,
   * U+0085, U+2028, U+2029) and to the DuckDB oracle fragment
   * ([[graft.functions.Functions.jsonRepairSql]]) on \n-terminated or
-  * terminator-free text; JsonRepairSpec pins the parity corpus- and
+  * terminator-free text; FunctionsSpec pins the parity corpus- and
   * planted-case-wide.
   */
 case class JsonRepair(child: Expression) extends UnaryExpression {
