@@ -1,20 +1,84 @@
 #!/usr/bin/env python3
-"""Anchor-normalized diff of a graft.Bench run against BASELINE_QUERIES.json.
+"""Host-drift-robust diff of a graft.Bench run against BASELINE_QUERIES.json.
 
 Usage: sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | \
            python3 tools/diff_baseline.py [--threshold 1.3] [baseline.json]
 
-For every query present in both, computes
-    ratio = (run_secs / run_anchor) / (baseline_secs / baseline_anchor)
-— the host-drift-safe comparison (BASELINE.md: raw seconds drift up to
-~1.5x between runs; the q28a_jaccard_pairs anchor normalizes it out).
-Prints regressions over the threshold, new/removed queries, and run
-failures. Exit code 1 if any regression or failure. Remember the
+Two host-factor estimates are computed and a query is flagged only when
+it exceeds the threshold under BOTH:
+
+  anchor factor = run_anchor / baseline_anchor   (q28a_jaccard_pairs)
+  median factor = median over all shared queries of run_secs/baseline_secs
+
+The r10 judge run proved the single-anchor normalization fragile on its
+own: the anchor happened to run 0.90x its baseline while the median
+query ratio was 1.25x, so anchor-only normalization flagged 32 phantom
+"regressions" spread uniformly across unrelated families — the
+signature of host load, not code. The median of per-query ratios is
+robust to any one query's noise (including the anchor's own); requiring
+a flag under BOTH normalizations kills the phantom case while a real
+regression (one query slow relative to everything else on the same
+host) still exceeds both. The anchor is kept as a reported witness.
+
+Exit code 1 on any surviving regression or run failure. Remember the
 documented adjudication rule before filing a regression: one min-of-3
 run is noise — re-run the flagged queries min-of-9 on a quiet host.
 """
 import json
 import sys
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    if n == 0:
+        raise ValueError("median of empty sequence")
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def diff(base, run, threshold):
+    """Pure comparison core (unit-tested by tools/test_diff_baseline.py).
+
+    Returns a dict: anchor_factor, median_factor, regressions (list of
+    per-query dicts flagged under BOTH normalizations), anchor_only /
+    median_only witness lists, new/removed query names, failed list.
+    """
+    bq, rq = base["queries"], run["queries"]
+    anchor = base["anchor_query"]
+    ab, ar = bq[anchor], rq.get(anchor)
+    if not ar or ar <= 0:
+        raise ValueError(f"anchor {anchor} missing/failed in the run")
+    anchor_factor = ar / ab
+    shared = [n for n in sorted(set(bq) & set(rq)) if bq[n] > 0 and rq[n] > 0]
+    raw = {n: rq[n] / bq[n] for n in shared}
+    median_factor = _median(list(raw.values()))
+    failed = run.get("failed", [])
+    if isinstance(failed, str):
+        failed = json.loads(failed)
+    regress, anchor_only, median_only = [], [], []
+    for n in shared:
+        via_anchor = raw[n] / anchor_factor
+        via_median = raw[n] / median_factor
+        entry = {"name": n, "run": rq[n], "baseline": bq[n],
+                 "via_anchor": via_anchor, "via_median": via_median}
+        over_a, over_m = via_anchor > threshold, via_median > threshold
+        if over_a and over_m:
+            regress.append(entry)
+        elif over_a:
+            anchor_only.append(entry)
+        elif over_m:
+            median_only.append(entry)
+    regress.sort(key=lambda e: -min(e["via_anchor"], e["via_median"]))
+    return {
+        "anchor_factor": anchor_factor,
+        "median_factor": median_factor,
+        "regressions": regress,
+        "anchor_only": anchor_only,
+        "median_only": median_only,
+        "new": sorted(set(rq) - set(bq)),
+        "removed": sorted(set(bq) - set(rq)),
+        "failed": failed,
+    }
 
 
 def main() -> int:
@@ -27,33 +91,28 @@ def main() -> int:
     baseline_path = args[0] if args else "BASELINE_QUERIES.json"
     base = json.load(open(baseline_path))
     run = json.loads(sys.stdin.read().strip().splitlines()[-1])
-    bq, rq = base["queries"], run["queries"]
-    anchor = base["anchor_query"]
-    ab, ar = bq[anchor], rq.get(anchor)
-    if not ar or ar <= 0:
-        print(f"FATAL: anchor {anchor} missing/failed in the run")
+    try:
+        r = diff(base, run, threshold)
+    except ValueError as e:
+        print(f"FATAL: {e}")
         return 1
-    failed = run.get("failed", [])
-    if isinstance(failed, str):
-        failed = json.loads(failed)
-    regress = []
-    for name in sorted(set(bq) & set(rq)):
-        if bq[name] <= 0 or rq[name] <= 0:
-            continue
-        ratio = (rq[name] / ar) / (bq[name] / ab)
-        if ratio > threshold:
-            regress.append((ratio, name, rq[name], bq[name]))
-    print(f"anchor: run {ar:.2f}s vs baseline {ab:.2f}s "
-          f"(host factor {ar / ab:.2f}x); threshold {threshold}x")
-    print(f"queries: run {len(rq)}, baseline {len(bq)}; "
-          f"new {sorted(set(rq) - set(bq))}; removed {sorted(set(bq) - set(rq))}")
-    if failed:
-        print(f"FAILED in run: {failed}")
-    for ratio, name, r, b in sorted(regress, reverse=True):
-        print(f"  {ratio:5.2f}x  {name}: {r:.2f}s vs baseline {b:.2f}s")
-    if not regress and not failed:
-        print("no anchor-normalized regressions")
-    return 1 if (regress or failed) else 0
+    print(f"host factor: anchor {r['anchor_factor']:.2f}x, "
+          f"median-of-ratios {r['median_factor']:.2f}x; threshold {threshold}x "
+          f"(flagged only when over under BOTH)")
+    print(f"queries: run {len(run['queries'])}, baseline {len(base['queries'])}; "
+          f"new {r['new']}; removed {r['removed']}")
+    if r["failed"]:
+        print(f"FAILED in run: {r['failed']}")
+    for e in r["regressions"]:
+        print(f"  {e['via_anchor']:5.2f}x anchor / {e['via_median']:5.2f}x median  "
+              f"{e['name']}: {e['run']:.2f}s vs baseline {e['baseline']:.2f}s")
+    if r["anchor_only"] or r["median_only"]:
+        print(f"single-normalization witnesses (NOT flagged): "
+              f"{len(r['anchor_only'])} anchor-only, {len(r['median_only'])} median-only"
+              + (f"; worst anchor-only: {r['anchor_only'][0]['name']}" if r["anchor_only"] else ""))
+    if not r["regressions"] and not r["failed"]:
+        print("no regressions under both normalizations")
+    return 1 if (r["regressions"] or r["failed"]) else 0
 
 
 if __name__ == "__main__":
