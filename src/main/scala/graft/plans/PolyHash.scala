@@ -11,8 +11,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's polynomial rolling hash
-  * `fold(h, c) = (h*31 + c) mod 1000003` over a string's characters — the
-  * hot inner loop of every text-dedup/fingerprint operator.
+  * `fold(h, c) = (h*31 + c) mod 1000003` over a string's Unicode CODE
+  * POINTS — the hot inner loop of every text-dedup/fingerprint operator.
   *
   * The declarative formulation (`aggregate(split(s, ""), ...)`) allocates
   * a per-character array and evaluates a lambda per element; this
@@ -21,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * declarative form and to the DuckDB oracle fragment
   * ([[graft.Qh.strHashSql]]), so it can be swapped into any oracle-checked
   * query.
+  *
+  * Code points, not UTF-16 units: the DuckDB mirror's
+  * `string_split(s,'') → ascii(c)` yields one code point per element, so
+  * folding `charAt` units would silently break Spark/oracle parity on any
+  * supplementary-plane character (emoji in crawled text) — exactly the
+  * divergence the gzip digest fixed in r10 (Multimodal code-point fold).
+  * For BMP-only strings the two folds are identical, so this is
+  * value-neutral on the ASCII/Latin test corpus; PolyHashSpec pins the
+  * non-BMP case against a hand-computed code-point fold.
   */
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -37,11 +46,15 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("phStr")
       val i = ctx.freshName("phI")
+      val cp = ctx.freshName("phCp")
       s"""
          |String $s = $c.toString();
          |long ${ev.value}L0 = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  ${ev.value}L0 = (${ev.value}L0 * 31L + (long) $s.charAt($i)) % ${PolyHash.Mod}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  ${ev.value}L0 = (${ev.value}L0 * 31L + (long) $cp) % ${PolyHash.Mod}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = ${ev.value}L0;
        """.stripMargin
@@ -58,8 +71,9 @@ object PolyHash {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * 31L + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }
@@ -68,8 +82,8 @@ object PolyHash {
   def column(c: Column): Column = GraftShim.column(PolyHash(GraftShim.expression(c)))
 }
 
-/** The 58-bit WIDE sibling of [[PolyHash]]: identical char fold but mod
-  * [[graft.Qh.WinHashP]] (~2^58) — for ROW DIGESTS, where [[PolyHash]]'s
+/** The 58-bit WIDE sibling of [[PolyHash]]: identical code-point fold but
+  * mod [[graft.Qh.WinHashP]] (~2^58) — for ROW DIGESTS, where [[PolyHash]]'s
   * ~20-bit modulus collides at anti-entropy scale (q62: a changed row
   * whose old/new digests collide is mis-reported 'unchanged'; at mod 1e6
   * that is ~1e-6 per changed row — near-certain over 100 TB — vs ~3e-18
@@ -91,11 +105,15 @@ case class PolyHash58(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("phwStr")
       val i = ctx.freshName("phwI")
+      val cp = ctx.freshName("phwCp")
       s"""
          |String $s = $c.toString();
          |long ${ev.value}L0 = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  ${ev.value}L0 = (${ev.value}L0 * 31L + (long) $s.charAt($i)) % ${PolyHash58.Mod}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  ${ev.value}L0 = (${ev.value}L0 * 31L + (long) $cp) % ${PolyHash58.Mod}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = ${ev.value}L0;
        """.stripMargin
@@ -112,8 +130,9 @@ object PolyHash58 {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * 31L + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }

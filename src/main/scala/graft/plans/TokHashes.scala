@@ -28,7 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     preserved), NOT by hash — two different tokens that collide mod
   *     HashP must keep both occurrences, exactly like
   *     `array_distinct(split(...))` followed by hashing;
-  *   - hashing is per UTF-16 code unit, identical to [[PolyHash.hash]].
+  *   - hashing is per Unicode CODE POINT, identical to [[PolyHash.hash]]
+  *     and to the DuckDB `string_split(t,'') → ascii(c)` mirror (r11:
+  *     was per UTF-16 unit, which diverged from the oracle fragment on
+  *     supplementary-plane characters). Splitting on ' ' by charAt is
+  *     still safe: U+0020 can never be a surrogate half.
   */
 case class TokHashes(child: Expression, distinct: Boolean) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -64,8 +68,9 @@ object TokHashes {
           var h = 0L
           var j = start
           while (j < i) {
-            h = (h * 31L + s.charAt(j)) % P
-            j += 1
+            val cp = s.codePointAt(j)
+            h = (h * 31L + cp) % P
+            j += Character.charCount(cp)
           }
           out.add(h)
         }

@@ -21,6 +21,40 @@ class PolyHashSpec extends SparkSpec {
     assert(fromCol == cases.map(PolyHash.hash))
   }
 
+  test("non-BMP strings fold Unicode code points, matching the DuckDB oracle fragment") {
+    // Pinned constants computed with DuckDB's own
+    //   list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    //     c -> ascii(c))), (h,c) -> (h*31+c) % P)
+    // — the exact strHashSql/strHashWideSql oracle fragments — on these
+    // strings (ascii() yields the CODE POINT: 😀 = 128512). A UTF-16
+    // charAt fold diverges on every one of them (r11 ADVICE fix: the
+    // 58-bit digest is the exact-dedup key over raw crawled text, where
+    // emoji are plausible). BMP strings are unaffected: café pins that.
+    import graft.plans.PolyHash58
+    val grin = new String(Character.toChars(0x1F600)) // 😀
+    val blink = new String(Character.toChars(0x1F601)) // 😁
+    val cases = Seq(
+      (s"a${grin}b", 77175L, 4077187L),
+      (grin, 128512L, 128512L),
+      (grin + blink, 112373L, 4112385L),
+      ("café", 45912L, 3045921L),
+      (s"x $grin$grin y", 30678L, 7417052929L))
+    cases.foreach { case (s, p20, p58) =>
+      assert(PolyHash.hash(s) == p20, s"PolyHash interpreted on ${s}")
+      assert(PolyHash58.hash(s) == p58, s"PolyHash58 interpreted on ${s}")
+    }
+    // codegen path through the Column form
+    val viaCol = cases.map(_._1).toDF("s")
+      .select(Qh.strHash(col("s")), Qh.strHashWide(col("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaCol == cases.map(c => (c._2, c._3)))
+    // fused tokenizer: tokens of "x 😀😀 y" hash per code point too
+    val toks = Seq(s"x $grin$grin y").toDF("text")
+      .select(graft.operators.Dedup.tokHashes(col("text")))
+      .head().getSeq[Long](0)
+    assert(toks == Seq(120L, 112372L, 121L))
+  }
+
   test("graft_hash is SQL-callable after imperative registration, incl. in lambdas") {
     GraftExtensions.register(spark)
     val r = spark.sql(
