@@ -401,7 +401,7 @@ object Streaming {
       checkpoint: String, threshold: Double = 0.8,
       trigger: Trigger = DefaultTrigger,
       reliableCheckpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val eval = evalArtifacts(evalDocs) // once per stream, not per batch
+    val eval = evalArtifacts(evalDocs, reliableCheckpointDir) // once per stream, not per batch
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -457,8 +457,9 @@ object Streaming {
     * into clusterIngest for the full curation pipeline. */
   def curateIngest(stream: DataFrame, evalDocs: DataFrame, fpDir: String,
       keptDir: String, checkpoint: String,
-      trigger: Trigger = DefaultTrigger): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val eval = evalArtifacts(evalDocs) // once per stream, not per batch
+      trigger: Trigger = DefaultTrigger,
+      reliableCheckpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val eval = evalArtifacts(evalDocs, reliableCheckpointDir) // once per stream, not per batch
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -472,21 +473,35 @@ object Streaming {
   /** Batch-invariant eval-set artifacts for [[curateBatch]]: the eval
     * docs' distinct shingle hashes and (source, fp) fingerprints. The
     * eval set is a FIXED bounded artifact passed to every micro-batch,
-    * so the ingest entry points compute this ONCE per stream
-    * (localCheckpointed) instead of re-aggregating the eval docs in
-    * every foreachBatch — two fewer shuffle jobs per batch at an
-    * identical kept set (the r10 lane-amortization pass). */
+    * so the ingest entry points compute this ONCE per stream instead of
+    * re-aggregating the eval docs in every foreachBatch — two fewer
+    * shuffle jobs per batch at an identical kept set (the r10
+    * lane-amortization pass).
+    *
+    * Durability (r11, the ADVICE fix): localCheckpoint blocks live on
+    * executors — on a real cluster, losing the executor holding them
+    * fails EVERY subsequent micro-batch (lineage is truncated, so
+    * recompute is impossible) until the query is externally restarted.
+    * When `reliableCheckpointDir` is set (the same option clusterIngest
+    * threads to the merge path for the same hazard), the artifacts are
+    * checkpointed to reliable storage instead: a lost executor re-reads
+    * from the DFS. Local mode / tests keep the zero-setup
+    * localCheckpoint. */
   final case class EvalArtifacts(shingles: DataFrame, fps: DataFrame,
       shinglesNonEmpty: Boolean, fpsNonEmpty: Boolean)
 
-  def evalArtifacts(evalDocs: DataFrame): EvalArtifacts = {
+  def evalArtifacts(evalDocs: DataFrame,
+      reliableCheckpointDir: Option[String] = None): EvalArtifacts = {
     import graft.operators.Dedup.{shingles3, tokHashesSeq}
+    reliableCheckpointDir.foreach(evalDocs.sparkSession.sparkContext.setCheckpointDir)
+    val mat: DataFrame => DataFrame =
+      if (reliableCheckpointDir.isDefined) _.checkpoint() else _.localCheckpoint(true)
     val evalSrc = if (evalDocs.columns.contains("source")) col("source") else lit("")
-    val sh = evalDocs.select(explode(shingles3(tokHashesSeq(col("text")))).as("g"))
-      .distinct().localCheckpoint(true)
-    val fps = evalDocs.select(evalSrc.as("source"),
+    val sh = mat(evalDocs.select(explode(shingles3(tokHashesSeq(col("text")))).as("g"))
+      .distinct())
+    val fps = mat(evalDocs.select(evalSrc.as("source"),
         graft.Qh.strHashWide(lower(trim(col("text")))).as("fp"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     // Emptiness decided ONCE per stream (the frames are checkpointed, so
     // isEmpty is a cheap bounds read): an empty exclusion set must not
     // cost every batch a per-doc shingle explode + distinct — the gate
