@@ -88,8 +88,15 @@ object Qh {
     require(cap >= 0 && cap <= (1 << 22),
       s"collectIfBounded($why): cap $cap is not a sane control-plane bound")
     val rows = df.limit(cap + 1).collect() // the 2nd sanctioned raw collect (collectIfBounded impl)
-    if (rows.length > cap) None else Some(rows)
+    if (rows.length > cap) { fallbackCount.incrementAndGet(); None } else Some(rows)
   }
+
+  /** Test observability for hybrid operators: total [[collectIfBounded]]
+    * calls that exceeded their cap and selected the distributed fallback.
+    * OverCapFallbackSpec uses it to prove the over-cap path genuinely ran
+    * at the DEFAULT cap on an organically oversized input (MergeHybridSpec
+    * only pins path equivalence with the cap forced to 0). */
+  val fallbackCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** 1-row driver read (global-aggregate bounds, limit(1) argmax). Raises
     * on an empty frame — callers that tolerate empties use

@@ -1581,9 +1581,13 @@ object Dedup {
     * Spark jobs of distributed propagation per micro-batch (the r10
     * composed-lane profile: propagateMin was half the merge's job
     * count). Past the cap — a pathological batch, or genuinely huge
-    * ingest — it falls through to the same [[propagateMin]] loop,
-    * reusing the already-checkpointed edge frame, so the 100 TB shape
-    * is unchanged. Labels are IDENTICAL either way: both compute each
+    * ingest — it falls through to the same [[propagateMin]] loop, so
+    * the 100 TB shape is unchanged. The fallback RE-EXECUTES the edge
+    * joins inside propagateMin's own materialization (the bounded probe
+    * collects the lazy plan without checkpointing it — deliberately, so
+    * the common small-batch path pays one job and no checkpoint; the
+    * rare over-cap batch pays the edge computation twice, which is noise
+    * next to its own propagation rounds). Labels are IDENTICAL either way: both compute each
     * component's minimum id (union-find attaches the larger root under
     * the smaller; propagation converges to the min) — MergeHybridSpec
     * pins the equivalence with the cap forced to 0. clusterDocs (the
@@ -2120,7 +2124,29 @@ object Dedup {
     * Write order (index before the caller materializes the returned
     * merge) is replay-safe: both halves write only batch=N overwrite
     * paths, and the merge plan's index/cluster reads resolved their
-    * file listings before the write. */
+    * file listings before the write.
+    *
+    * CONTRACT — calling this WRITES: the batch=N index write runs while
+    * CONSTRUCTING the returned DataFrame, not when the caller
+    * materializes it. Do not construct the merge speculatively (e.g. to
+    * explain its plan) unless the index write under `batchId` is
+    * acceptable; a replay of the same batchId overwrites it, so the
+    * write is idempotent but not free. CurateIngestSpec pins the
+    * crash-recovery corollary: a crash AFTER this index write but BEFORE
+    * the caller persists the merge replays byte-identically, because the
+    * replay's probe excludes batch=batchId.
+    *
+    * PRECONDITION — `clusters` must originate from ingest that went
+    * through this fused path (or [[mergeClusters]] + [[indexBatch]]):
+    * only docs NOT already in `clusters` are indexed here, so a
+    * bootstrap clusters table whose docs never passed an indexed ingest
+    * (e.g. a [[clusterDocs]] output adopted as the serving table) leaves
+    * those docs absent from the band index — future near-dup edges to
+    * them are silently lost. Backfill such a table ONCE with
+    * [[indexBatch]](bootstrapDocs, indexDir, batchId) under a reserved
+    * batch id before the first merge (MergeHybridSpec's bootstrap case
+    * pins that the backfilled path then finds the cross-generation
+    * edges). */
   def mergeAndIndex(clusters: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, indexDir: String, batchId: Long,
       threshold: Double = 0.8,

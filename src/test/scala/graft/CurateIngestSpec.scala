@@ -96,6 +96,83 @@ class CurateIngestSpec extends SparkSpec {
     assert(keptReplay == Seq(1L, 14L), s"replay kept $keptReplay")
   }
 
+  test("reliable-checkpoint eval artifacts gate identically to the localCheckpoint default") {
+    // The r11 ADVICE fix: with reliableCheckpointDir set, the once-per-
+    // stream eval artifacts checkpoint to reliable storage (executor
+    // loss → re-read from DFS) instead of localCheckpoint (executor
+    // loss → every later micro-batch fails, lineage truncated). Same
+    // verdicts either way; the reliable run must leave checkpoint files.
+    val docs = Seq(
+      (1L, "s", "a wholly original document about spark catalyst and tungsten internals"),
+      (2L, "s", "benchmark evaluation passage that must never leak into training data"),
+      (3L, "s", "another original text mentioning shuffles partitions and adaptive execution"))
+      .toDF("doc_id", "source", "text")
+    val evalDocs = Seq((9L, "s", "benchmark evaluation passage that must never leak into training data"))
+      .toDF("doc_id", "source", "text")
+    val ckpt = Files.createTempDirectory("graft_evalck_").toString
+    val local = Streaming.evalArtifacts(evalDocs)
+    val reliable = Streaming.evalArtifacts(evalDocs, Some(ckpt))
+    assert(reliable.shinglesNonEmpty == local.shinglesNonEmpty &&
+      reliable.fpsNonEmpty == local.fpsNonEmpty)
+    assert(reliable.shingles.collect().map(_.getLong(0)).sorted.toSeq ==
+      local.shingles.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(reliable.fps.collect().map(_.toString).sorted.toSeq ==
+      local.fps.collect().map(_.toString).sorted.toSeq)
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).count() > 1,
+      "reliable mode must materialize under the checkpoint dir")
+    def kept(eval: Streaming.EvalArtifacts, tag: String): Seq[Long] = {
+      val root = Files.createTempDirectory(s"graft_evalck_$tag").toString
+      Streaming.curateBatch(docs, eval, s"$root/fp", s"$root/kept", 0L)
+      spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
+    }
+    assert(kept(local, "l") == kept(reliable, "r"))
+  }
+
+  test("crash between the fused index write and the clusters write replays byte-identically") {
+    import graft.operators.Dedup
+    // mergeAndIndex writes the batch=N band index while CONSTRUCTING the
+    // returned merge (the documented construction-time-write contract);
+    // clusterBatch then persists the merge under clusters/batch=N. A
+    // crash in between leaves batch=N index rows with no cluster
+    // snapshot — the replay's probe EXCLUDES batch=N, so its reads (and
+    // therefore its outputs, both halves being deterministic overwrites)
+    // are identical to a run where the crash never happened.
+    def doc(i: Long, t: String) = (i, "s", t)
+    val b0 = Seq(doc(1, "alpha beta gamma delta"), doc(2, "one two three four five"))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq(doc(3, "alpha beta gamma delta"), doc(4, "six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+
+    def readAll(dir: String): Set[String] =
+      if (!graft.sources.Sources.fsExists(spark, dir)) Set.empty
+      else spark.read.parquet(dir).collect().map(_.toString).toSet
+
+    // clean reference run
+    val clean = Files.createTempDirectory("graft_crash_clean_").toString
+    Streaming.clusterBatch(b0, s"$clean/idx", s"$clean/clusters", 0L)
+    Streaming.clusterBatch(b1, s"$clean/idx", s"$clean/clusters", 1L)
+
+    // crashed run: batch 1 dies after the index write, before the
+    // clusters write — exactly what CONSTRUCTING the merge and then not
+    // materializing it produces
+    val crash = Files.createTempDirectory("graft_crash_").toString
+    Streaming.clusterBatch(b0, s"$crash/idx", s"$crash/clusters", 0L)
+    val prior = Streaming.latestClusterSnapshot(spark, s"$crash/clusters", belowBatch = 1L).get
+    Dedup.mergeAndIndex(prior, b1, s"$crash/idx", 1L, 0.8, None) // construct only: index written
+    assert(readAll(s"$crash/idx/bands").nonEmpty, "crash point must leave batch=1 index rows")
+    assert(!graft.sources.Sources.fsExists(spark, s"$crash/clusters/batch=1"),
+      "crash point must leave no batch=1 cluster snapshot")
+    // recovery: the checkpoint replays the whole micro-batch
+    Streaming.clusterBatch(b1, s"$crash/idx", s"$crash/clusters", 1L)
+
+    assert(readAll(s"$crash/clusters") == readAll(s"$clean/clusters"),
+      "replayed cluster table diverges from the never-crashed run")
+    assert(readAll(s"$crash/idx/bands") == readAll(s"$clean/idx/bands"),
+      "replayed band index diverges from the never-crashed run")
+    assert(readAll(s"$crash/idx/sigs") == readAll(s"$clean/idx/sigs"),
+      "replayed sig index diverges from the never-crashed run")
+  }
+
   test("composed curate→cluster pipeline: stream ≡ batch on kept set AND cluster assignments, across kill/recover") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft_pipe_").toFile.getAbsolutePath

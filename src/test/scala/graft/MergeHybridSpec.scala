@@ -45,4 +45,31 @@ class MergeHybridSpec extends SparkSpec {
     assert(fast(20L) == 20L && fast(21L) == 20L, s"stored-index edge must cluster 21 under 20: $fast")
     assert(fast(30L) == 30L && fast(40L) == 40L, s"singletons must self-label: $fast")
   }
+
+  test("bootstrap clusters table: unindexed docs lose future edges; an indexBatch backfill restores them") {
+    // The mergeAndIndex PRECONDITION (scaladoc): `clusters` must come
+    // from indexed ingest. Adopt a clusterDocs output as the serving
+    // table WITHOUT backfill and a later near-dup of a bootstrap doc
+    // silently forms its own cluster; backfill once with indexBatch and
+    // the cross-generation edge is found.
+    val bootstrap = docs(10L -> "alpha beta gamma delta", 20L -> "one two three four five")
+    val served = Dedup.clusterDocs(bootstrap).localCheckpoint() // (doc_id, cluster), never indexed
+    val arriving = docs(30L -> "alpha beta gamma delta") // near-dup of bootstrap doc 10
+
+    def merge(root: String, backfill: Boolean): Map[Long, Long] = {
+      if (backfill) Dedup.indexBatch(bootstrap, s"$root/idx", -100L) // reserved pre-stream id
+      Dedup.mergeAndIndex(served, arriving, s"$root/idx", 0L, 0.8, None)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    val rootA = java.nio.file.Files.createTempDirectory("graft_mh_nofill").toString
+    val without = merge(rootA, backfill = false)
+    assert(without(30L) == 30L,
+      s"expected the documented failure mode (30 islands without backfill): $without")
+
+    val rootB = java.nio.file.Files.createTempDirectory("graft_mh_fill").toString
+    val withFill = merge(rootB, backfill = true)
+    assert(withFill == Map(10L -> 10L, 20L -> 20L, 30L -> 10L),
+      s"backfilled index must join 30 to 10's cluster: $withFill")
+  }
 }

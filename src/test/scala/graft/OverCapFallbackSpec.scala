@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The over-cap paths exercised at REAL size (r11, judge-ordered):
+  * MergeHybridSpec proves union-find ≡ distributed with the cap forced
+  * to 0; this spec feeds [[Dedup.mergeAndIndex]] a batch whose verified
+  * edge graph exceeds the DEFAULT `spark.graft.merge.localGraphCap`
+  * (65536) organically — a planted near-dup clique — and asserts (a) the
+  * distributed fallback genuinely ran ([[Qh.fallbackCount]]), and (b)
+  * its labels match the forced-local union-find labeling. Plus one
+  * [[Qh.boundedCollect]] cap RAISE in a real operator context (the IVF
+  * centroid read), not just CollectGateSpec's planted frame.
+  *
+  * Tagged Slow: the clique batch verifies ~100k Jaccard pairs — ~a
+  * minute, out of the fastTest dev loop. */
+@org.scalatest.tags.Slow
+class OverCapFallbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("organic over-cap micro-graph takes the distributed path and matches the forced-local labeling") {
+    // 450 docs sharing 30 base tokens, each plus one unique token:
+    // pairwise Jaccard 30/32 = 0.9375 >= 0.8, so the clique's verified
+    // edge set is ~450*449/2 = 101,025 edges (minus the ~20 pairs that
+    // deterministically miss every LSH band at s=0.9375, rowsPerBand=2,
+    // 4 bands) — organically past the 65,536 default cap, no conf tricks.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (1L to 450L).map(i => (i, s"$base uniq$i")).toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL("doc_id BIGINT, cluster BIGINT"))
+
+    def run(tag: String): Map[Long, Long] = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_oc_$tag").toString
+      Dedup.mergeAndIndex(empty, docs, s"$root/idx", 0L, 0.8, None)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    val before = Qh.fallbackCount.get()
+    val viaDistributed = run("dist") // default cap: 101k edges overflow it
+    assert(Qh.fallbackCount.get() > before,
+      "the over-cap batch did not select the distributed fallback — the clique " +
+        "edge count fell under spark.graft.merge.localGraphCap")
+
+    spark.conf.set("spark.graft.merge.localGraphCap", "200000")
+    val mid = Qh.fallbackCount.get()
+    val viaLocal = try run("local")
+      finally spark.conf.unset("spark.graft.merge.localGraphCap")
+    assert(Qh.fallbackCount.get() == mid,
+      "the raised-cap run unexpectedly fell back — comparison would be moot")
+
+    assert(viaDistributed == viaLocal,
+      s"paths diverge on ${viaDistributed.count { case (k, v) => viaLocal.get(k) != Some(v) }} docs")
+    // the clique is connected, so every doc labels to the global min id
+    assert(viaDistributed.size == 450 && viaDistributed.values.forall(_ == 1L),
+      s"expected one cluster labeled 1, got ${viaDistributed.values.toSet.take(5)}")
+  }
+
+  test("boundedCollect raises loudly in an operator context when the control-plane read turns data-plane") {
+    // The IVF probe's centroid read declares MaxCentroids (4096) as its
+    // structural bound — nlist is a config, so a mis-built index COULD
+    // exceed it. Plant one and assert the probe refuses with the
+    // boundedCollect contract message instead of silently collecting.
+    val root = java.nio.file.Files.createTempDirectory("graft_oc_ivf").toString
+    (0L until (Similarity.MaxCentroids + 1L))
+      .map(i => (i, Array(1.0f, 0.0f), 1.0))
+      .toDF("cent_id", "cvec", "cnorm")
+      .write.parquet(s"$root/centroids")
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfProbe(spark, root, Array(1.0f, 0.0f), nprobe = 2, k = 3)
+    }
+    assert(e.getMessage.contains("boundedCollect") && e.getMessage.contains("bound"),
+      s"unexpected failure shape: ${e.getMessage}")
+  }
+}
