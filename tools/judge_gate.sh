@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# One-command verification gate (r11, VERDICT item 6) — the four-step
+# check the judge re-ran by hand in r10, scripted. Exits nonzero on any
+# red. Builder pre-commit loop and the r11+ judge both run THIS instead
+# of reconstructing the session's verification sequence.
+#
+# Usage:
+#   tools/judge_gate.sh                      # fastTest + full selfcheck@sf0.01
+#   tools/judge_gate.sh q25_json_funcs ...   # + bench subset & selfcheck
+#                                            #   restricted to touched queries
+#
+# Env: SPARK_GRAFT_SF_DIR (bench data, default /root/testdata/sf0.1),
+#      JUDGE_GATE_SKIP_TESTS=1 to skip the fastTest lane (when a full
+#      `sbt test` already ran on the identical tree).
+set -u
+cd "$(dirname "$0")/.."
+FAIL=0
+red() { echo "JUDGE_GATE RED: $*" >&2; FAIL=1; }
+
+echo "== 1/4 diff_baseline planted unit test"
+python3 tools/test_diff_baseline.py || red "test_diff_baseline failed"
+
+if [ "${JUDGE_GATE_SKIP_TESTS:-0}" != "1" ]; then
+  echo "== 2/4 sbt fastTest (suites not tagged Slow; ~6 min)"
+  sbt -batch fastTest > /tmp/judge_gate_fasttest.log 2>&1 \
+    || red "fastTest failed (tail of /tmp/judge_gate_fasttest.log):$(tail -5 /tmp/judge_gate_fasttest.log)"
+  grep -E "Tests: succeeded" /tmp/judge_gate_fasttest.log | tail -1
+else
+  echo "== 2/4 fastTest SKIPPED (JUDGE_GATE_SKIP_TESTS=1)"
+fi
+
+echo "== 3/4 Verify @ sf0.01 + DuckDB selfcheck"
+OUT=/tmp/judge_gate_verify
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
+  | grep "\[verify\]" | tail -3
+# Verify prints "[verify] done: N/M dumped"; a throwing query prints a
+# "failed:" line and leaves no parquet — selfcheck then reds on it.
+if [ "$#" -gt 0 ]; then
+  python3 tools/selfcheck.py /root/testdata/sf0.01 "$OUT" "$@" || red "selfcheck (touched) failed"
+else
+  python3 tools/selfcheck.py /root/testdata/sf0.01 "$OUT" || red "selfcheck (all) failed"
+fi
+
+echo "== 4/4 bench subset vs BASELINE_QUERIES.json"
+SFDIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+if [ "$#" -gt 0 ]; then
+  # anchor rides along for the drift-witness line in the output
+  SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench $* q28a_jaccard_pairs" 2>&1 \
+    | grep '"metric"' | sed 's/^\[info\] //' | tee /tmp/judge_gate_bench.json \
+    | python3 -c '
+import json, sys
+d = json.loads(sys.stdin.read())
+failed = d.get("failed", [])
+if isinstance(failed, str):
+    failed = json.loads(failed)
+print("bench subset:", {k: round(v, 2) for k, v in d["queries"].items()})
+if failed:
+    print("JUDGE_GATE RED: bench failures:", failed); sys.exit(1)
+# Subset mode pre-warms memos (see .claude/skills/verify) and one subset
+# run is min-of-3 at best — timings here are a witness, not a verdict.
+# Full adjudication = full bench piped to tools/diff_baseline.py.
+' || red "bench subset failed"
+else
+  echo "   (no touched queries given — full-bench adjudication is:"
+  echo "    SPARK_GRAFT_SF_DIR=$SFDIR sbt -batch 'runMain graft.Bench' | grep metric | python3 tools/diff_baseline.py)"
+fi
+
+if [ "$FAIL" = "0" ]; then echo "JUDGE_GATE GREEN"; else echo "JUDGE_GATE RED"; fi
+exit "$FAIL"
