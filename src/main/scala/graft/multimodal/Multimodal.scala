@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** One-time per-JVM ImageIO setting, referenced at the top of every
+    * encode/decode task closure (lazy → executed once per executor JVM):
+    * the DEFAULT ImageInputStream/ImageOutputStream is DISK-cached — one
+    * temp file created and deleted per decode, plus file-creation lock
+    * contention across task threads. On 32 decode threads this
+    * serialized the mm_image_* operators hard enough to measure as a
+    * phantom super-linear scaling exponent on a constant-size 8×8 corpus
+    * (the r11 SCALING.md audit's first real catch). Memory-cached
+    * streams are the only sane setting for byte-array payloads at any
+    * scale — a 100 TB image pipeline must never touch local disk per
+    * record. */
+  lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried alongside the opaque payload. */
   final case class MediaMeta(
       mime: String,
@@ -130,9 +144,11 @@ object Multimodal {
   object ImageIoCodec extends MediaCodec {
     val Dim = StubCodec.Dim
 
-    private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      Multimodal.imageIoMemCache
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: java.io.IOException => None }
+    }
 
     /** Exact integer milli-accumulators of a decoded image (the
       * [[StubCodec.accMillis]] analogue; spec-pinned vs hand-computed
@@ -214,6 +230,7 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
+          Multimodal.imageIoMemCache
           javax.imageio.ImageIO.write(out, "png", bos)
           r.copy(bytes = bos.toByteArray, meta = r.meta.copy(width = w, height = h))
         case None => StubCodec.resize(r, w, h)
@@ -466,6 +483,7 @@ object Multimodal {
           case _  => "gif"
         }
         val bos = new java.io.ByteArrayOutputStream()
+        Multimodal.imageIoMemCache
         javax.imageio.ImageIO.write(img, fmt, bos)
         MediaRecord(id, "image", bos.toByteArray,
           MediaMeta(s"image/$fmt", 8, 8, 0, 0L))
@@ -485,6 +503,7 @@ object Multimodal {
       batchSize: Int = DefaultBatchSize): Dataset[ImageAHash] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      Multimodal.imageIoMemCache
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
         catch { case _: java.io.IOException => null }
@@ -1021,6 +1040,7 @@ object Multimodal {
       batchSize: Int = DefaultBatchSize): Dataset[ImageQa] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      Multimodal.imageIoMemCache
       val img =
         if (r.kind == "image")
           try Option(javax.imageio.ImageIO.read(
