@@ -1986,17 +1986,31 @@ object Dedup {
     * all of them; compaction collapses the metadata back to one tree
     * while preserving the (band, kb) partitioning the probes prune on.
     *
-    * NOT crash-atomic and NOT replay-safe: run at a maintenance point
-    * where (a) no ingest is active and (b) every written batch's
-    * checkpoint is committed — after compaction a replayed batch would
-    * find its own rows under batch=-1 and self-match (the hazard the
-    * per-batch exclusion exists for). The swap sequence (write new →
-    * rename old aside → rename new in → delete old) leaves a `*.old`
-    * tree if interrupted after the first rename; a RE-RUN detects it and
-    * rolls the original back into place before compacting again, and
-    * index READS refuse a mid-swap tree ([[readIndexTable]]) so a crash
-    * can never be misread as an empty index. */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    * Two call shapes:
+    *  - MAINTENANCE (excludeBatch = None): run where (a) no ingest is
+    *    active and (b) every written batch's checkpoint is committed —
+    *    after compaction a replayed batch would find its own rows under
+    *    batch=-1 and self-match (the hazard the per-batch exclusion
+    *    exists for).
+    *  - IN-STREAM CADENCE (excludeBatch = Some(currentBatchId), the
+    *    [[graft.streaming.Streaming.clusterBatch]] hook): safe at the
+    *    START of micro-batch N because every id < N is committed. Rows
+    *    under batch=N — a leftover from a crashed attempt at this very
+    *    batch — are EXCLUDED from the compacted generation and their
+    *    dir drops with the swap; the current batch rewrites batch=N in
+    *    overwrite mode during its own merge, so the leftover's loss is
+    *    exactly a replay. Re-running the compaction on replay reads the
+    *    already-compacted generation and rewrites it row-identically.
+    *
+    * Crash-safety of the swap itself (both shapes): the sequence (write
+    * new → rename old aside → rename new in → delete old) leaves a
+    * `*.old` tree if interrupted after the first rename; a RE-RUN
+    * detects it and rolls the original back into place before
+    * compacting again, and index READS refuse a mid-swap tree
+    * ([[readIndexTable]]) so a crash can never be misread as an empty
+    * index. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      excludeBatch: Option[Long] = None): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     // Crash recovery FIRST: a bands.old/sigs.old without its live dir is
@@ -2026,10 +2040,13 @@ object Dedup {
     // Each swap WRITES the compacted copy before renaming anything, so the
     // plan always reads from intact source dirs — no lineage hazard.
     val bands = readIndexTable(spark, s"$indexDir/bands",
-      "band INT, bkey STRING, doc_id BIGINT, source STRING, kb INT", excludeBatch = None)
+      "band INT, bkey STRING, doc_id BIGINT, source STRING, kb INT", excludeBatch)
     val sigs = readIndexTable(spark, s"$indexDir/sigs",
-      "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch = None)
-    swap("bands", dir => bands.write.partitionBy("band", "kb").parquet(dir))
+      "doc_id BIGINT, tk ARRAY<BIGINT>", excludeBatch)
+    // same writer discipline as mergeAndIndex: cluster rows onto their
+    // (band, kb) target dirs so each task owns whole directories
+    swap("bands", dir => bands.repartition(col("band"), col("kb"))
+      .write.partitionBy("band", "kb").parquet(dir))
     swap("sigs", dir => sigs.write.parquet(dir))
   }
 

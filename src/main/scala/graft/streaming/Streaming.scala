@@ -365,6 +365,19 @@ object Streaming {
       reliableCheckpointDir: Option[String] = None): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    // Compaction cadence (spark.graft.index.compactEvery, default every
+    // 32 micro-batches; 0 disables): streaming ingest accumulates one
+    // band/sig directory tree per batch, and every later batch's probe
+    // pays the listing for all of them — unbounded metadata growth over
+    // a long-running stream. Compacting HERE, at the start of batch N,
+    // is replay-safe: ids < N are checkpoint-committed, and the
+    // excludeBatch=N guard drops (rather than compacts) any leftover
+    // from a crashed attempt at this batch, which the merge below
+    // rewrites anyway. Amortized rewrite cost is gen-size/32 per batch —
+    // the LSM tradeoff, tunable per deployment.
+    val compactEvery = spark.conf.get("spark.graft.index.compactEvery", "32").toInt
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      Dedup.compactIndex(spark, indexDir, excludeBatch = Some(batchId))
     val prior = latestClusterSnapshot(spark, clustersDir, belowBatch = batchId)
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))

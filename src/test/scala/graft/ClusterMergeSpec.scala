@@ -120,6 +120,42 @@ class ClusterMergeSpec extends SparkSpec {
     assert(!new java.io.File(s"$idx/bands.old").exists(), "old tree must be cleaned up")
   }
 
+  test("in-stream compaction cadence: identical clusters, collapsed dirs, replay-idempotent") {
+    import graft.streaming.Streaming
+    // Three clusterBatch micro-batches; with compactEvery=2, batch 2
+    // first compacts committed batches {0, 1} into the batch=-1 gen
+    // (excludeBatch=2 — nothing to exclude on the clean path) and then
+    // merges. The final cluster table must equal the no-compaction run,
+    // and replaying batch 2 (compaction re-runs over the gen) must be
+    // idempotent.
+    val b0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB")))
+    val b1 = docsDF(Seq(3L -> y, 4L -> toks(1000, 1040)))
+    val b2 = docsDF(Seq(10L -> bridge, 11L -> (y + " extraC")))
+    def run(root: String, every: String): Map[Long, Long] = {
+      spark.conf.set("spark.graft.index.compactEvery", every)
+      try {
+        Streaming.clusterBatch(b0, s"$root/idx", s"$root/cl", 0L)
+        Streaming.clusterBatch(b1, s"$root/idx", s"$root/cl", 1L)
+        Streaming.clusterBatch(b2, s"$root/idx", s"$root/cl", 2L)
+        clusterMap(Streaming.latestClusterSnapshot(spark, s"$root/cl").get)
+      } finally spark.conf.unset("spark.graft.index.compactEvery")
+    }
+    val rootA = java.nio.file.Files.createTempDirectory("graft_cadence_off_").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft_cadence_on_").toString
+    val off = run(rootA, "0")
+    val on = run(rootB, "2")
+    assert(on == off, s"compaction cadence changed cluster results: on=$on off=$off")
+    val dirs = new java.io.File(s"$rootB/idx/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=2"), s"expected gen + current batch, got $dirs")
+    // replay batch 2: compaction re-runs over the gen, merge rewrites
+    spark.conf.set("spark.graft.index.compactEvery", "2")
+    try Streaming.clusterBatch(b2, s"$rootB/idx", s"$rootB/cl", 2L)
+    finally spark.conf.unset("spark.graft.index.compactEvery")
+    assert(clusterMap(Streaming.latestClusterSnapshot(spark, s"$rootB/cl").get) == off,
+      "replay after compaction diverged")
+  }
+
   test("interrupted compaction reads loudly and a compactIndex re-run recovers the index") {
     val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
     val idx = java.nio.file.Files.createTempDirectory("graft_crash_").toString
