@@ -545,10 +545,15 @@ object Streaming {
       // depend on arrival order whenever the colliding pair's quality
       // verdicts differed.
       .withColumn("fp", graft.Qh.strHashWide(lower(trim(col("text")))))
-    val wCanon = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "fp").orderBy("doc_id")
-    val canon = fp.withColumn("rn", row_number().over(wCanon))
-      .filter(col("rn") === 1).drop("rn")
+    // first-seen (= min doc_id) per (source, fp) as a HASH AGGREGATE, not
+    // a ranking window: same rows, but partial aggregation combines
+    // map-side — the window shuffles every full-text row and sorts each
+    // (source, fp) partition, pure overhead when only the min survives.
+    // min_by ties (duplicate doc_id redelivery) carry identical text.
+    val canon = fp.groupBy(col("source"), col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .select("doc_id", "source", "text", "fp")
     // Eval fingerprints seed the dedup gate (bounded artifact →
     // broadcast): a corpus doc whose exact (source, fp) copy is an eval
     // doc is never kept — the manifest's keep verdict for such a doc is
@@ -606,24 +611,28 @@ object Streaming {
       StructType.fromDDL("source STRING, fp BIGINT"))
 
   /** Latest cluster snapshot strictly below `belowBatch` (None = any).
-    * Listing is one filesystem call over the versioned dirs — O(#batches),
-    * driver-side, the same bounded-metadata class as checkpoint logs. */
+    * Listing is one DRIVER-SIDE filesystem call over the versioned
+    * `batch=N` dir names — O(#batches) metadata, the same bounded class
+    * as checkpoint logs. (r11: was a Spark max-aggregate JOB over every
+    * snapshot generation — one corpus-growing scan per micro-batch just
+    * to find the newest dir name.) */
   def latestClusterSnapshot(spark: SparkSession, clustersDir: String,
-      belowBatch: Long = Long.MaxValue): Option[DataFrame] =
-    if (!graft.sources.Sources.fsExists(spark, clustersDir)) None
+      belowBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(clustersDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(clustersDir)
+    if (!fs.exists(root)) None
     else {
-      val versions = spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT, batch BIGINT"))
-        .parquet(clustersDir)
-      val latest = graft.Qh.boundedHead(
-        versions.filter(org.apache.spark.sql.functions.col("batch") < belowBatch)
-          .agg(org.apache.spark.sql.functions.max("batch")),
-        "latest cluster-snapshot batch (global aggregate)")
-      if (latest.isNullAt(0)) None
-      else Some(versions
-        .filter(org.apache.spark.sql.functions.col("batch") === latest.getLong(0))
-        .drop("batch"))
+      val ids = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ < belowBatch)
+      if (ids.isEmpty) None
+      else Some(spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT"))
+        .parquet(s"$clustersDir/batch=${ids.max}"))
     }
+  }
 
   /** Record-level contract verdicts for [[contractGate]]: append a
     * `reason` column naming the FIRST failed check (null = clean).
