@@ -532,6 +532,13 @@ object Streaming {
       keptDir: String, batchId: Long): Unit = {
     import graft.operators.Dedup.{shingles3, tokHashesSeq}
     val spark = batch.sparkSession
+    // Same compaction cadence and replay argument as clusterBatch's band
+    // index (spark.graft.fp.compactEvery, default every 32 batches; 0
+    // disables): ids < N are committed, a crashed attempt's batch=N rows
+    // are dropped and rewritten below.
+    val fpCompactEvery = spark.conf.get("spark.graft.fp.compactEvery", "32").toInt
+    if (fpCompactEvery > 0 && batchId > 0 && batchId % fpCompactEvery == 0)
+      compactFpStore(spark, fpDir, excludeBatch = Some(batchId))
     // Canonicalization runs over ALL arriving docs — contaminated and
     // quality-failed docs still claim their fingerprint (exactly the
     // manifest's semantics, where `canonical` is computed over the
@@ -599,9 +606,17 @@ object Streaming {
 
   /** Persistent fingerprint store reader for [[curateIngest]]: hive
     * batch=N partitions, rows from `excludeBatch` filtered out so a
-    * replayed micro-batch never dedups against its own previous write. */
+    * replayed micro-batch never dedups against its own previous write.
+    * Refuses a mid-swap tree (interrupted [[compactFpStore]]) LOUDLY —
+    * reading it as an empty store would silently re-admit every
+    * previously deduped document. */
   private def readFpStore(spark: SparkSession, dir: String,
-      excludeBatch: Long): DataFrame =
+      excludeBatch: Long): DataFrame = {
+    if (graft.sources.Sources.fsExists(spark, s"$dir.old"))
+      throw new IllegalStateException(
+        s"$dir.old exists: a fingerprint-store compaction was interrupted mid-swap. " +
+          "Re-run Streaming.compactFpStore on this store to roll back/complete " +
+          "before reading.")
     if (graft.sources.Sources.fsExists(spark, dir))
       spark.read
         .schema(StructType.fromDDL("source STRING, fp BIGINT, batch BIGINT"))
@@ -609,6 +624,48 @@ object Streaming {
         .filter(col("batch") =!= excludeBatch).drop("batch")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL("source STRING, fp BIGINT"))
+  }
+
+  /** Compact the fingerprint store's per-batch dirs into one reserved
+    * `batch=-1` generation — the [[graft.operators.Dedup.compactIndex]]
+    * analog for [[curateIngest]]'s exact-dup store, which otherwise
+    * accumulates one directory per micro-batch forever (the same
+    * unbounded-metadata growth the band index had). Same two call
+    * shapes and the same crash-safe swap protocol: maintenance
+    * (excludeBatch = None, no ingest active) or in-stream cadence
+    * (excludeBatch = Some(currentBatchId) at the START of batch N —
+    * ids < N are committed; a leftover batch=N from a crashed attempt
+    * is dropped, not compacted, and the batch rewrites it). A re-run
+    * after a crash rolls the original back before compacting again, and
+    * [[readFpStore]] refuses a mid-swap tree. */
+  def compactFpStore(spark: SparkSession, fpDir: String,
+      excludeBatch: Option[Long] = None): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(fpDir), spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(fpDir)
+    val old = new org.apache.hadoop.fs.Path(s"$fpDir.old")
+    val neu = new org.apache.hadoop.fs.Path(s"$fpDir.new")
+    if (fs.exists(old)) {
+      if (!fs.exists(cur))
+        require(fs.rename(old, cur), s"compactFpStore: could not roll back $old")
+      else fs.delete(old, true)
+    }
+    if (!fs.exists(cur)) return
+    fs.delete(neu, true)
+    val rows = spark.read
+      .schema(StructType.fromDDL("source STRING, fp BIGINT, batch BIGINT"))
+      .parquet(fpDir)
+    val kept = excludeBatch.fold(rows)(b => rows.filter(col("batch") =!= b))
+      .drop("batch")
+    // one shuffle of the store per compaction — the LSM amortized-rewrite
+    // tradeoff, identical to the band-index gen; partition count follows
+    // the cluster so the gen neither fragments nor funnels
+    kept.repartition(spark.sparkContext.defaultParallelism)
+      .write.parquet(s"$fpDir.new/batch=-1")
+    require(fs.rename(cur, old), s"compactFpStore: could not move $cur aside")
+    require(fs.rename(neu, cur), s"compactFpStore: could not activate $neu")
+    fs.delete(old, true)
+  }
 
   /** Latest cluster snapshot strictly below `belowBatch` (None = any).
     * Listing is one DRIVER-SIDE filesystem call over the versioned

@@ -173,6 +173,54 @@ class CurateIngestSpec extends SparkSpec {
       "replayed sig index diverges from the never-crashed run")
   }
 
+  test("fp-store compaction cadence: identical kept sets, collapsed dirs, replay-idempotent, loud mid-swap read") {
+    val good1 = "a perfectly reasonable document with plenty of distinct informative tokens"
+    val good2 = "another wholly original text mentioning shuffles partitions and adaptive query execution"
+    val good3 = "a third novel narrative about watermarks checkpoints and state stores"
+    val b0 = Seq(CDoc(1, "s", good1)).toDF("doc_id", "source", "text")
+    val b1 = Seq(CDoc(2, "s", good2), CDoc(12, "s", good1)).toDF("doc_id", "source", "text")
+    val b2 = Seq(CDoc(3, "s", good3), CDoc(13, "s", good2)).toDF("doc_id", "source", "text")
+    val evalDocs = b0.limit(0)
+    def run(root: String, every: String): Seq[Long] = {
+      spark.conf.set("spark.graft.fp.compactEvery", every)
+      try {
+        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+          Streaming.curateBatch(b, evalDocs, s"$root/fp", s"$root/kept", i.toLong)
+        }
+        spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
+      } finally spark.conf.unset("spark.graft.fp.compactEvery")
+    }
+    val rootA = Files.createTempDirectory("graft_fpcad_off_").toString
+    val rootB = Files.createTempDirectory("graft_fpcad_on_").toString
+    val off = run(rootA, "0")
+    val on = run(rootB, "2")
+    // dups 12 and 13 must dedup against the (compacted) store either way
+    assert(off == Seq(1L, 2L, 3L) && on == off,
+      s"fp compaction changed the kept set: on=$on off=$off")
+    val dirs = new java.io.File(s"$rootB/fp").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=2"), s"expected gen + current batch, got $dirs")
+    // replay batch 2 (compaction re-runs over the gen, then the batch
+    // rewrites its own outputs) — kept set unchanged
+    spark.conf.set("spark.graft.fp.compactEvery", "2")
+    try Streaming.curateBatch(b2, evalDocs, s"$rootB/fp", s"$rootB/kept", 2L)
+    finally spark.conf.unset("spark.graft.fp.compactEvery")
+    assert(spark.read.parquet(s"$rootB/kept").select("doc_id").as[Long].collect().toSeq.sorted == off)
+    // interrupted swap: store aside, no live dir → reads refuse loudly,
+    // and a compactFpStore re-run rolls the original back
+    assert(new java.io.File(s"$rootB/fp").renameTo(new java.io.File(s"$rootB/fp.old")))
+    val e = intercept[IllegalStateException] {
+      Streaming.curateBatch(Seq(CDoc(99, "s", good1)).toDF("doc_id", "source", "text"),
+        evalDocs, s"$rootB/fp", s"$rootB/kept", 3L)
+    }
+    assert(e.getMessage.contains("compactFpStore"), s"mid-swap store must not read as empty: ${e.getMessage}")
+    Streaming.compactFpStore(spark, s"$rootB/fp")
+    Streaming.curateBatch(Seq(CDoc(99, "s", good1)).toDF("doc_id", "source", "text"),
+      evalDocs, s"$rootB/fp", s"$rootB/kept", 3L)
+    // doc 99 duplicates good1 → must still dedup against the recovered store
+    assert(spark.read.parquet(s"$rootB/kept").select("doc_id").as[Long].collect().toSeq.sorted == off)
+  }
+
   test("composed curate→cluster pipeline: stream ≡ batch on kept set AND cluster assignments, across kill/recover") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft_pipe_").toFile.getAbsolutePath
