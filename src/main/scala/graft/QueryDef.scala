@@ -91,12 +91,23 @@ object Qh {
     if (rows.length > cap) { fallbackCount.incrementAndGet(); None } else Some(rows)
   }
 
-  /** Test observability for hybrid operators: total [[collectIfBounded]]
-    * calls that exceeded their cap and selected the distributed fallback.
+  /** Test observability for hybrid operators: [[collectIfBounded]] calls
+    * that exceeded their cap and selected the distributed fallback.
     * OverCapFallbackSpec uses it to prove the over-cap path genuinely ran
     * at the DEFAULT cap on an organically oversized input (MergeHybridSpec
-    * only pins path equivalence with the cap forced to 0). */
-  val fallbackCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    * only pins path equivalence with the cap forced to 0).
+    *
+    * THREAD-LOCAL, not process-global (r11 ADVICE): collectIfBounded is a
+    * synchronous driver-side read, so the increment always lands on the
+    * operator's CALLING thread — a spec asserting on a before/after delta
+    * can never observe a fallback from another concurrently running suite
+    * or from a stream-execution thread, which the previous global
+    * AtomicLong made possible under any parallel-suite runner. */
+  object fallbackCount {
+    private val tl = ThreadLocal.withInitial[java.lang.Long](() => 0L)
+    def get(): Long = tl.get()
+    def incrementAndGet(): Long = { val v = tl.get() + 1L; tl.set(v); v }
+  }
 
   /** 1-row driver read (global-aggregate bounds, limit(1) argmax). Raises
     * on an empty frame — callers that tolerate empties use
@@ -106,6 +117,98 @@ object Qh {
     if (rows.isEmpty) throw new IllegalStateException(
       s"boundedHead($why): expected one row, got none")
     rows(0)
+  }
+
+  /** Hash-semantics version of every PERSISTED fingerprint/band store
+    * (the dedup band index and the streaming curate fp store). Bumped
+    * whenever the persisted hash fold changes — v2 is the r11
+    * code-point [[graft.plans.PolyHash]] fold; v1 was the pre-r11
+    * UTF-16 charAt fold. The guard exists because a fold change is
+    * SILENT at read time: a store hashed under the old fold simply
+    * stops matching re-hashed duplicates on non-BMP text, so dedup
+    * quietly re-admits documents. Writers stamp `_graft_hash_v` into
+    * the store root ([[stampHashVersion]]); readers refuse a store
+    * whose stamp is missing or mismatched ([[requireHashVersion]]),
+    * mirroring the loud missing-column guard in
+    * [[graft.operators.Dedup]]'s readIndexTable. The underscore prefix
+    * keeps the marker invisible to Spark's parquet file discovery. */
+  val StoreHashVersion = 2
+
+  private val HashVersionFile = "_graft_hash_v"
+
+  private def storeFs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  /** Stamp `dir` (a persisted hash store root) with the CURRENT hash
+    * version. Idempotent; call after every store write — including
+    * after a compaction swap, which replaces the stamped directory
+    * with a freshly written one. */
+  def stampHashVersion(spark: SparkSession, dir: String): Unit = {
+    val fs = storeFs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, HashVersionFile)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(s"$StoreHashVersion\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Refuse (loudly) a persisted hash store written under a different
+    * — or unstamped, i.e. pre-stamping — hash fold. A missing/absent
+    * store is fine: the caller is about to create it. */
+  def requireHashVersion(spark: SparkSession, dir: String): Unit = {
+    val fs = storeFs(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return
+    val p = new org.apache.hadoop.fs.Path(dir, HashVersionFile)
+    val found: Option[Int] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          scala.util.Try(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt).toOption
+        } finally in.close()
+      }
+    if (!found.contains(StoreHashVersion)) throw new IllegalStateException(
+      s"$dir was written under hash-fold version ${found.map(_.toString).getOrElse("<unstamped, pre-v2>")} " +
+        s"but this engine hashes under version $StoreHashVersion " +
+        "(the code-point PolyHash fold): stored fingerprints would silently stop " +
+        "matching re-hashed duplicates. Rebuild the store by replaying ingest " +
+        "into a fresh directory.")
+  }
+
+  /** Point the SESSION-GLOBAL RDD checkpoint directory at `dir` — the
+    * durability seam for reliable (DFS) checkpointing of stream-lifetime
+    * artifacts (Streaming.evalArtifacts, Dedup.mergeCore).
+    *
+    * `SparkContext.setCheckpointDir` is CONTEXT-WIDE state: every later
+    * `.checkpoint()` caller on the session inherits it, and two
+    * concurrent streams configured with DIFFERENT reliable dirs race
+    * last-wins. Every in-repo caller threads one dir per session, which
+    * is why this is correct today; this helper makes the session-global
+    * effect loud instead of silent — it WARNS on stderr when a
+    * different dir is already set before repointing. It also skips the
+    * re-set when the dir is unchanged: setCheckpointDir mkdirs a fresh
+    * UUID subdirectory per call, which on a per-micro-batch caller
+    * (mergeCore) litters the DFS with one empty dir per batch. */
+  def setReliableCheckpointDir(spark: SparkSession, dir: String): Unit = {
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val qualified = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+    sc.getCheckpointDir match {
+      // setCheckpointDir stores <dir>/<uuid> qualified — compare parents
+      case Some(cur) if new org.apache.hadoop.fs.Path(cur).getParent == qualified =>
+        () // already pointed here; keep the existing UUID subdir
+      case Some(cur) =>
+        System.err.println(s"[graft] WARNING: repointing the SESSION-GLOBAL RDD " +
+          s"checkpoint dir from $cur to $qualified. SparkContext.setCheckpointDir " +
+          "is context-wide: concurrent streams with different reliableCheckpointDirs " +
+          "race last-wins, and every later .checkpoint() on this session inherits " +
+          "the new dir. Run one reliable dir per session.")
+        sc.setCheckpointDir(dir)
+      case None => sc.setCheckpointDir(dir)
+    }
   }
 
   /** Exact integer cents of a 2-decimal money column. */

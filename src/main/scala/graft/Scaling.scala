@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * grows like n^1.5 at sf0.001→0.1 will not survive a 1000× scale-up,
   * however clean its plan looks.
   *
-  * Usage: `runMain graft.Scaling [sfDir ...]` (default the three
-  * TESTDATA.md dirs). Measurement design, learned the hard way:
+  * Usage: `runMain graft.Scaling [--queries a,b,c] [sfDir ...]`
+  * (default the three TESTDATA.md dirs; `--queries` restricts the run
+  * to a named subset — the r12 fourth-decade audit times only the
+  * near-flag entries at a synthetic sf1, see tools/make_sf4.py).
+  * Measurement design, learned the hard way:
   *  - Per QUERY, the sfs are measured BACK-TO-BACK (largest first).
   *    Sweeping a whole sf before the next poisons the fit two ways: a
   *    smallest-first sweep charges all C2/codegen compilation to the
@@ -30,7 +33,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
-    val sfDirs = if (args.nonEmpty) args.toSeq
+    val (queryFilter, dirArgs) = args.toSeq match {
+      case "--queries" +: qs +: rest => (Some(qs.split(',').toSet), rest)
+      case rest => (None, rest)
+    }
+    val sfDirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.1", "/root/testdata/sf0.01", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -55,7 +62,13 @@ object Scaling {
     // per-query interleave: times[sfDir][name] = min seconds
     val times = sfDirs.map(d => d ->
       scala.collection.mutable.LinkedHashMap[String, Double]()).toMap
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    queryFilter.foreach { qs =>
+      val unknown = qs -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"--queries names not registered: ${unknown.mkString(", ")}")
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => queryFilter.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val reps = math.max(repeats, extraRuns.getOrElse(name, 0))
       sfDirs.foreach { sfDir =>
         val runs = (1 to reps).map { _ =>

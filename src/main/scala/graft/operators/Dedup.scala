@@ -1525,7 +1525,7 @@ object Dedup {
     * to lose, and localCheckpoint skips the write-to-storage round trip. */
   def clusterDocs(raw: org.apache.spark.sql.DataFrame,
       checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
-    checkpointDir.foreach(raw.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(d => Qh.setReliableCheckpointDir(raw.sparkSession, d))
     def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     val docs = raw.select(col("doc_id"), col("source"), tokHashes(col("text")).as("tk"))
@@ -1933,6 +1933,8 @@ object Dedup {
       .mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
     newSigs.join(keptIds, Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$sigsDir/batch=$batchId")
+    Qh.stampHashVersion(spark, bandsDir)
+    Qh.stampHashVersion(spark, sigsDir)
     banded.unpersist()
     withSig.unpersist()
     keptOut
@@ -1970,6 +1972,10 @@ object Dedup {
           s"$dir is an old-format index missing column(s) ${missing.mkString(", ")}; " +
             "reading it would silently miss probes. Rebuild by replaying ingest " +
             "into a fresh indexDir.")
+      // Same loud-refusal class for a HASH-SEMANTICS change: an index
+      // hashed under a pre-r12 fold has matching columns but silently
+      // stops matching re-hashed duplicates (graft.Qh.StoreHashVersion).
+      graft.Qh.requireHashVersion(spark, dir)
       val df = spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(s"$schemaDdl, batch BIGINT"))
         .parquet(dir)
@@ -2033,6 +2039,12 @@ object Dedup {
       val old = new org.apache.hadoop.fs.Path(s"$indexDir/$sub.old")
       fs.delete(neu, true); fs.delete(old, true)
       write(s"$indexDir/$sub.new/batch=-1")
+      // Stamp the hash-version marker into the NEW tree before any
+      // rename: the activated generation then carries it atomically
+      // with the swap (a post-swap stamp would leave a marker-less
+      // live dir if interrupted between activation and stamping, and
+      // reads would refuse a perfectly good index).
+      Qh.stampHashVersion(spark, s"$indexDir/$sub.new")
       require(fs.rename(cur, old), s"compactIndex: could not move $cur aside")
       require(fs.rename(neu, cur), s"compactIndex: could not activate $neu")
       fs.delete(old, true)
@@ -2072,6 +2084,8 @@ object Dedup {
       .mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
     withSig.select("doc_id", "tk")
       .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+    Qh.stampHashVersion(batch.sparkSession, s"$indexDir/bands")
+    Qh.stampHashVersion(batch.sparkSession, s"$indexDir/sigs")
     withSig.unpersist()
   }
 
@@ -2180,8 +2194,10 @@ object Dedup {
     // Same lineage-durability choice as clusterDocs: localCheckpoint
     // blocks are lost with an executor; pass a reliable checkpointDir on
     // a real cluster so a lost executor recomputes instead of failing
-    // the micro-batch.
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // the micro-batch. Session-global effect — Qh.setReliableCheckpointDir
+    // warns on a differing pre-set dir and skips the per-batch re-set
+    // (each raw setCheckpointDir call mkdirs a fresh UUID subdir).
+    checkpointDir.foreach(d => Qh.setReliableCheckpointDir(spark, d))
     val mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       if (checkpointDir.isDefined) _.checkpoint() else _.localCheckpoint(true)
     val storedBands = readIndexTable(spark, s"$indexDir/bands",
@@ -2273,6 +2289,8 @@ object Dedup {
         .mode("overwrite").parquet(s"$indexDir/bands/batch=$bid")
       newSigs.coalesce(math.min(8, spark.sparkContext.defaultParallelism))
         .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$bid")
+      Qh.stampHashVersion(spark, s"$indexDir/bands")
+      Qh.stampHashVersion(spark, s"$indexDir/sigs")
     }
     banded.unpersist(blocking = false)
     withSig.unpersist(blocking = false)

@@ -506,7 +506,10 @@ object Streaming {
   def evalArtifacts(evalDocs: DataFrame,
       reliableCheckpointDir: Option[String] = None): EvalArtifacts = {
     import graft.operators.Dedup.{shingles3, tokHashesSeq}
-    reliableCheckpointDir.foreach(evalDocs.sparkSession.sparkContext.setCheckpointDir)
+    // Session-global effect — see Qh.setReliableCheckpointDir's contract
+    // (warns on a differing pre-set dir instead of silently repointing).
+    reliableCheckpointDir.foreach(d =>
+      graft.Qh.setReliableCheckpointDir(evalDocs.sparkSession, d))
     val mat: DataFrame => DataFrame =
       if (reliableCheckpointDir.isDefined) _.checkpoint() else _.localCheckpoint(true)
     val evalSrc = if (evalDocs.columns.contains("source")) col("source") else lit("")
@@ -601,6 +604,7 @@ object Streaming {
       // ALL fresh fingerprints persist, kept or not (see above).
       fresh.select("source", "fp")
         .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
+      graft.Qh.stampHashVersion(spark, fpDir)
     } finally { fresh.unpersist(); () }
   }
 
@@ -617,11 +621,15 @@ object Streaming {
         s"$dir.old exists: a fingerprint-store compaction was interrupted mid-swap. " +
           "Re-run Streaming.compactFpStore on this store to roll back/complete " +
           "before reading.")
-    if (graft.sources.Sources.fsExists(spark, dir))
+    if (graft.sources.Sources.fsExists(spark, dir)) {
+      // Refuse a store fingerprinted under a different hash fold — its
+      // fps would silently stop matching re-hashed text (Qh.StoreHashVersion).
+      graft.Qh.requireHashVersion(spark, dir)
       spark.read
         .schema(StructType.fromDDL("source STRING, fp BIGINT, batch BIGINT"))
         .parquet(dir)
         .filter(col("batch") =!= excludeBatch).drop("batch")
+    }
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL("source STRING, fp BIGINT"))
   }
@@ -651,6 +659,7 @@ object Streaming {
       else fs.delete(old, true)
     }
     if (!fs.exists(cur)) return
+    graft.Qh.requireHashVersion(spark, fpDir)
     fs.delete(neu, true)
     val rows = spark.read
       .schema(StructType.fromDDL("source STRING, fp BIGINT, batch BIGINT"))
@@ -662,6 +671,9 @@ object Streaming {
     // the cluster so the gen neither fragments nor funnels
     kept.repartition(spark.sparkContext.defaultParallelism)
       .write.parquet(s"$fpDir.new/batch=-1")
+    // Stamp the new generation BEFORE the renames so the activated tree
+    // carries the hash-version marker atomically with the swap.
+    graft.Qh.stampHashVersion(spark, s"$fpDir.new")
     require(fs.rename(cur, old), s"compactFpStore: could not move $cur aside")
     require(fs.rename(neu, cur), s"compactFpStore: could not activate $neu")
     fs.delete(old, true)

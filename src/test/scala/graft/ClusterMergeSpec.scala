@@ -156,6 +156,67 @@ class ClusterMergeSpec extends SparkSpec {
       "replay after compaction diverged")
   }
 
+  test("crash AFTER the compacted gen is written, BEFORE any rename: reads stay live, a re-run completes and cleans up") {
+    // Interrupt point 1 of the swap protocol (r11 VERDICT item 5): the
+    // `.new` tree exists (complete or partial — recovery never reads it,
+    // which is exactly the property under test) while the live dirs are
+    // untouched. Reads must keep serving the live tree, and a re-run
+    // must discard the leftover `.new` and compact from the live dirs.
+    val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_crash_prerename_").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    val clusters0 = Dedup.clusterDocs(corpus0).localCheckpoint(true)
+    val probe = docsDF(Seq(10L -> bridge))
+    val expected = clusterMap(Dedup.mergeClusters(clusters0, probe, idx))
+    Seq("bands", "sigs").foreach { sub =>
+      val neu = new java.io.File(s"$idx/$sub.new/batch=-1")
+      assert(neu.mkdirs())
+      java.nio.file.Files.write(neu.toPath.resolve("part-stale.parquet"),
+        "not a parquet file".getBytes)
+    }
+    // pre-recovery reads are NOT degraded: the live tree is intact
+    assert(clusterMap(Dedup.mergeClusters(clusters0, probe, idx)) == expected,
+      "a pre-rename crash must leave reads serving the intact live tree")
+    Dedup.compactIndex(spark, idx) // discards stale .new, compacts live dirs
+    assert(clusterMap(Dedup.mergeClusters(clusters0, probe, idx)) == expected,
+      "post-recovery probe must match the pre-crash decision")
+    Seq("bands.new", "sigs.new", "bands.old", "sigs.old").foreach { d =>
+      assert(!new java.io.File(s"$idx/$d").exists(), s"$d must be cleaned up")
+    }
+    val dirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(dirs == Seq("batch=-1"), s"expected one compacted partition, got $dirs")
+  }
+
+  test("crash BETWEEN the two renames (.old aside, .new present, live gone): reads refuse, a re-run rolls back") {
+    // Interrupt point 2: cur was moved to `.old` but `.new` was never
+    // activated. Reads must refuse LOUDLY (an empty read would keep
+    // every near-dup), and a re-run must roll the original back —
+    // ignoring the orphaned `.new`, whose content is immaterial to
+    // recovery — then compact.
+    val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_crash_midrename_").toString
+    Dedup.indexBatch(corpus0, idx, batchId = 0L)
+    val clusters0 = Dedup.clusterDocs(corpus0).localCheckpoint(true)
+    val probe = docsDF(Seq(10L -> bridge))
+    val expected = clusterMap(Dedup.mergeClusters(clusters0, probe, idx))
+    Seq("bands", "sigs").foreach { sub =>
+      assert(new java.io.File(s"$idx/$sub").renameTo(new java.io.File(s"$idx/$sub.old")))
+      val neu = new java.io.File(s"$idx/$sub.new/batch=-1")
+      assert(neu.mkdirs())
+      java.nio.file.Files.write(neu.toPath.resolve("part-candidate.parquet"),
+        "would-be gen".getBytes)
+    }
+    val e = intercept[IllegalStateException] { Dedup.mergeClusters(clusters0, probe, idx) }
+    assert(e.getMessage.contains("compactIndex"), "mid-swap index must not read as empty")
+    Dedup.compactIndex(spark, idx) // rolls .old back, discards .new, compacts
+    assert(clusterMap(Dedup.mergeClusters(clusters0, probe, idx)) == expected,
+      "post-recovery probe must match the pre-crash decision")
+    Seq("bands.new", "sigs.new", "bands.old", "sigs.old").foreach { d =>
+      assert(!new java.io.File(s"$idx/$d").exists(), s"$d must be cleaned up")
+    }
+  }
+
   test("interrupted compaction reads loudly and a compactIndex re-run recovers the index") {
     val corpus0 = docsDF(Seq(1L -> x, 2L -> (x + " extraA extraB"), 5L -> toks(1000, 1040)))
     val idx = java.nio.file.Files.createTempDirectory("graft_crash_").toString

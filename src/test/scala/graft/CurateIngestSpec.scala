@@ -221,6 +221,63 @@ class CurateIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$rootB/kept").select("doc_id").as[Long].collect().toSeq.sorted == off)
   }
 
+  test("fp store, crash AFTER the compacted gen is written BEFORE any rename: reads stay live, a re-run completes") {
+    // Interrupt point 1 of compactFpStore's swap (r11 VERDICT item 5):
+    // `fp.new` exists (content immaterial — recovery never reads it)
+    // while the live store is untouched. Dedup must keep working off
+    // the live store, and a compactFpStore re-run must discard the
+    // leftover `.new` and complete.
+    val good = "a perfectly reasonable document with plenty of distinct informative tokens"
+    val root = Files.createTempDirectory("graft_fpcrash_pre_").toString
+    val evalDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    Streaming.curateBatch(Seq(CDoc(1, "s", good)).toDF("doc_id", "source", "text"),
+      evalDocs, s"$root/fp", s"$root/kept", 0L)
+    val neu = new java.io.File(s"$root/fp.new/batch=-1")
+    assert(neu.mkdirs())
+    java.nio.file.Files.write(neu.toPath.resolve("part-stale.parquet"), "stale".getBytes)
+    // pre-recovery reads serve the live store: the dup of doc 1 drops
+    Streaming.curateBatch(Seq(CDoc(11, "s", good)).toDF("doc_id", "source", "text"),
+      evalDocs, s"$root/fp", s"$root/kept", 1L)
+    assert(spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
+      == Seq(1L), "a pre-rename crash must leave dedup serving the intact live store")
+    Streaming.compactFpStore(spark, s"$root/fp") // discards stale .new
+    assert(!new java.io.File(s"$root/fp.new").exists(), "fp.new must be cleaned up")
+    assert(!new java.io.File(s"$root/fp.old").exists(), "fp.old must be cleaned up")
+    Streaming.curateBatch(Seq(CDoc(21, "s", good)).toDF("doc_id", "source", "text"),
+      evalDocs, s"$root/fp", s"$root/kept", 2L)
+    assert(spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
+      == Seq(1L), "post-recovery dedup must still match the pre-crash store")
+  }
+
+  test("fp store, crash BETWEEN the two renames (.old aside, .new present): reads refuse, a re-run rolls back") {
+    // Interrupt point 2: the live store was moved to `fp.old` but the
+    // new gen was never activated. Reads must refuse loudly (an empty
+    // read re-admits every deduped doc) and a re-run must roll the
+    // original back, ignoring the orphaned `.new`.
+    val good = "another wholly original text mentioning shuffles partitions and adaptive execution"
+    val root = Files.createTempDirectory("graft_fpcrash_mid_").toString
+    val evalDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    Streaming.curateBatch(Seq(CDoc(1, "s", good)).toDF("doc_id", "source", "text"),
+      evalDocs, s"$root/fp", s"$root/kept", 0L)
+    assert(new java.io.File(s"$root/fp").renameTo(new java.io.File(s"$root/fp.old")))
+    val neu = new java.io.File(s"$root/fp.new/batch=-1")
+    assert(neu.mkdirs())
+    java.nio.file.Files.write(neu.toPath.resolve("part-candidate.parquet"), "gen".getBytes)
+    val e = intercept[IllegalStateException] {
+      Streaming.curateBatch(Seq(CDoc(11, "s", good)).toDF("doc_id", "source", "text"),
+        evalDocs, s"$root/fp", s"$root/kept", 1L)
+    }
+    assert(e.getMessage.contains("compactFpStore"),
+      s"mid-swap store must not read as empty: ${e.getMessage}")
+    Streaming.compactFpStore(spark, s"$root/fp") // rolls .old back, discards .new
+    assert(!new java.io.File(s"$root/fp.new").exists(), "fp.new must be cleaned up")
+    assert(!new java.io.File(s"$root/fp.old").exists(), "fp.old must be cleaned up")
+    Streaming.curateBatch(Seq(CDoc(11, "s", good)).toDF("doc_id", "source", "text"),
+      evalDocs, s"$root/fp", s"$root/kept", 1L)
+    assert(spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSeq.sorted
+      == Seq(1L), "the recovered store must still dedup the duplicate")
+  }
+
   test("composed curate→cluster pipeline: stream ≡ batch on kept set AND cluster assignments, across kill/recover") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft_pipe_").toFile.getAbsolutePath

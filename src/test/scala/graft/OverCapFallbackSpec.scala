@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.StructType
   * [[Qh.boundedCollect]] cap RAISE in a real operator context (the IVF
   * centroid read), not just CollectGateSpec's planted frame.
   *
+  * The fallbackCount deltas are attributable to THIS spec's runs:
+  * the counter is thread-local and mergeAndIndex's collect gate runs
+  * synchronously on the calling (test) thread, so a concurrent suite's
+  * fallback cannot perturb the strict-equality asserts below.
+  *
   * Tagged Slow: the clique batch verifies ~100k Jaccard pairs — ~a
   * minute, out of the fastTest dev loop. */
 @org.scalatest.tags.Slow

@@ -69,9 +69,18 @@ def diff(base, run, threshold):
         elif over_m:
             median_only.append(entry)
     regress.sort(key=lambda e: -min(e["via_anchor"], e["via_median"]))
+    # A change that slows HALF OR MORE of the shared queries moves the
+    # median itself, so per-query via_median ratios stay near 1 and the
+    # dual rule would demote the whole event to witness lines. That
+    # combination — median over threshold while the anchor sits near 1 —
+    # is the signature of a code-wide regression (host load moves the
+    # anchor too); surface it as a first-class failure, not a witness.
+    broad = (median_factor > threshold
+             and anchor_factor <= (1.0 + threshold) / 2.0)
     return {
         "anchor_factor": anchor_factor,
         "median_factor": median_factor,
+        "broad_regression": broad,
         "regressions": regress,
         "anchor_only": anchor_only,
         "median_only": median_only,
@@ -103,6 +112,13 @@ def main() -> int:
           f"new {r['new']}; removed {r['removed']}")
     if r["failed"]:
         print(f"FAILED in run: {r['failed']}")
+    if r["broad_regression"]:
+        print(f"BROAD REGRESSION SIGNATURE: median-of-ratios "
+              f"{r['median_factor']:.2f}x exceeds the {threshold}x threshold "
+              f"while the anchor sits at {r['anchor_factor']:.2f}x — half or "
+              f"more of the queries slowed relative to a steady anchor. This "
+              f"is a code-wide slowdown, not host load; adjudicate before "
+              f"accepting the run.")
     for e in r["regressions"]:
         print(f"  {e['via_anchor']:5.2f}x anchor / {e['via_median']:5.2f}x median  "
               f"{e['name']}: {e['run']:.2f}s vs baseline {e['baseline']:.2f}s")
@@ -110,9 +126,9 @@ def main() -> int:
         print(f"single-normalization witnesses (NOT flagged): "
               f"{len(r['anchor_only'])} anchor-only, {len(r['median_only'])} median-only"
               + (f"; worst anchor-only: {r['anchor_only'][0]['name']}" if r["anchor_only"] else ""))
-    if not r["regressions"] and not r["failed"]:
+    if not r["regressions"] and not r["failed"] and not r["broad_regression"]:
         print("no regressions under both normalizations")
-    return 1 if (r["regressions"] or r["failed"]) else 0
+    return 1 if (r["regressions"] or r["failed"] or r["broad_regression"]) else 0
 
 
 if __name__ == "__main__":

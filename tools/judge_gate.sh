@@ -11,7 +11,11 @@
 #
 # Env: SPARK_GRAFT_SF_DIR (bench data, default /root/testdata/sf0.1),
 #      JUDGE_GATE_SKIP_TESTS=1 to skip the fastTest lane (when a full
-#      `sbt test` already ran on the identical tree).
+#      `sbt test` already ran on the identical tree),
+#      JUDGE_GATE_SFS — space-separated list of sf dirs for the
+#      Verify+selfcheck lane (default /root/testdata/sf0.01; set to
+#      "/root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1"
+#      to prove exactness at all three scale factors in one gate run).
 set -u
 cd "$(dirname "$0")/.."
 FAIL=0
@@ -29,17 +33,25 @@ else
   echo "== 2/4 fastTest SKIPPED (JUDGE_GATE_SKIP_TESTS=1)"
 fi
 
-echo "== 3/4 Verify @ sf0.01 + DuckDB selfcheck"
-OUT=/tmp/judge_gate_verify
-SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
-  | grep "\[verify\]" | tail -3
-# Verify prints "[verify] done: N/M dumped"; a throwing query prints a
-# "failed:" line and leaves no parquet — selfcheck then reds on it.
-if [ "$#" -gt 0 ]; then
-  python3 tools/selfcheck.py /root/testdata/sf0.01 "$OUT" "$@" || red "selfcheck (touched) failed"
-else
-  python3 tools/selfcheck.py /root/testdata/sf0.01 "$OUT" || red "selfcheck (all) failed"
-fi
+echo "== 3/4 Verify + DuckDB selfcheck (sfs: ${JUDGE_GATE_SFS:-/root/testdata/sf0.01})"
+for SF in ${JUDGE_GATE_SFS:-/root/testdata/sf0.01}; do
+  OUT="/tmp/judge_gate_verify_$(basename "$SF")"
+  # A stale dump from a previous run would let selfcheck validate OLD
+  # parquet and report GREEN on a broken tree — wipe it first, and red
+  # on the sbt step's own exit status (the grep pipeline used to
+  # swallow it).
+  rm -rf "$OUT"
+  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 \
+    | grep "\[verify\]" | tail -3
+  if [ "${PIPESTATUS[0]}" != "0" ]; then red "Verify run failed at $SF (sbt exit nonzero)"; continue; fi
+  # Verify prints "[verify] done: N/M dumped"; a throwing query prints a
+  # "failed:" line and leaves no parquet — selfcheck then reds on it.
+  if [ "$#" -gt 0 ]; then
+    python3 tools/selfcheck.py "$SF" "$OUT" "$@" || red "selfcheck (touched) failed at $SF"
+  else
+    python3 tools/selfcheck.py "$SF" "$OUT" || red "selfcheck (all) failed at $SF"
+  fi
+done
 
 echo "== 4/4 bench subset vs BASELINE_QUERIES.json"
 SFDIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"

@@ -64,8 +64,26 @@ def main() -> int:
     r = diff(base, run, threshold=1.5)
     assert r["failed"] == ["q_broken"]
     assert r["regressions"] == []
+    assert not r["broad_regression"]
 
-    print("test_diff_baseline: 3/3 cases pass")
+    # Case 4: code-wide slowdown — every bulk query at 1.7x while the
+    # anchor holds 0.90x (host load would move the anchor too). The
+    # median absorbs the slowdown so per-query via_median ratios are
+    # 1.0x and no individual query is flagged; the broad_regression
+    # signature must fire instead of the run exiting clean.
+    base, run = _mk(names, secs, 1.70)
+    r = diff(base, run, threshold=1.5)
+    assert r["regressions"] == [], (
+        "broad case should have no per-query flags, got %r" % r["regressions"])
+    assert r["broad_regression"], (
+        "median %.2f over threshold with anchor %.2f must set broad_regression"
+        % (r["median_factor"], r["anchor_factor"]))
+    # ...and the phantom shape from Case 1 (median 1.40 under the 1.5
+    # threshold) must NOT fire it:
+    base, run = _mk(names, secs, 1.40)
+    assert not diff(base, run, threshold=1.5)["broad_regression"]
+
+    print("test_diff_baseline: 4/4 cases pass")
     return 0
 
 
