@@ -211,6 +211,24 @@ object Qh {
     }
   }
 
+  /** Shared daemon pool for OVERLAPPING INDEPENDENT per-micro-batch
+    * writes (streaming curate/cluster lane). A micro-batch's cost at
+    * ingest cadence is dominated by the count of SERIAL Spark actions ×
+    * fixed per-action latency (planning + scheduling), not data volume;
+    * writes with no data dependency (the fp-store write vs the cluster
+    * merge, the bands/sigs index writes vs the cluster snapshot) run as
+    * concurrent jobs — Spark's scheduler interleaves them onto free
+    * slots on a real cluster exactly as on local[N]. Every future is
+    * awaited before the batch body returns, so the checkpoint commit
+    * still covers all of the batch's writes (the replay contract is
+    * unchanged: any subset of batch=N outputs left by a crash is
+    * rewritten by the replay, which excludes batch N from every read). */
+  private[graft] lazy val ioEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-io"); t.setDaemon(true); t
+      }))
+
   /** Exact integer cents of a 2-decimal money column. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 

@@ -84,21 +84,32 @@ object StreamBench {
     // representative one — canonicalization + quality gate + near-dup
     // cluster merge + index append per micro-batch.
     val evalDocs = docs.limit(0).localCheckpoint()
-    val tCurate = timed {
+    def runCurate(tag: String): Double = timed {
       val q = S.curateAndClusterIngest(
         S.jsonFileSource(spark, s"$root/docs",
           StructType.fromDDL("doc_id BIGINT, source STRING, text STRING"),
           maxFilesPerTrigger = 2),
-        evalDocs, s"$root/fp", s"$root/kept", s"$root/idx", s"$root/clusters",
-        s"$root/cur_ckpt", trigger = Trigger.AvailableNow()).start()
+        evalDocs, s"$root/fp_$tag", s"$root/kept_$tag", s"$root/idx_$tag",
+        s"$root/clusters_$tag", s"$root/cur_ckpt_$tag",
+        trigger = Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val nKept = spark.read.parquet(s"$root/kept").count()
+    // COLD first (comparable to every prior round's record: the first
+    // composed run in the session, lane-specific JIT/codegen included),
+    // then the SAME corpus again into fresh dirs for the steady-state
+    // number a long-running ingest actually sustains — the r12 lane
+    // profile put ~2.3 s of the cold run's first micro-batch in
+    // JIT/codegen warm-up that no later batch of a real deployment
+    // pays. Both are reported; BASELINE.md rows name which is which.
+    val tCurate = runCurate("cold")
+    val nKept = spark.read.parquet(s"$root/kept_cold").count()
+    val tCurateWarm = runCurate("warm")
 
     println(f"""{"metric":"stream_throughput","unit":"rows_per_sec","sf":"$sfDir",""" +
       f""""windowed_agg":{"rows":$nEvents,"secs":$tAgg%.2f,"rows_per_sec":${(nEvents / tAgg).toLong}},""" +
       f""""ivm_join":{"rows":$nOrders,"secs":$tIvm%.2f,"rows_per_sec":${(nOrders / tIvm).toLong}},""" +
-      f""""curate_cluster":{"rows":$nDocs,"kept":$nKept,"secs":$tCurate%.2f,"rows_per_sec":${(nDocs / tCurate).toLong}}}""")
+      f""""curate_cluster":{"rows":$nDocs,"kept":$nKept,"secs":$tCurate%.2f,"rows_per_sec":${(nDocs / tCurate).toLong},""" +
+      f""""warm_secs":$tCurateWarm%.2f,"warm_rows_per_sec":${(nDocs / tCurateWarm).toLong}}}""")
     spark.stop()
   }
 }

@@ -28,6 +28,9 @@ object StreamProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // experiment knob: SPARK_GRAFT_AQE=false quantifies how much of the
+      // lane's per-batch job count is AQE query-stage scheduling
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val S = graft.streaming.Streaming
@@ -41,10 +44,35 @@ object StreamProfile {
 
     final case class Job(id: Int, desc: String, start: Long, var end: Long = 0L)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    // executionId → the SQL action's callsite: job-level descriptions are
+    // blank inside foreachBatch, but every job carries its parent SQL
+    // execution id and the execution-start event carries the callsite.
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val listener = new SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            // description is blank in foreachBatch; the root plan node +
+            // its write path (when present) identify the action
+            val planHead = e.physicalPlanDescription.linesIterator
+              .filterNot(l => l.isEmpty || l.startsWith("=="))
+              .take(1).mkString.trim
+            val d = (if (e.description.nonEmpty) e.description
+              else planHead.replaceFirst("file:\\S*graft_sprof_[^/]*/", "…/")).take(140)
+            execDesc.put(e.executionId, d)
+          case _ =>
+        }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val desc = Option(e.properties.getProperty("spark.job.description"))
-          .orElse(Option(e.properties.getProperty("callSite.short"))).getOrElse("?")
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execDesc.get(id.toLong)).map(d => s"ex$id $d"))
+          .orElse(Option(e.properties).flatMap(p =>
+            Option(p.getProperty("spark.job.description"))).filter(_.nonEmpty))
+          .getOrElse {
+            import scala.jdk.CollectionConverters._
+            "? props=" + Option(e.properties).map(_.asScala.keys.mkString(","))
+              .getOrElse("null")
+          }
         jobs.put(e.jobId, Job(e.jobId, desc, e.time))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -70,7 +98,7 @@ object StreamProfile {
       println(f"  [${j.id}%3d] +${(j.start - t0) / 1000.0}%6.2fs ${(j.end - j.start) / 1000.0}%6.3fs  ${j.desc.take(110)}")
     }
     println("== by description:")
-    js.groupBy(_.desc.take(60)).toSeq
+    js.groupBy(_.desc.replaceFirst("^ex\\d+ ", "").take(60)).toSeq
       .map { case (d, g) => (d, g.size, g.map(j => j.end - j.start).sum / 1000.0) }
       .sortBy(-_._3)
       .foreach { case (d, n, s) => println(f"  $n%3d jobs $s%7.2fs  $d") }

@@ -2132,7 +2132,7 @@ object Dedup {
       batch: org.apache.spark.sql.DataFrame, indexDir: String,
       threshold: Double = 0.8,
       checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame =
-    mergeCore(clusters, batch, indexDir, threshold, checkpointDir, indexWriteBatch = None)
+    mergeCore(clusters, batch, indexDir, threshold, checkpointDir, indexWriteBatch = None)._1
 
   /** [[mergeClusters]] FUSED with the batch's index write — the shape
     * [[graft.streaming.Streaming.clusterBatch]] runs per micro-batch.
@@ -2181,7 +2181,39 @@ object Dedup {
   def mergeAndIndex(clusters: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, indexDir: String, batchId: Long,
       threshold: Double = 0.8,
-      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame =
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val (out, idxF) = mergeAndIndexStaged(clusters, batch, indexDir, batchId,
+      threshold, checkpointDir)
+    scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
+    out
+  }
+
+  /** Task count for the per-batch bands-index write
+    * (`spark.graft.index.writeTasks`, default 4): each (band, kb) key
+    * lands in exactly one task either way, so the FILE count (one per
+    * touched dir) is identical — the knob only sets how many tasks
+    * split the ≤ Bands×KbBuckets directories between them. A
+    * micro-batch increment is small by definition (the compaction
+    * cadence bounds what accumulates), so shuffle.partitions-many
+    * writer tasks are pure per-task overhead at any deployment size;
+    * raise the conf for an unusually fat batch. */
+  private def bandWriteTasks(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.index.writeTasks", "4").toInt
+
+  /** STAGED form of [[mergeAndIndex]] for per-batch action overlap
+    * (graft.streaming.Streaming.clusterBatch): the returned future is
+    * the in-flight index write — independent of the returned merge
+    * frame, so the caller can run its own snapshot write as a
+    * concurrent job and await the future before committing the batch.
+    * The caller MUST await (ready, not just result) before the batch
+    * body returns, even on failure: a dangling write racing a replay's
+    * rewrite of the same batch=N paths would corrupt the index. The
+    * plain [[mergeAndIndex]] awaits internally and keeps the
+    * index-written-on-return contract. */
+  private[graft] def mergeAndIndexStaged(clusters: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, indexDir: String, batchId: Long,
+      threshold: Double, checkpointDir: Option[String])
+      : (org.apache.spark.sql.DataFrame, scala.concurrent.Future[Unit]) =
     mergeCore(clusters, batch, indexDir, threshold, checkpointDir,
       indexWriteBatch = Some(batchId))
 
@@ -2189,7 +2221,8 @@ object Dedup {
       batch: org.apache.spark.sql.DataFrame, indexDir: String,
       threshold: Double,
       checkpointDir: Option[String],
-      indexWriteBatch: Option[Long]): org.apache.spark.sql.DataFrame = {
+      indexWriteBatch: Option[Long])
+      : (org.apache.spark.sql.DataFrame, scala.concurrent.Future[Unit]) = {
     val spark = batch.sparkSession
     // Same lineage-durability choice as clusterDocs: localCheckpoint
     // blocks are lost with an executor; pass a reliable checkpointDir on
@@ -2219,28 +2252,45 @@ object Dedup {
       .withColumn("kb", kbOf(col("bkey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSigs = withSig.select(col("doc_id"), col("tk"))
-    // static partition prune: <= Bands*KbBuckets pairs, O(1) to collect
-    def probePairs: Seq[(Int, Int)] = Qh.boundedCollect(
-      banded.select("band", "kb").distinct(),
-      Bands * KbBuckets, "LSH probe (band, kb) partition prune set")
-      .map(r => (r.getInt(0), r.getInt(1))).toSeq
     // Edges scope by source on BOTH probes — the closure must match what
     // clusterDocs would compute on the union corpus, and clusterDocs only
     // pairs docs within one source. First batch (no index on disk yet):
-    // the stored side is definitionally empty — skip the probe chain AND
-    // its (band, kb) prune-set collect rather than running five jobs
-    // against an empty frame.
+    // the stored side is definitionally empty — skip the probe chain
+    // rather than running five jobs against an empty frame.
+    //
+    // Index-partition pruning here is DYNAMIC, not the static collected
+    // (band, kb) IN-list incrementalNearDup uses (r12): kb = kbOf(bkey)
+    // is a data column on the batch side and a partition column on the
+    // stored side, so adding it to the equi-join keys is a no-op for the
+    // join RESULT but lets Spark's dynamic partition pruning derive the
+    // stored scan's partition filter from the broadcast batch side — the
+    // same ≤ Bands×KbBuckets partition set the static prune read, minus
+    // one serial driver collect per micro-batch (the r12 lane profile
+    // charged ~0.4 s/batch to that collect's execution + planning gap).
+    // MergeDppSpec pins that the pruning subquery is actually present in
+    // the probe's executed plan, so a planner change cannot silently
+    // degrade this to a full index scan at 100 TB.
     val haveIndex = graft.sources.Sources.fsExists(spark, s"$indexDir/bands")
     val edgesOld =
       if (!haveIndex)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, old_id BIGINT"))
-      else banded
-        .join(storedBands.filter(bandPrunePredicate(probePairs))
-          .select(col("band"), col("bkey"), col("source"), col("doc_id").as("old_id")),
-          Seq("band", "bkey", "source"))
+      else storedBands
+        .select(col("band"), col("kb"), col("bkey"), col("source"), col("doc_id").as("old_id"))
+        .join(broadcast(banded.select("band", "kb", "bkey", "source", "doc_id")
+          // the band-domain bound is a tautology (bands are 0..Bands-1 by
+          // construction) kept for the OPTIMIZER: Spark's PartitionPruning
+          // rule only derives a dynamic partition filter from a build side
+          // that carries a likely-selective predicate, and an unfiltered
+          // broadcast — however small — does not qualify
+          .filter(col("band").between(0, Bands - 1))),
+          Seq("band", "kb", "bkey", "source"))
         .select("doc_id", "old_id").distinct()
-        .join(newSigs, Seq("doc_id"))
+        // the batch's signature table is micro-batch-bounded (same
+        // posture as broadcasting `banded` above), so the verify joins
+        // broadcast it instead of shuffling — the stored side stays a
+        // shuffle join, it is index-sized
+        .join(broadcast(newSigs), Seq("doc_id"))
         .join(storedSigs.select(col("doc_id").as("old_id"), col("tk").as("tko")), Seq("old_id"))
         .filter(jaccard(col("tk"), col("tko")) >= threshold)
         .select(col("doc_id"), col("old_id"))
@@ -2272,28 +2322,47 @@ object Dedup {
     val out = updatedOld.union(newRows)
     // Fused index write (mergeAndIndex): reuse the cached signature and
     // band frames the merge just built instead of recomputing them in a
-    // separate indexBatch pass. Runs before the unpersists below; the
-    // probe reads above resolved their file listings already.
-    indexWriteBatch.foreach { bid =>
-      // Cluster rows onto their (band, kb) target dirs BEFORE the
-      // dynamic-partition write: from P input partitions the writer
-      // opens up to P x 64 files and sorts every task by the partition
-      // key; repartitioned, each task owns whole directories — ~30x
-      // fewer files per micro-batch, faster commit, and cheaper listing
-      // for every later probe of this index (the r10 lane profile had
-      // this write as the largest merge slice). One extra shuffle of a
-      // 5-rows-per-doc frame — negligible at any scale.
-      banded.select("bkey", "doc_id", "source", "band", "kb")
-        .repartition(col("band"), col("kb"))
-        .write.partitionBy("band", "kb")
-        .mode("overwrite").parquet(s"$indexDir/bands/batch=$bid")
-      newSigs.coalesce(math.min(8, spark.sparkContext.defaultParallelism))
-        .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$bid")
-      Qh.stampHashVersion(spark, s"$indexDir/bands")
-      Qh.stampHashVersion(spark, s"$indexDir/sigs")
+    // separate indexBatch pass — and run the two independent writes as
+    // CONCURRENT jobs off the now-hot caches (r12 lane profile: the
+    // bands write alone was the largest serial merge slice). Launching
+    // them AFTER the edge collect is deliberate: launched before it,
+    // the writes race the collect to materialize the caches and the
+    // duplicated signature computation costs more than the overlap
+    // saves (measured). The caller still overlaps its own dependent
+    // work (the snapshot write) until awaiting the returned future.
+    implicit val ec: scala.concurrent.ExecutionContext = Qh.ioEc
+    val idxF: scala.concurrent.Future[Unit] = indexWriteBatch match {
+      case None => scala.concurrent.Future.unit
+      case Some(bid) =>
+        // Cluster rows onto their (band, kb) target dirs BEFORE the
+        // dynamic-partition write: from P input partitions the writer
+        // opens up to P x 64 files and sorts every task by the partition
+        // key; repartitioned, each task owns whole directories — ~30x
+        // fewer files per micro-batch, faster commit, and cheaper listing
+        // for every later probe of this index (the r10 lane profile had
+        // this write as the largest merge slice). One extra shuffle of a
+        // 5-rows-per-doc frame — negligible at any scale.
+        val fBands = scala.concurrent.Future {
+          banded.select("bkey", "doc_id", "source", "band", "kb")
+            .repartition(bandWriteTasks(spark), col("band"), col("kb"))
+            .write.partitionBy("band", "kb")
+            .mode("overwrite").parquet(s"$indexDir/bands/batch=$bid")
+          Qh.stampHashVersion(spark, s"$indexDir/bands")
+        }
+        val fSigs = scala.concurrent.Future {
+          newSigs.coalesce(math.min(8, spark.sparkContext.defaultParallelism))
+            .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$bid")
+          Qh.stampHashVersion(spark, s"$indexDir/sigs")
+        }
+        fBands.zip(fSigs).map(_ => ())
     }
-    banded.unpersist(blocking = false)
-    withSig.unpersist(blocking = false)
-    out
+    // the caches only feed the index writes at this point (the merge
+    // output's lineage re-reads the batch, not the cached frames) —
+    // release them once the writes land, success or failure
+    idxF.andThen { case _ =>
+      banded.unpersist(blocking = false)
+      withSig.unpersist(blocking = false)
+    }
+    (out, idxF)
   }
 }

@@ -359,7 +359,13 @@ object Streaming {
   /** One [[clusterIngest]] micro-batch — public (like [[curateBatch]])
     * so recovery semantics are directly testable by replaying a batch
     * id, and so composed pipelines ([[curateAndClusterIngest]]) can run
-    * it on a derived frame inside their own foreachBatch. */
+    * it on a derived frame inside their own foreachBatch.
+    *
+    * (r12 note: carrying the prior snapshot in memory across batches —
+    * localCheckpoint + reuse instead of re-reading batch=N-1 parquet —
+    * was tried and MEASURED SLOWER at bench scale: the eager
+    * materialization is one more serial job per batch, which costs more
+    * than the three prior re-scans it saves. The parquet re-read stays.) */
   def clusterBatch(batch: DataFrame, indexDir: String, clustersDir: String,
       batchId: Long, threshold: Double = 0.8,
       reliableCheckpointDir: Option[String] = None): Unit = {
@@ -386,10 +392,25 @@ object Streaming {
     // mergeAndIndex fuses the index write into the merge so the batch's
     // signatures and band explode are computed once, not twice (r10
     // lane-amortization; same batch=N overwrite replay contract as the
-    // former mergeClusters + indexBatch sequence).
-    val merged = Dedup.mergeAndIndex(prior, batch, indexDir, batchId,
+    // former mergeClusters + indexBatch sequence). r12: the STAGED form
+    // leaves the bands/sigs writes in flight so the cluster-snapshot
+    // write below runs as a concurrent job — three independent writes,
+    // one serial slot. Replay stays correct for ANY subset of batch=N
+    // outputs a crash leaves (every read here excludes batch N and every
+    // write is an overwrite of its own batch=N path); the await below
+    // guarantees all three are durable before the checkpoint commits.
+    val (merged, idxF) = Dedup.mergeAndIndexStaged(prior, batch, indexDir, batchId,
       threshold, reliableCheckpointDir)
-    merged.write.mode("overwrite").parquet(s"$clustersDir/batch=$batchId")
+    var snapshotFailed: Throwable = null
+    try merged.write.mode("overwrite").parquet(s"$clustersDir/batch=$batchId")
+    catch { case t: Throwable => snapshotFailed = t; throw t }
+    finally {
+      // ALWAYS drain the in-flight index writes before leaving the batch
+      // body — a dangling write racing a replay would corrupt the index —
+      // and surface their failure when the snapshot write succeeded.
+      scala.concurrent.Await.ready(idxF, scala.concurrent.duration.Duration.Inf)
+      if (snapshotFailed == null) idxF.value.get.get
+    }
   }
 
   /** The full streaming curation pipeline a training-data ingest
@@ -419,15 +440,28 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(batch, eval, fpDir, keptDir, batchId)
-        // Re-read what curateBatch just wrote rather than re-deriving the
-        // kept set in memory: the parquet under batch=N IS the contract
-        // between the halves, so a replayed batch clusters exactly what
-        // the (rewritten) gate output says — never a diverging recompute.
-        val kept = batch.sparkSession.read
-          .schema(StructType.fromDDL("doc_id BIGINT, source STRING, text STRING"))
-          .parquet(s"$keptDir/batch=$batchId")
-        clusterBatch(kept, indexDir, clustersDir, batchId, threshold, reliableCheckpointDir)
+        // Staged curate: both gate writes (kept + fp store) run IN
+        // FLIGHT while the cluster half starts from the CACHED kept
+        // frame — the same materialized rows the kept write is putting
+        // under batch=N, so the halves cannot diverge (one
+        // materialization feeds both sinks; a mid-batch recompute is
+        // deterministic over the same inputs). Recovery keeps the
+        // parquet as the contract: a replayed batch re-derives the same
+        // kept set and rewrites it, and the standalone-replay path
+        // (CurateIngestSpec) clusters straight from the written parquet.
+        val st = curateBatchStaged(batch, eval, fpDir, keptDir, batchId)
+        var clusterFailed: Throwable = null
+        try clusterBatch(st.kept, indexDir, clustersDir, batchId, threshold,
+          reliableCheckpointDir)
+        catch { case t: Throwable => clusterFailed = t; throw t }
+        finally {
+          // drain the in-flight gate writes before the checkpoint commits
+          // (and before a failure triggers a replay that rewrites their
+          // paths), then release the batch caches
+          scala.concurrent.Await.ready(st.writes, scala.concurrent.duration.Duration.Inf)
+          st.release()
+          if (clusterFailed == null) st.writes.value.get.get
+        }
       }
   }
 
@@ -533,6 +567,35 @@ object Streaming {
 
   def curateBatch(batch: DataFrame, eval: EvalArtifacts, fpDir: String,
       keptDir: String, batchId: Long): Unit = {
+    val st = curateBatchStaged(batch, eval, fpDir, keptDir, batchId)
+    try scala.concurrent.Await.result(st.writes, scala.concurrent.duration.Duration.Inf)
+    finally st.release()
+  }
+
+  /** The in-flight state of one staged curate micro-batch
+    * ([[curateBatchStaged]]): `kept` is the MATERIALIZED (cached) kept
+    * frame — row-identical to what lands under `keptDir/batch=N`,
+    * because the parquet write reads the same cache — `writes` covers
+    * BOTH batch writes (kept + fp store), and `release()` drops the
+    * batch's caches (call after awaiting `writes` AND after the last
+    * consumer of `kept`). */
+  private[graft] final case class StagedCurate(kept: DataFrame,
+      writes: scala.concurrent.Future[Unit], release: () => Unit)
+
+  /** STAGED form of [[curateBatch]] for per-batch action overlap in the
+    * composed lane: BOTH writes (kept set + fingerprint store) launch
+    * as concurrent jobs and the kept frame is returned CACHED, so the
+    * cluster half starts from the same materialized rows immediately
+    * instead of waiting for the kept write and re-reading its parquet.
+    * The handed-off cache cannot diverge from the written parquet: one
+    * materialization feeds both (a cache-evicted partition recomputes
+    * from deterministic lineage over the same inputs). The caller MUST
+    * await `writes` (ready, not just result) before its batch body
+    * returns, even on failure — a dangling write racing a replay's
+    * rewrite of the same batch=N paths would corrupt the outputs — and
+    * then call `release()`. [[curateBatch]] does both internally. */
+  private[graft] def curateBatchStaged(batch: DataFrame, eval: EvalArtifacts,
+      fpDir: String, keptDir: String, batchId: Long): StagedCurate = {
     import graft.operators.Dedup.{shingles3, tokHashesSeq}
     val spark = batch.sparkSession
     // Same compaction cadence and replay argument as clusterBatch's band
@@ -577,35 +640,41 @@ object Streaming {
         deduped.join(broadcast(eval.fps), Seq("source", "fp"), "left_anti")
       else deduped)
       .persist()
-    try {
-      val kept0 =
-        if (!eval.shinglesNonEmpty) fresh // empty eval: nothing can contaminate
-        else {
-          val contaminated = fresh
-            .select(col("doc_id"), explode(shingles3(tokHashesSeq(col("text")))).as("g"))
-            .join(broadcast(eval.shingles), Seq("g"), "left_semi")
-            .select("doc_id").distinct()
-          fresh.join(contaminated, Seq("doc_id"), "left_anti")
-        }
-      // Gopher repetition gate as a PER-ROW filter (graft.plans
-      // .TokenProfile): the (n_tok, n_dist, top_cnt) triple in one
-      // map-only pass — same integers as the explode → groupBy(doc,
-      // token) → groupBy(doc) aggregation this replaces, without
-      // shuffling a (doc, token) pair stream that at 100 TB dwarfs the
-      // corpus itself. CurateIngestSpec pins kept ≡ manifest verdict.
-      val qualityOk = expr(s"(__tp[0] - __tp[1]) * 1000 div __tp[0] <= " +
-        s"${graft.Qh.GopherDupMilli} AND __tp[2] * 1000 div __tp[0] <= " +
-        s"${graft.Qh.GopherTopMilli}")
-      kept0
-        .withColumn("__tp", graft.plans.TokenProfile.column(split(col("text"), " ")))
-        .filter(qualityOk)
-        .select("doc_id", "source", "text")
-        .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
-      // ALL fresh fingerprints persist, kept or not (see above).
+    val kept0 =
+      if (!eval.shinglesNonEmpty) fresh // empty eval: nothing can contaminate
+      else {
+        val contaminated = fresh
+          .select(col("doc_id"), explode(shingles3(tokHashesSeq(col("text")))).as("g"))
+          .join(broadcast(eval.shingles), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        fresh.join(contaminated, Seq("doc_id"), "left_anti")
+      }
+    // Gopher repetition gate as a PER-ROW filter (graft.plans
+    // .TokenProfile): the (n_tok, n_dist, top_cnt) triple in one
+    // map-only pass — same integers as the explode → groupBy(doc,
+    // token) → groupBy(doc) aggregation this replaces, without
+    // shuffling a (doc, token) pair stream that at 100 TB dwarfs the
+    // corpus itself. CurateIngestSpec pins kept ≡ manifest verdict.
+    val qualityOk = expr(s"(__tp[0] - __tp[1]) * 1000 div __tp[0] <= " +
+      s"${graft.Qh.GopherDupMilli} AND __tp[2] * 1000 div __tp[0] <= " +
+      s"${graft.Qh.GopherTopMilli}")
+    val keptOut = kept0
+      .withColumn("__tp", graft.plans.TokenProfile.column(split(col("text"), " ")))
+      .filter(qualityOk)
+      .select("doc_id", "source", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Qh.ioEc
+    val keptF = scala.concurrent.Future {
+      keptOut.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+    }
+    // ALL fresh fingerprints persist, kept or not (see above).
+    val fpF = scala.concurrent.Future {
       fresh.select("source", "fp")
         .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
       graft.Qh.stampHashVersion(spark, fpDir)
-    } finally { fresh.unpersist(); () }
+    }
+    StagedCurate(keptOut, keptF.zip(fpF).map(_ => ()),
+      () => { fresh.unpersist(blocking = false); keptOut.unpersist(blocking = false); () })
   }
 
   /** Persistent fingerprint store reader for [[curateIngest]]: hive

@@ -221,6 +221,48 @@ class CurateIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$rootB/kept").select("doc_id").as[Long].collect().toSeq.sorted == off)
   }
 
+  test("crash leaving the clusters snapshot WITHOUT the index writes replays byte-identically") {
+    import graft.operators.Dedup
+    // The r12 concurrent-writes batch body makes the INVERSE of the
+    // index-without-clusters crash reachable too: the snapshot write can
+    // land while the in-flight bands/sigs writes do not. Replay must
+    // still converge — latestClusterSnapshot(belowBatch=N) ignores the
+    // orphaned batch=N snapshot and every batch=N path is rewritten.
+    def doc(i: Long, t: String) = (i, "s", t)
+    val b0 = Seq(doc(1, "alpha beta gamma delta"), doc(2, "one two three four five"))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq(doc(3, "alpha beta gamma delta"), doc(4, "six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+    def readAll(dir: String): Set[String] =
+      if (!graft.sources.Sources.fsExists(spark, dir)) Set.empty
+      else spark.read.parquet(dir).collect().map(_.toString).toSet
+
+    val clean = Files.createTempDirectory("graft_crashinv_clean_").toString
+    Streaming.clusterBatch(b0, s"$clean/idx", s"$clean/clusters", 0L)
+    Streaming.clusterBatch(b1, s"$clean/idx", s"$clean/clusters", 1L)
+
+    val crash = Files.createTempDirectory("graft_crashinv_").toString
+    Streaming.clusterBatch(b0, s"$crash/idx", s"$crash/clusters", 0L)
+    Streaming.clusterBatch(b1, s"$crash/idx", s"$crash/clusters", 1L)
+    // simulate the crash state: batch=1 snapshot durable, index writes lost
+    def rmr(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmr(c.getPath))
+      f.delete(); ()
+    }
+    rmr(s"$crash/idx/bands/batch=1"); rmr(s"$crash/idx/sigs/batch=1")
+    assert(graft.sources.Sources.fsExists(spark, s"$crash/clusters/batch=1"))
+    assert(!graft.sources.Sources.fsExists(spark, s"$crash/idx/bands/batch=1"))
+    // recovery: the checkpoint replays the whole micro-batch
+    Streaming.clusterBatch(b1, s"$crash/idx", s"$crash/clusters", 1L)
+    assert(readAll(s"$crash/clusters") == readAll(s"$clean/clusters"),
+      "replayed cluster table diverges from the never-crashed run")
+    assert(readAll(s"$crash/idx/bands") == readAll(s"$clean/idx/bands"),
+      "replayed band index diverges from the never-crashed run")
+    assert(readAll(s"$crash/idx/sigs") == readAll(s"$clean/idx/sigs"),
+      "replayed sig index diverges from the never-crashed run")
+  }
+
   test("fp store, crash AFTER the compacted gen is written BEFORE any rename: reads stay live, a re-run completes") {
     // Interrupt point 1 of compactFpStore's swap (r11 VERDICT item 5):
     // `fp.new` exists (content immaterial — recovery never reads it)

@@ -111,6 +111,9 @@ class StoreGuardSpec extends SparkSpec {
       System.setErr(new java.io.PrintStream(errBuf, true))
       Qh.setReliableCheckpointDir(spark, dirA)
       val setA = spark.sparkContext.getCheckpointDir.get
+      // an earlier suite may have left a checkpoint dir set, making the
+      // FIRST repoint warn legitimately — assert only on deltas below
+      errBuf.reset()
       assert(setA.contains(new java.io.File(dirA).getName), s"checkpoint dir must point under $dirA: $setA")
       // same dir again: no warning, and the SAME UUID subdir is kept
       // (a raw setCheckpointDir would mkdir a fresh one per call)
