@@ -2026,7 +2026,16 @@ object Relational {
         val tot = dec.agg(sum(col("cents")).as("t"))
         dec.crossJoin(broadcast(tot))
           .withColumn("cum_cents", sum(col("cents")).over(w))
-          .withColumn("cum_ppm", expr("cum_cents * 1000000 div t"))
+          // ppm through a 128-bit intermediate (r12, caught by the sf1
+          // scaling decade): corpus-total cents pass ~9.2e12 and the
+          // BIGINT ×1e6 overflows under ANSI. DECIMAL(38,0) widens the
+          // ENGINE; the oracle keeps plain BIGINT — it only ever runs at
+          // test scale (≤ sf0.1, where BIGINT is exact), and HUGEINT
+          // does not parse in spark.sql while DuckDB's divide(DECIMAL,…)
+          // detours through DOUBLE (inexact past 2^53). Same floor-div
+          // integers on both engines at every tested sf.
+          .withColumn("cum_ppm",
+            expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div t"))
           .select(col("decile"), col("n_customers"), col("cents"),
             col("cum_ppm"))
           .orderBy("decile")
@@ -2079,9 +2088,14 @@ object Relational {
           .withColumn("nation_cents", sum(col("cents")).over(wN))
           .withColumn("region_cents", sum(col("cents")).over(wR))
           .withColumn("total_cents", sum(col("cents")).over(wT))
-          .withColumn("share_nation_ppm", expr("cents * 1000000 div nation_cents"))
-          .withColumn("share_region_ppm", expr("nation_cents * 1000000 div region_cents"))
-          .withColumn("share_total_ppm", expr("region_cents * 1000000 div total_cents"))
+          // 128-bit ppm intermediates (r12): region/total cents reach
+          // ~1e13 one decade up — BIGINT ×1e6 overflows under ANSI
+          .withColumn("share_nation_ppm",
+            expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div nation_cents"))
+          .withColumn("share_region_ppm",
+            expr("CAST(nation_cents AS DECIMAL(38,0)) * 1000000 div region_cents"))
+          .withColumn("share_total_ppm",
+            expr("CAST(region_cents AS DECIMAL(38,0)) * 1000000 div total_cents"))
           .select(col("r_name"), col("n_name"), col("c_mktsegment"),
             col("cents"), col("share_nation_ppm"), col("share_region_ppm"),
             col("share_total_ppm"))
@@ -2235,7 +2249,10 @@ object Relational {
         val w = Window.partitionBy("c_nationkey")
         leaf
           .withColumn("nation_cents", sum(col("cents")).over(w))
-          .withColumn("share_ppm", expr("cents * 1000000 div nation_cents"))
+          // 128-bit ppm intermediate (r12) — same overflow class as
+          // q118/q119; shares stay <= 1e6 so the Simpson square is safe
+          .withColumn("share_ppm",
+            expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div nation_cents"))
           .groupBy("c_nationkey")
           .agg(count(lit(1)).as("n_segments"),
             max(col("share_ppm")).as("top_share_ppm"),

@@ -38,6 +38,15 @@ ones:
              those of sf0.1, key cardinality x10 — exactly how TPC-H
              scales).
   customer   10 replicas, c_custkey shifted.
+  part       10 replicas, p_partkey shifted (the same max+1 shift
+             lineitem's l_partkey uses, so the FK structure holds).
+  supplier   10 replicas, s_suppkey shifted (ditto for l_suppkey).
+  nation     copied verbatim (constant across the driver's sfs).
+  region     copied verbatim.
+
+embeddings is deliberately NOT extended: the driver scales it 4x (not
+10x) per decade, so it does not fit the rows-proportional-to-sf model
+the exponent fit assumes — sim_* queries stay on the three-decade fit.
 
 Deterministic: seed fixed, replica shifts pure arithmetic.
 """
@@ -120,6 +129,12 @@ def main() -> int:
     replicate(con, out_dir, "orders", {"o_orderkey", "o_custkey"})
     replicate(con, out_dir, "lineitem", {"l_orderkey", "l_partkey", "l_suppkey"})
     replicate(con, out_dir, "customer", {"c_custkey"})
+    replicate(con, out_dir, "part", {"p_partkey"})
+    replicate(con, out_dir, "supplier", {"s_suppkey"})
+    for dim in ("nation", "region"):  # constant across the driver's sfs
+        con.sql(f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "
+                f"TO '{out_dir}/{dim}.parquet' (FORMAT parquet)")
+        print(f"{dim}: copied verbatim")
     return 0
 
 
