@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   * grows like n^1.5 at sf0.001→0.1 will not survive a 1000× scale-up,
   * however clean its plan looks.
   *
-  * Usage: `runMain graft.Scaling [--queries a,b,c] [sfDir ...]`
-  * (default the three TESTDATA.md dirs; `--queries` restricts the run
-  * to a named subset — the r12 fourth-decade audit times only the
-  * near-flag entries at a synthetic sf1, see tools/make_sf4.py).
-  * Measurement design, learned the hard way:
+  * Usage: `runMain graft.Scaling [--queries a,b,c | --exclude a,b,c]
+  * [sfDir ...]` (default the three TESTDATA.md dirs; `--queries`
+  * restricts the run to a named subset — the r12 fourth-decade audit,
+  * see tools/make_sf4.py — and `--exclude` runs everything BUT the
+  * named set: the r12 full-surface sf1 smoke excludes only the
+  * embeddings family, whose table does not scale by decades, and the
+  * two declared designed-quadratics whose sf1 cost is the declared
+  * quadratic, not a defect signal). Measurement design, learned the
+  * hard way:
   *  - Per QUERY, the sfs are measured BACK-TO-BACK (largest first).
   *    Sweeping a whole sf before the next poisons the fit two ways: a
   *    smallest-first sweep charges all C2/codegen compilation to the
@@ -33,9 +37,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
-    val (queryFilter, dirArgs) = args.toSeq match {
-      case "--queries" +: qs +: rest => (Some(qs.split(',').toSet), rest)
-      case rest => (None, rest)
+    val (queryFilter, excludeSet, dirArgs) = args.toSeq match {
+      case "--queries" +: qs +: rest => (Some(qs.split(',').toSet), Set.empty[String], rest)
+      case "--exclude" +: qs +: rest => (None, qs.split(',').toSet, rest)
+      case rest => (None, Set.empty[String], rest)
     }
     val sfDirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.1", "/root/testdata/sf0.01", "/root/testdata/sf0.001")
@@ -62,12 +67,11 @@ object Scaling {
     // per-query interleave: times[sfDir][name] = min seconds
     val times = sfDirs.map(d => d ->
       scala.collection.mutable.LinkedHashMap[String, Double]()).toMap
-    queryFilter.foreach { qs =>
-      val unknown = qs -- SparkEntry.queries.keySet
-      require(unknown.isEmpty, s"--queries names not registered: ${unknown.mkString(", ")}")
+    (queryFilter.getOrElse(Set.empty) ++ excludeSet).foreach { q =>
+      require(SparkEntry.queries.contains(q), s"query name not registered: $q")
     }
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => queryFilter.forall(_.contains(n)) }
+      .filter { case (n, _) => queryFilter.forall(_.contains(n)) && !excludeSet.contains(n) }
       .foreach { case (name, fn) =>
       val reps = math.max(repeats, extraRuns.getOrElse(name, 0))
       sfDirs.foreach { sfDir =>

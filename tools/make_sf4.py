@@ -44,9 +44,14 @@ ones:
   nation     copied verbatim (constant across the driver's sfs).
   region     copied verbatim.
 
-embeddings is deliberately NOT extended: the driver scales it 4x (not
-10x) per decade, so it does not fit the rows-proportional-to-sf model
-the exponent fit assumes — sim_* queries stay on the three-decade fit.
+  embeddings SMOKE-GRADE only: 10 replicas with vec_id shifts and a
+             deterministic alternating sign-flip perturbation per
+             replica (so replicas are not exact duplicate vectors). The
+             driver scales this table 4x (not 10x) per decade, so it
+             does NOT fit the rows-proportional-to-sf exponent model —
+             sim_* stays on the three-decade fit and the sf1 slice
+             exists only so embeddings-backed queries (the kNN graph
+             suite) can RUN in the full-surface sf1 smoke.
 
 Deterministic: seed fixed, replica shifts pure arithmetic.
 """
@@ -135,6 +140,21 @@ def main() -> int:
         con.sql(f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "
                 f"TO '{out_dir}/{dim}.parquet' (FORMAT parquet)")
         print(f"{dim}: copied verbatim")
+    # smoke-grade embeddings (see module docstring): replicas with shifted
+    # ids and a per-replica alternating sign flip — NOT exponent-fit data
+    mx = con.sql(f"select max(vec_id) from '{SRC}/embeddings.parquet'").fetchall()[0][0]
+    con.sql(f"""
+      COPY (
+        SELECT vec_id + r.r * {mx + 1} AS vec_id,
+               CASE WHEN r.r = 0 THEN embedding
+                    ELSE list_transform(embedding, (x, i) ->
+                      CAST(CASE WHEN (i + r.r) % 7 = 0 THEN -x ELSE x END AS FLOAT))
+               END AS embedding,
+               label
+        FROM '{SRC}/embeddings.parquet', range({REPLICAS}) r(r)
+      ) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)""")
+    n = con.sql(f"select count(*) from '{out_dir}/embeddings.parquet'").fetchall()[0][0]
+    print(f"embeddings: {n} rows (smoke-grade)")
     return 0
 
 
