@@ -229,6 +229,23 @@ object Qh {
         val t = new Thread(r, "graft-io"); t.setDaemon(true); t
       }))
 
+  /** Completes only after BOTH futures complete (success or failure),
+    * then surfaces the first failure — unlike `Future.zip`, which
+    * FAILS FAST: a zip that fails while its partner write is still in
+    * flight would let the batch body return (and a replay REWRITE the
+    * partner's batch=N path) with the orphaned write still running —
+    * exactly the dangling-write race the await-before-return contract
+    * exists to prevent. */
+  private[graft] def afterBoth(a: scala.concurrent.Future[Unit],
+      b: scala.concurrent.Future[Unit]): scala.concurrent.Future[Unit] = {
+    implicit val ec: scala.concurrent.ExecutionContext = ioEc
+    a.transformWith { ra =>
+      b.transformWith { rb =>
+        scala.concurrent.Future.fromTry(for { _ <- ra; _ <- rb } yield ())
+      }
+    }
+  }
+
   /** Exact integer cents of a 2-decimal money column. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 

@@ -670,13 +670,16 @@ object Dedup {
           .join(pOf.select(col("doc_id").as("a"), col("pfx").as("pa")), Seq("a"))
           .join(pOf.select(col("doc_id").as("b"), col("pfx").as("pb")), Seq("b"))
           // Exact pre-prune (r12, flagged by the 4th-decade scaling
-          // audit): edit distance is >= the length gap, so a pair whose
-          // gap alone exceeds the 200 permille rate bound cannot pass —
-          // its DP never runs (the filter sits BELOW the levenshtein
-          // projection in the plan). No result changes: the dropped
-          // pairs fail the final rate filter by arithmetic necessity.
-          .filter(abs(length(col("pa")) - length(col("pb"))) * 1000 <=
-            expr("200 * greatest(length(pa), length(pb))"))
+          // audit): edit distance is >= the length gap and the permille
+          // rate d*1000 div L is monotone in d, so a pair whose GAP rate
+          // already floor-divides past 200 cannot pass the final filter
+          // — its DP never runs. The prune uses THE SAME floor-div
+          // expression as the final filter (not exact arithmetic, which
+          // would drop true rates in the open interval (200, 201)
+          // permille that floor to exactly 200 and belong in the
+          // oracle-exact result).
+          .filter(expr("abs(length(pa) - length(pb)) * 1000 " +
+            "div greatest(length(pa), length(pb)) <= 200"))
           // Banded DP for the survivors: only distances <= 51
           // (= floor(0.200 * 256), the loosest bound any 256-char
           // prefix pair can pass) survive the rate filter, so the
@@ -1943,14 +1946,15 @@ object Dedup {
     // against the PRE-batch index, not one the write below is mutating.
     val keptOut = kept.localCheckpoint(true)
     val keptIds = keptOut.select("doc_id")
+    // stamp BEFORE the writes — see indexBatch for the crash-window argument
+    Qh.stampHashVersion(spark, bandsDir)
+    Qh.stampHashVersion(spark, sigsDir)
     banded.join(keptIds, Seq("doc_id"))
       .select("bkey", "doc_id", "source", "band", "kb")
       .write.partitionBy("band", "kb")
       .mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
     newSigs.join(keptIds, Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$sigsDir/batch=$batchId")
-    Qh.stampHashVersion(spark, bandsDir)
-    Qh.stampHashVersion(spark, sigsDir)
     banded.unpersist()
     withSig.unpersist()
     keptOut
@@ -1981,7 +1985,20 @@ object Dedup {
           "Re-run Dedup.compactIndex on this index to roll back/complete before reading.")
     else if (graft.sources.Sources.fsExists(spark, dir)) {
       val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-      val onDisk = spark.read.parquet(dir).schema.fieldNames.toSet
+      // A dir holding only the hash-version marker (writers stamp BEFORE
+      // the first data write, so a crash in between leaves exactly this)
+      // has no parquet footers to infer from — it is an empty store, not
+      // an error; the replay that follows such a crash rewrites batch=N.
+      val onDiskOpt =
+        try Some(spark.read.parquet(dir).schema.fieldNames.toSet)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") => None
+        }
+      if (onDiskOpt.isEmpty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          declared)
+      val onDisk = onDiskOpt.get
       val missing = declared.fieldNames.filterNot(onDisk.contains)
       if (missing.nonEmpty)
         throw new IllegalStateException(
@@ -2092,6 +2109,12 @@ object Dedup {
         tokHashes(col("text")).as("tk"))
       .withColumn("mhs", minhashSig(col("tk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Stamp BEFORE the first data write: a crash in between leaves a
+    // stamped-but-empty dir that reads as an empty store and replays
+    // cleanly; stamped-after, the same crash left current-fold data
+    // that requireHashVersion would permanently refuse as "pre-v2".
+    Qh.stampHashVersion(batch.sparkSession, s"$indexDir/bands")
+    Qh.stampHashVersion(batch.sparkSession, s"$indexDir/sigs")
     bandExplode(withSig, "mhs", Seq("doc_id", "source"))
       .withColumn("kb", kbOf(col("bkey")))
       .select("bkey", "doc_id", "source", "band", "kb")
@@ -2100,8 +2123,6 @@ object Dedup {
       .mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
     withSig.select("doc_id", "tk")
       .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
-    Qh.stampHashVersion(batch.sparkSession, s"$indexDir/bands")
-    Qh.stampHashVersion(batch.sparkSession, s"$indexDir/sigs")
     withSig.unpersist()
   }
 
@@ -2142,6 +2163,16 @@ object Dedup {
     * Duplicate doc_id rows WITHIN one batch (possible under at-least-once
     * delivery) collapse to one row before the anti-join for the same
     * reason.
+    *
+    * BOUNDED-BATCH CONTRACT (r12): `batch` must be micro-batch-sized —
+    * the arriving slice of a throttled stream (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger are the backpressure knobs), never the corpus.
+    * The stored-index probe BROADCASTS the batch's banded/signature
+    * frames (that is what lets dynamic partition pruning prune the index
+    * scan instead of a per-batch driver collect), so an unbounded batch
+    * fails LOUDLY at Spark's broadcast size limit rather than silently
+    * degrading — corpus-scale (re)clustering is [[clusterDocs]]' job,
+    * not this one's.
     *
     * Returns the updated (doc_id, cluster) table. */
   def mergeClusters(clusters: org.apache.spark.sql.DataFrame,
@@ -2359,18 +2390,19 @@ object Dedup {
         // this write as the largest merge slice). One extra shuffle of a
         // 5-rows-per-doc frame — negligible at any scale.
         val fBands = scala.concurrent.Future {
+          // stamp BEFORE the write — see indexBatch for the crash-window argument
+          Qh.stampHashVersion(spark, s"$indexDir/bands")
           banded.select("bkey", "doc_id", "source", "band", "kb")
             .repartition(bandWriteTasks(spark), col("band"), col("kb"))
             .write.partitionBy("band", "kb")
             .mode("overwrite").parquet(s"$indexDir/bands/batch=$bid")
-          Qh.stampHashVersion(spark, s"$indexDir/bands")
         }
         val fSigs = scala.concurrent.Future {
+          Qh.stampHashVersion(spark, s"$indexDir/sigs")
           newSigs.coalesce(math.min(8, spark.sparkContext.defaultParallelism))
             .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$bid")
-          Qh.stampHashVersion(spark, s"$indexDir/sigs")
         }
-        fBands.zip(fSigs).map(_ => ())
+        Qh.afterBoth(fBands, fSigs) // NOT zip: zip fails fast, orphaning the partner write
     }
     // the caches only feed the index writes at this point (the merge
     // output's lineage re-reads the batch, not the cached frames) —

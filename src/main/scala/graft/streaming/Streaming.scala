@@ -669,11 +669,14 @@ object Streaming {
     }
     // ALL fresh fingerprints persist, kept or not (see above).
     val fpF = scala.concurrent.Future {
+      // stamp BEFORE the write: a crash in between leaves a stamped
+      // marker-only dir (readFpStore's explicit schema reads it empty),
+      // not current-fold data that requireHashVersion would refuse
+      graft.Qh.stampHashVersion(spark, fpDir)
       fresh.select("source", "fp")
         .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
-      graft.Qh.stampHashVersion(spark, fpDir)
     }
-    StagedCurate(keptOut, keptF.zip(fpF).map(_ => ()),
+    StagedCurate(keptOut, graft.Qh.afterBoth(keptF, fpF), // NOT zip: zip fails fast, orphaning the partner write
       () => { fresh.unpersist(blocking = false); keptOut.unpersist(blocking = false); () })
   }
 

@@ -101,6 +101,29 @@ class StoreGuardSpec extends SparkSpec {
       == Seq(1L))
   }
 
+  test("a stamped marker-only store (crash between stamp and first data write) reads empty and replays cleanly") {
+    // Writers stamp BEFORE the first data write, so this exact state is
+    // reachable; it must read as an EMPTY store (the replay rewrites
+    // batch=N), not as a refusal and not as an inference error.
+    val idx = java.nio.file.Files.createTempDirectory("graft_hv_markeronly_").toString
+    Seq("bands", "sigs").foreach { sub =>
+      new java.io.File(s"$idx/$sub").mkdirs()
+      Qh.stampHashVersion(spark, s"$idx/$sub")
+    }
+    val merged = Dedup.mergeClusters(Seq((1L, 1L)).toDF("doc_id", "cluster"),
+      docsDF(Seq(10L -> doc)), idx)
+    assert(merged.count() == 2, "marker-only index must behave as an empty store")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_hv_fp_marker_").toString
+    new java.io.File(s"$root/fp").mkdirs()
+    Qh.stampHashVersion(spark, s"$root/fp")
+    val evalDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    Streaming.curateBatch(Seq((1L, "s", doc)).toDF("doc_id", "source", "text"),
+      evalDocs, s"$root/fp", s"$root/kept", 0L)
+    assert(spark.read.parquet(s"$root/kept").count() == 1,
+      "marker-only fp store must behave as an empty store")
+  }
+
   test("setReliableCheckpointDir: differing pre-set dir warns loudly; same-dir re-set is a silent no-op") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_ckpt_a_").toString
     val dirB = java.nio.file.Files.createTempDirectory("graft_ckpt_b_").toString

@@ -109,15 +109,16 @@ def gen_documents(con, out_dir):
 
 
 def replicate(con, out_dir, table, shifts):
+    """shifts: {column: shift_amount} — the amount is the REFERENCED
+    key domain's max+1 (computed once per domain in main), not this
+    table's own max: shifting a foreign key by the referencing table's
+    max breaks the FK whenever the top referenced key is unreferenced
+    (TPC-H-style generators leave some customers orderless), scattering
+    every replica's keys between ranges and silently corrupting the
+    join cardinalities the scaling fit assumes scale 10x."""
     cols = [r[0] for r in con.sql(
         f"describe select * from '{SRC}/{table}.parquet'").fetchall()]
-    sel = []
-    for c in cols:
-        if c in shifts:
-            mx = con.sql(f"select max({c}) from '{SRC}/{table}.parquet'").fetchall()[0][0]
-            sel.append(f"{c} + r.r * {mx + 1} AS {c}")
-        else:
-            sel.append(c)
+    sel = [f"{c} + r.r * {shifts[c]} AS {c}" if c in shifts else c for c in cols]
     con.sql(f"COPY (SELECT {', '.join(sel)} FROM '{SRC}/{table}.parquet', "
             f"range({REPLICAS}) r(r)) TO '{out_dir}/{table}.parquet' (FORMAT parquet)")
     n = con.sql(f"select count(*) from '{out_dir}/{table}.parquet'").fetchall()[0][0]
@@ -129,13 +130,25 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     gen_documents(con, out_dir)
-    # user_id shift = observed user cardinality scaling (users x10/decade)
-    replicate(con, out_dir, "events", {"event_id", "user_id"})
-    replicate(con, out_dir, "orders", {"o_orderkey", "o_custkey"})
-    replicate(con, out_dir, "lineitem", {"l_orderkey", "l_partkey", "l_suppkey"})
-    replicate(con, out_dir, "customer", {"c_custkey"})
-    replicate(con, out_dir, "part", {"p_partkey"})
-    replicate(con, out_dir, "supplier", {"s_suppkey"})
+    # One shift per KEY DOMAIN, computed from the domain's OWNING table,
+    # applied identically to every referencing column.
+    def domain(table, col):
+        return con.sql(f"select max({col}) + 1 from '{SRC}/{table}.parquet'").fetchall()[0][0]
+    cust = domain("customer", "c_custkey")
+    part_k = domain("part", "p_partkey")
+    supp = domain("supplier", "s_suppkey")
+    ordk = domain("orders", "o_orderkey")
+    ev = domain("events", "event_id")
+    # user_id is events' own domain (no user table); users x10/decade is
+    # the observed driver scaling
+    usr = domain("events", "user_id")
+    replicate(con, out_dir, "events", {"event_id": ev, "user_id": usr})
+    replicate(con, out_dir, "orders", {"o_orderkey": ordk, "o_custkey": cust})
+    replicate(con, out_dir, "lineitem",
+              {"l_orderkey": ordk, "l_partkey": part_k, "l_suppkey": supp})
+    replicate(con, out_dir, "customer", {"c_custkey": cust})
+    replicate(con, out_dir, "part", {"p_partkey": part_k})
+    replicate(con, out_dir, "supplier", {"s_suppkey": supp})
     for dim in ("nation", "region"):  # constant across the driver's sfs
         con.sql(f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "
                 f"TO '{out_dir}/{dim}.parquet' (FORMAT parquet)")
