@@ -118,6 +118,7 @@ def main() -> int:
     # the r12 fourth-decade audit re-times its subset at ALL its sfs in
     # one fresh session (the interleave discipline), so its values
     # override the base run's for those queries.
+    src_names = args if args else ["<stdin>"]
     srcs = [open(p).read() for p in args] if args else [sys.stdin.read()]
     runs_meta = None
     sfs = {}
@@ -189,8 +190,10 @@ def main() -> int:
         sf_cols = " | ".join(f"t@sf{sf:g}" for sf in all_sfs)
         f.write(f"""# SCALING — measured per-query scaling exponents (r12)
 
-Generated by `tools/fit_scaling.py` from `graft.Scaling` runs
-(min-of-{d.get('runs', '?')} per query per sf, one JVM per run, local[{d.get('cpus', '?')}]).
+Generated by `tools/fit_scaling.py {' '.join(src_names)}` from
+`graft.Scaling` runs (min-of-{d.get('runs', '?')} per query per sf, one
+JVM per run, local[{d.get('cpus', '?')}]) — re-run that exact command to
+reproduce this file byte-identically.
 Testdata rows are proportional to sf across all tables and the sfs are
 exact decades, so under t(sf) = c + a·sf^e the fixed overhead cancels
 in differences and `e_diff = log10((t_hi−t_mid)/(t_mid−t_lo))` over a
