@@ -124,6 +124,30 @@ class StoreGuardSpec extends SparkSpec {
       "marker-only fp store must behave as an empty store")
   }
 
+  test("afterBoth drains the surviving write when its partner fails fast (the Future.zip hazard)") {
+    // Future.zip fails as soon as EITHER side fails; the batch bodies
+    // must instead wait for BOTH writes before returning (a replay that
+    // starts while the partner write is still mutating batch=N paths
+    // corrupts the store). Plant a fast failure + a slow success and
+    // assert afterBoth completes only after the slow side finishes, with
+    // the fast side's failure surfaced.
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fastFail = scala.concurrent.Future[Unit] { throw new RuntimeException("fast failure") }
+    val slowOk = scala.concurrent.Future[Unit] { Thread.sleep(800); slowDone.set(true) }
+    val both = Qh.afterBoth(fastFail, slowOk)
+    val e = intercept[RuntimeException] {
+      scala.concurrent.Await.result(both, scala.concurrent.duration.Duration(10, "s"))
+    }
+    assert(e.getMessage == "fast failure", "the first failure must surface")
+    assert(slowDone.get(), "afterBoth completed before the surviving write finished — " +
+      "a replay could race the in-flight partner (the zip fail-fast hazard)")
+    // and both-success composes to success
+    scala.concurrent.Await.result(
+      Qh.afterBoth(scala.concurrent.Future.unit, scala.concurrent.Future.unit),
+      scala.concurrent.duration.Duration(10, "s"))
+  }
+
   test("setReliableCheckpointDir: differing pre-set dir warns loudly; same-dir re-set is a silent no-op") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_ckpt_a_").toString
     val dirB = java.nio.file.Files.createTempDirectory("graft_ckpt_b_").toString
