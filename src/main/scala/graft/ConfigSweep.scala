@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Execution-config invariance gate (r12): every registered query must
+  * produce the bit-identical result MULTISET under execution configs a
+  * real cluster would differ on — shuffle partition count (5 and 256 vs
+  * the local 32), AQE off, auto-broadcast disabled (plans fall back to
+  * shuffle joins), whole-stage codegen off (expressions run INTERPRETED
+  * — the fallback path a real cluster takes whenever generated code
+  * fails to compile), shuffled-hash-join preference, and 1 MiB input
+  * splits (a 100 TB scan has ~10^5 more splits than sf0.01; per-split
+  * ordering must not leak into results).
+  *
+  * Why this is a correctness gate and not a perf experiment: the DuckDB
+  * oracle proves each query exact under ONE fixed config (local[32],
+  * 32 shuffle partitions). Nothing in that gate stops a query from
+  * being exact only BECAUSE of that config — a float sum whose rounding
+  * happens to match at 32 partitions, a collect_list order stable only
+  * under one merge tree, a tie-break that follows partition layout. On
+  * a 1000-executor cluster every one of these knobs changes, so a
+  * config-dependent query is a wrong-at-scale query. The repo's
+  * integer-exactness discipline (Qh scaladoc) exists precisely to make
+  * results config-invariant; this main MEASURES that claim over the
+  * whole surface instead of arguing it.
+  *
+  * Digest: rows are reduced order-insensitively but
+  * multiplicity-sensitively — per row md5(to_json(struct(columns in
+  * sorted name order))), first 15 hex digits as DECIMAL(38,0), summed,
+  * plus count(*). The aggregation itself is commutative/exact, so the
+  * digest cannot depend on the config under test.
+  *
+  * Memo-backed queries (cluster table, IVFPQ index, layout tables) build
+  * their artifact once under the BASE config (base runs first per
+  * query) and every variant reads the same artifact — the sweep proves
+  * read-path invariance; build-path determinism is pinned separately by
+  * the operator specs.
+  *
+  * Usage: `runMain graft.ConfigSweep [--queries a,b | --exclude a,b]
+  * [sfDir]` (default /root/testdata/sf0.01). Writes CONFIGSWEEP.json
+  * (per-query per-variant digests + mismatches) and prints one JSON
+  * summary line; exits 1 on any non-exempt mismatch.
+  */
+object ConfigSweep {
+
+  /** Variant name → runtime SQL confs that define it. Applied on top of
+    * the base session (local[cpus], shuffle.partitions=cpus, AQE at the
+    * Spark 4 default ON) and reset after each variant run. */
+  val variants: Seq[(String, Map[String, String])] = Seq(
+    "parts5"      -> Map("spark.sql.shuffle.partitions" -> "5"),
+    "parts256"    -> Map("spark.sql.shuffle.partitions" -> "256"),
+    "aqeOff"      -> Map("spark.sql.adaptive.enabled" -> "false"),
+    "noBroadcast" -> Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "noCodegen"   -> Map("spark.sql.codegen.wholeStage" -> "false"),
+    "hashJoin"    -> Map("spark.sql.join.preferSortMergeJoin" -> "false"),
+    "smallSplits" -> Map("spark.sql.files.maxPartitionBytes" -> "1048576",
+                         "spark.sql.files.openCostInBytes" -> "0"),
+    // Force the spill paths: at 100 TB the window/SMJ row buffers and
+    // hash aggregates spill as a matter of course; locally they almost
+    // never do. A query whose result depends on the in-memory vs
+    // spilled representation (iterator order out of a spilled buffer,
+    // sort-based agg fallback merge order) is wrong at scale even
+    // though every other local variant agrees.
+    "spilly"      -> Map(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16"))
+
+  /** Queries whose output may LEGITIMATELY vary with execution config,
+    * each with the declared reason (mirrors fit_scaling.py's justified
+    * list — an exemption without a reason is a gate failure waiting to
+    * be written). They still must RUN under every variant. */
+  val exempt: Map[String, String] = Map(
+    "q42_approx_quantile" -> ("percentile_approx merges per-partition " +
+      "QuantileSummaries sketches; the merged sketch (and thus the " +
+      "returned quantile within its declared epsilon) depends on the " +
+      "partition merge tree — the documented contract of the sketch, " +
+      "ScalaTest-gated against the exact quantile, no_oracle by design"),
+    "q43_approx_freq" -> ("approximate heavy-hitter counts share the " +
+      "same sketch-merge-order contract; bounded-error asserted in " +
+      "OperatorSpec, no_oracle by design"))
+
+  def main(args: Array[String]): Unit = {
+    val (queryFilter, excludeSet, dirArgs) = args.toSeq match {
+      case "--queries" +: qs +: rest => (Some(qs.split(',').toSet), Set.empty[String], rest)
+      case "--exclude" +: qs +: rest => (None, qs.split(',').toSet, rest)
+      case rest => (None, Set.empty[String], rest)
+    }
+    val sfDir = dirArgs.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // original values of every conf any variant touches, for restoration
+    val touched = variants.flatMap(_._2.keys).distinct
+    val original: Map[String, Option[String]] =
+      touched.map(k => k -> util.Try(spark.conf.get(k)).toOption).toMap
+    def withConfs[A](confs: Map[String, String])(f: => A): A = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f
+      finally confs.keys.foreach { k =>
+        original(k) match {
+          case Some(v) => spark.conf.set(k, v)
+          case None    => spark.conf.unset(k)
+        }
+      }
+    }
+
+    /** (row count, digest sum) — or an error marker. */
+    def digest(name: String, fn: (SparkSession, String) => DataFrame): (String, String) =
+      try {
+        val df = fn(spark, sfDir)
+        val cols = df.columns.sorted.toIndexedSeq.map(c => df.col(s"`$c`"))
+        val row = Qh.boundedHead(
+          df.select(md5(to_json(struct(cols: _*))).as("__h"))
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(expr(
+                "CAST(conv(substring(__h, 1, 15), 16, 10) AS DECIMAL(38,0))")),
+                lit(java.math.BigDecimal.ZERO)).as("s")),
+          s"ConfigSweep digest of $name — global 1-row aggregate")
+        (s"${row.getLong(0)}:${row.getDecimal(1).toBigInteger}", "")
+      } catch { case e: Throwable =>
+        ("", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+
+    (queryFilter.getOrElse(Set.empty) ++ excludeSet).foreach { q =>
+      require(SparkEntry.queries.contains(q), s"query name not registered: $q")
+    }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => queryFilter.forall(_.contains(n)) && !excludeSet.contains(n) }
+
+    case class Miss(query: String, variant: String, base: String, got: String, err: String)
+    val misses = scala.collection.mutable.ArrayBuffer[Miss]()
+    val results = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    var done = 0
+    selected.foreach { case (name, fn) =>
+      val (baseDig, baseErr) = digest(name, fn)
+      if (baseErr.nonEmpty)
+        misses += Miss(name, "base", "", "", baseErr)
+      val perVariant = variants.map { case (vname, confs) =>
+        val (d, err) = withConfs(confs)(digest(name, fn))
+        val agree = err.isEmpty && baseErr.isEmpty && d == baseDig
+        if (!agree && !(exempt.contains(name) && err.isEmpty))
+          misses += Miss(name, vname, baseDig, d, err)
+        vname -> (if (err.nonEmpty) s"ERR $err" else d)
+      }.toMap
+      results(name) = perVariant + ("base" -> (if (baseErr.nonEmpty) s"ERR $baseErr" else baseDig))
+      done += 1
+      if (done % 20 == 0)
+        System.err.println(s"[sweep] $done/${selected.size} done, ${misses.size} mismatches so far")
+    }
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val missJson = misses.map(m =>
+      s"""{"query":${q(m.query)},"variant":${q(m.variant)},"base":${q(m.base)},"got":${q(m.got)},"err":${q(m.err)}}""")
+      .mkString("[", ",", "]")
+    val resJson = results.map { case (n, per) =>
+      q(n) + ":" + per.toSeq.sortBy(_._1).map { case (v, d) => q(v) + ":" + q(d) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val exemptJson = exempt.toSeq.sortBy(_._1)
+      .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"config_sweep","sf":${q(sfDir)},"queries":${selected.size},""" +
+      s""""variants":${variants.size},"mismatches":${missJson},"exempt":$exemptJson,""" +
+      s""""digests":$resJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("CONFIGSWEEP.json"), summary)
+    println(s"""{"metric":"config_sweep","sf":${q(sfDir)},"queries":${selected.size},""" +
+      s""""variants":${variants.size},"mismatch_count":${misses.size},""" +
+      s""""mismatched":${misses.map(m => q(m.query + "@" + m.variant)).distinct.mkString("[", ",", "]")}}""")
+    spark.stop()
+    if (misses.nonEmpty) sys.exit(1)
+  }
+}

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# One-command verification gate (r11, VERDICT item 6) — the four-step
+# One-command verification gate (r11, VERDICT item 6) — the five-step
 # check the judge re-ran by hand in r10, scripted. Exits nonzero on any
 # red. Builder pre-commit loop and the r11+ judge both run THIS instead
 # of reconstructing the session's verification sequence.
@@ -15,25 +15,28 @@
 #      JUDGE_GATE_SFS — space-separated list of sf dirs for the
 #      Verify+selfcheck lane (default /root/testdata/sf0.01; set to
 #      "/root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1"
-#      to prove exactness at all three scale factors in one gate run).
+#      to prove exactness at all three scale factors in one gate run),
+#      JUDGE_GATE_SWEEP — config-invariance lane: "touched" (default;
+#      sweeps the queries passed as args, skips quietly with none),
+#      "all" (full 221-query sweep, ~35 min), "0" to skip.
 set -u
 cd "$(dirname "$0")/.."
 FAIL=0
 red() { echo "JUDGE_GATE RED: $*" >&2; FAIL=1; }
 
-echo "== 1/4 diff_baseline planted unit test"
+echo "== 1/5 diff_baseline planted unit test"
 python3 tools/test_diff_baseline.py || red "test_diff_baseline failed"
 
 if [ "${JUDGE_GATE_SKIP_TESTS:-0}" != "1" ]; then
-  echo "== 2/4 sbt fastTest (suites not tagged Slow; ~6 min)"
+  echo "== 2/5 sbt fastTest (suites not tagged Slow; ~6 min)"
   sbt -batch fastTest > /tmp/judge_gate_fasttest.log 2>&1 \
     || red "fastTest failed (tail of /tmp/judge_gate_fasttest.log):$(tail -5 /tmp/judge_gate_fasttest.log)"
   grep -E "Tests: succeeded" /tmp/judge_gate_fasttest.log | tail -1
 else
-  echo "== 2/4 fastTest SKIPPED (JUDGE_GATE_SKIP_TESTS=1)"
+  echo "== 2/5 fastTest SKIPPED (JUDGE_GATE_SKIP_TESTS=1)"
 fi
 
-echo "== 3/4 Verify + DuckDB selfcheck (sfs: ${JUDGE_GATE_SFS:-/root/testdata/sf0.01})"
+echo "== 3/5 Verify + DuckDB selfcheck (sfs: ${JUDGE_GATE_SFS:-/root/testdata/sf0.01})"
 for SF in ${JUDGE_GATE_SFS:-/root/testdata/sf0.01}; do
   OUT="/tmp/judge_gate_verify_$(basename "$SF")"
   # A stale dump from a previous run would let selfcheck validate OLD
@@ -53,7 +56,7 @@ for SF in ${JUDGE_GATE_SFS:-/root/testdata/sf0.01}; do
   fi
 done
 
-echo "== 4/4 bench subset vs BASELINE_QUERIES.json"
+echo "== 4/5 bench subset vs BASELINE_QUERIES.json"
 SFDIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 if [ "$#" -gt 0 ]; then
   # anchor rides along for the drift-witness line in the output
@@ -77,6 +80,31 @@ else
   echo "   (no touched queries given — full-bench adjudication is:"
   echo "    SPARK_GRAFT_SF_DIR=$SFDIR sbt -batch 'runMain graft.Bench' | grep metric | python3 tools/diff_baseline.py)"
 fi
+
+echo "== 5/5 execution-config invariance sweep (graft.ConfigSweep)"
+# Results must be bit-identical under shuffle-partition-count / AQE /
+# broadcast / codegen / join-strategy / split-size / spill-threshold
+# variants — the knobs a real cluster changes (CONFIGSWEEP.json is the
+# full-surface record; this lane re-proves the touched subset).
+case "${JUDGE_GATE_SWEEP:-touched}" in
+  0|off)
+    echo "   SKIPPED (JUDGE_GATE_SWEEP=0)";;
+  all)
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ConfigSweep /root/testdata/sf0.01" \
+      > /tmp/judge_gate_sweep.log 2>&1 \
+      || red "config sweep (all): config-dependent result or run failure (CONFIGSWEEP.json, /tmp/judge_gate_sweep.log)"
+    grep '"metric"' /tmp/judge_gate_sweep.log | sed 's/^\[info\] //' | tail -1;;
+  *)
+    if [ "$#" -gt 0 ]; then
+      QS=$(printf '%s,' "$@"); QS="${QS%,}"
+      SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ConfigSweep --queries $QS /root/testdata/sf0.01" \
+        > /tmp/judge_gate_sweep.log 2>&1 \
+        || red "config sweep (touched): config-dependent result or run failure (/tmp/judge_gate_sweep.log)"
+      grep '"metric"' /tmp/judge_gate_sweep.log | sed 's/^\[info\] //' | tail -1
+    else
+      echo "   (no touched queries — full sweep: JUDGE_GATE_SWEEP=all, ~35 min)"
+    fi;;
+esac
 
 if [ "$FAIL" = "0" ]; then echo "JUDGE_GATE GREEN"; else echo "JUDGE_GATE RED"; fi
 exit "$FAIL"
