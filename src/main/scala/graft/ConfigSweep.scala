@@ -31,11 +31,19 @@ import org.apache.spark.sql.functions._
   * plus count(*). The aggregation itself is commutative/exact, so the
   * digest cannot depend on the config under test.
   *
+  * Beyond the conf variants there is one DATA variant, "shuffledLayout":
+  * the same logical tables, row-shuffled (by a content hash) and re-filed
+  * into a different file count. It must digest-match too — at 100 TB,
+  * file layout is arbitrary (compaction, ingestion parallelism), so any
+  * implicit "first seen"/head-of-file dependence is wrong at scale.
+  *
   * Memo-backed queries (cluster table, IVFPQ index, layout tables) build
   * their artifact once under the BASE config (base runs first per
-  * query) and every variant reads the same artifact — the sweep proves
-  * read-path invariance; build-path determinism is pinned separately by
-  * the operator specs.
+  * query) and every conf variant reads the same artifact — those prove
+  * read-path invariance. The shuffledLayout variant keys a SEPARATE memo
+  * (memos key by corpus dir), so it re-runs the build path on reordered
+  * data: labels/centroids/codebooks must be content-derived, never
+  * order-derived.
   *
   * Usage: `runMain graft.ConfigSweep [--queries a,b | --exclude a,b]
   * [sfDir]` (default /root/testdata/sf0.01). Writes CONFIGSWEEP.json
@@ -81,6 +89,25 @@ object ConfigSweep {
       "same sketch-merge-order contract; bounded-error asserted in " +
       "OperatorSpec, no_oracle by design"))
 
+  /** Order-insensitive, multiplicity-exact digest of a DataFrame:
+    * "rowcount:sum(first-60-bits of md5(row json))". Sensitivity is
+    * pinned by ConfigDigestSpec — a degenerate digest (constant, or
+    * blind to values/multiplicity) would silently green the whole
+    * sweep. Column order is canonicalized by name so SELECT order
+    * cannot leak in; sums stay exact in DECIMAL(38,0) (2^60 per row ×
+    * even 10^12 rows < 10^31). */
+  def digestOf(df: DataFrame): String = {
+    val cols = df.columns.sorted.toIndexedSeq.map(c => df.col(s"`$c`"))
+    val row = Qh.boundedHead(
+      df.select(md5(to_json(struct(cols: _*))).as("__h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(expr(
+            "CAST(conv(substring(__h, 1, 15), 16, 10) AS DECIMAL(38,0))")),
+            lit(java.math.BigDecimal.ZERO)).as("s")),
+      "ConfigSweep digest — global 1-row aggregate")
+    s"${row.getLong(0)}:${row.getDecimal(1).toBigInteger}"
+  }
+
   def main(args: Array[String]): Unit = {
     val (queryFilter, excludeSet, dirArgs) = args.toSeq match {
       case "--queries" +: qs +: rest => (Some(qs.split(',').toSet), Set.empty[String], rest)
@@ -115,25 +142,61 @@ object ConfigSweep {
       }
     }
 
-    /** (row count, digest sum) — or an error marker. */
-    def digest(name: String, fn: (SparkSession, String) => DataFrame): (String, String) =
-      try {
-        val df = fn(spark, sfDir)
-        val cols = df.columns.sorted.toIndexedSeq.map(c => df.col(s"`$c`"))
-        val row = Qh.boundedHead(
-          df.select(md5(to_json(struct(cols: _*))).as("__h"))
-            .agg(count(lit(1)).as("n"),
-              coalesce(sum(expr(
-                "CAST(conv(substring(__h, 1, 15), 16, 10) AS DECIMAL(38,0))")),
-                lit(java.math.BigDecimal.ZERO)).as("s")),
-          s"ConfigSweep digest of $name — global 1-row aggregate")
-        (s"${row.getLong(0)}:${row.getDecimal(1).toBigInteger}", "")
-      } catch { case e: Throwable =>
+    /** (digest, "") — or ("", error marker). */
+    def digest(name: String, fn: (SparkSession, String) => DataFrame,
+        dir: String = sfDir): (String, String) =
+      try (digestOf(fn(spark, dir)), "")
+      catch { case e: Throwable =>
         ("", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       } finally {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
+
+    // ---- physical-layout variant: same logical tables, deterministically
+    // row-shuffled and re-filed. At 100 TB, file count and row order are
+    // arbitrary (compaction, ingestion parallelism, re-partitioning);
+    // a query whose result depends on encounter order — an implicit
+    // "first seen" tie-break, a head-of-file assumption — passes the
+    // oracle on the original layout and silently flips on any other.
+    // Memo-backed queries (clusters, IVFPQ, layouts) key their memo by
+    // corpus dir, so this variant also re-runs their BUILD path on the
+    // shuffled layout: labels/centroids/codebooks must be content-
+    // derived, never order-derived.
+    val shuffledDir = s"/tmp/graft_shuffled_${new java.io.File(sfDir).getName}"
+    val shufMarker = new java.io.File(shuffledDir, "_GRAFT_SHUFFLED_OK")
+    // The marker carries a fingerprint of the SOURCE files (name, size,
+    // mtime): the driver regenerates testdata between rounds, and a
+    // shuffled copy of the OLD data would digest-mismatch every query —
+    // a false RED that looks like a real order-dependence bug.
+    val srcFingerprint = Tables.names.map { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      def walk(x: java.io.File): Seq[java.io.File] =
+        if (x.isDirectory) x.listFiles().toSeq.sortBy(_.getName).flatMap(walk) else Seq(x)
+      walk(f).map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(s"$t[", ",", "]")
+    }.mkString("\n")
+    val markerFresh = shufMarker.exists() &&
+      java.nio.file.Files.readString(shufMarker.toPath) == srcFingerprint
+    if (!markerFresh) {
+      System.err.println(s"[sweep] materializing shuffled layout at $shuffledDir")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath)) {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        }
+        f.delete()
+      }
+      rm(new java.io.File(shuffledDir))
+      Tables.names.foreach { t =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        val allCols = df.columns.toIndexedSeq.map(c => df.col(s"`$c`"))
+        df.withColumn("__k", xxhash64(struct(allCols: _*)))
+          .repartitionByRange(7, col("__k"))
+          .sortWithinPartitions("__k")
+          .drop("__k")
+          .write.mode("overwrite").parquet(s"$shuffledDir/$t.parquet")
+      }
+      java.nio.file.Files.writeString(shufMarker.toPath, srcFingerprint)
+    }
 
     (queryFilter.getOrElse(Set.empty) ++ excludeSet).foreach { q =>
       require(SparkEntry.queries.contains(q), s"query name not registered: $q")
@@ -156,7 +219,13 @@ object ConfigSweep {
           misses += Miss(name, vname, baseDig, d, err)
         vname -> (if (err.nonEmpty) s"ERR $err" else d)
       }.toMap
-      results(name) = perVariant + ("base" -> (if (baseErr.nonEmpty) s"ERR $baseErr" else baseDig))
+      val (shufDig, shufErr) = digest(name, fn, shuffledDir)
+      val shufAgree = shufErr.isEmpty && baseErr.isEmpty && shufDig == baseDig
+      if (!shufAgree && !(exempt.contains(name) && shufErr.isEmpty))
+        misses += Miss(name, "shuffledLayout", baseDig, shufDig, shufErr)
+      results(name) = perVariant +
+        ("base" -> (if (baseErr.nonEmpty) s"ERR $baseErr" else baseDig)) +
+        ("shuffledLayout" -> (if (shufErr.nonEmpty) s"ERR $shufErr" else shufDig))
       done += 1
       if (done % 20 == 0)
         System.err.println(s"[sweep] $done/${selected.size} done, ${misses.size} mismatches so far")
@@ -179,11 +248,20 @@ object ConfigSweep {
     val exemptJson = exempt.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val summary = s"""{"metric":"config_sweep","sf":${q(sfDir)},"queries":${selected.size},""" +
-      s""""variants":${variants.size},"mismatches":${missJson},"exempt":$exemptJson,""" +
+      s""""variants":${variants.size + 1},"mismatches":${missJson},"exempt":$exemptJson,""" +
       s""""digests":$resJson}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("CONFIGSWEEP.json"), summary)
+    // default-sf artifact keeps the judge_gate-referenced name; other sfs
+    // (the scale-dependence check) get their own file. FILTERED runs
+    // (judge_gate's touched-subset lane) must not clobber the committed
+    // full-surface record — they write a /tmp sidecar instead.
+    val base = new java.io.File(sfDir).getName
+    val artifact =
+      if (queryFilter.nonEmpty || excludeSet.nonEmpty) s"/tmp/CONFIGSWEEP_partial_$base.json"
+      else if (base == "sf0.01") "CONFIGSWEEP.json"
+      else s"CONFIGSWEEP_$base.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), summary)
     println(s"""{"metric":"config_sweep","sf":${q(sfDir)},"queries":${selected.size},""" +
-      s""""variants":${variants.size},"mismatch_count":${misses.size},""" +
+      s""""variants":${variants.size + 1},"mismatch_count":${misses.size},""" +
       s""""mismatched":${misses.map(m => q(m.query + "@" + m.variant)).distinct.mkString("[", ",", "]")}}""")
     spark.stop()
     if (misses.nonEmpty) sys.exit(1)
