@@ -97,6 +97,24 @@ object ConfigSweep {
     * cannot leak in; sums stay exact in DECIMAL(38,0) (2^60 per row ×
     * even 10^12 rows < 10^31). */
   def digestOf(df: DataFrame): String = {
+    // to_json emits map entries in the map's INTERNAL order and (by
+    // ignoreNullFields) omits null struct fields — two logically-equal
+    // maps can render differently and falsely RED the sweep. No
+    // registered query outputs a map (maps are internal-only, e.g.
+    // q24 reduces them to scalar/array projections before output);
+    // this assert keeps that constraint loud instead of letting a
+    // future map-returning query red here mysteriously. To lift it,
+    // canonicalize (map_entries + array_sort) before hashing.
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    require(!df.schema.fields.exists(f => hasMap(f.dataType)),
+      "digestOf cannot hash MapType columns (to_json renders internal entry " +
+        "order): canonicalize with array_sort(map_entries(...)) in the query " +
+        s"output first — schema was ${df.schema.simpleString}")
     val cols = df.columns.sorted.toIndexedSeq.map(c => df.col(s"`$c`"))
     val row = Qh.boundedHead(
       df.select(md5(to_json(struct(cols: _*))).as("__h"))
@@ -153,6 +171,13 @@ object ConfigSweep {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
 
+    // validate the --queries/--exclude names BEFORE the multi-minute
+    // shuffled-layout materialization (r12 ADVICE: a typo used to waste
+    // the whole build before failing)
+    (queryFilter.getOrElse(Set.empty) ++ excludeSet).foreach { q =>
+      require(SparkEntry.queries.contains(q), s"query name not registered: $q")
+    }
+
     // ---- physical-layout variant: same logical tables, deterministically
     // row-shuffled and re-filed. At 100 TB, file count and row order are
     // arbitrary (compaction, ingestion parallelism, re-partitioning);
@@ -198,9 +223,6 @@ object ConfigSweep {
       java.nio.file.Files.writeString(shufMarker.toPath, srcFingerprint)
     }
 
-    (queryFilter.getOrElse(Set.empty) ++ excludeSet).foreach { q =>
-      require(SparkEntry.queries.contains(q), s"query name not registered: $q")
-    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => queryFilter.forall(_.contains(n)) && !excludeSet.contains(n) }
 
@@ -212,16 +234,20 @@ object ConfigSweep {
       val (baseDig, baseErr) = digest(name, fn)
       if (baseErr.nonEmpty)
         misses += Miss(name, "base", "", "", baseErr)
+      // A broken base run is ONE red (above) — a variant that then runs
+      // fine has nothing to compare against, and recording it as a Miss
+      // too would bury the real failure under misleading entries (r12
+      // ADVICE). Variants still red on their OWN errors or divergences.
       val perVariant = variants.map { case (vname, confs) =>
         val (d, err) = withConfs(confs)(digest(name, fn))
-        val agree = err.isEmpty && baseErr.isEmpty && d == baseDig
-        if (!agree && !(exempt.contains(name) && err.isEmpty))
+        val agree = err.isEmpty && d == baseDig
+        if (baseErr.isEmpty && !agree && !(exempt.contains(name) && err.isEmpty))
           misses += Miss(name, vname, baseDig, d, err)
         vname -> (if (err.nonEmpty) s"ERR $err" else d)
       }.toMap
       val (shufDig, shufErr) = digest(name, fn, shuffledDir)
-      val shufAgree = shufErr.isEmpty && baseErr.isEmpty && shufDig == baseDig
-      if (!shufAgree && !(exempt.contains(name) && shufErr.isEmpty))
+      val shufAgree = shufErr.isEmpty && shufDig == baseDig
+      if (baseErr.isEmpty && !shufAgree && !(exempt.contains(name) && shufErr.isEmpty))
         misses += Miss(name, "shuffledLayout", baseDig, shufDig, shufErr)
       results(name) = perVariant +
         ("base" -> (if (baseErr.nonEmpty) s"ERR $baseErr" else baseDig)) +

@@ -50,12 +50,22 @@ class ConfigDigestSpec extends SparkSpec {
     assert(ConfigSweep.digestOf(a) != ConfigSweep.digestOf(b))
   }
 
-  test("array and map columns digest deterministically") {
-    val m1 = Seq((1L, Seq(1, 2, 3), Map("k" -> 1))).toDF("id", "arr", "m")
-    val m2 = Seq((1L, Seq(1, 2, 3), Map("k" -> 1))).toDF("id", "arr", "m")
-    assert(ConfigSweep.digestOf(m1) == ConfigSweep.digestOf(m2))
-    val m3 = Seq((1L, Seq(3, 2, 1), Map("k" -> 1))).toDF("id", "arr", "m")
-    assert(ConfigSweep.digestOf(m1) != ConfigSweep.digestOf(m3),
+  test("array columns digest deterministically; map columns are refused") {
+    val a1 = Seq((1L, Seq(1, 2, 3))).toDF("id", "arr")
+    val a2 = Seq((1L, Seq(1, 2, 3))).toDF("id", "arr")
+    assert(ConfigSweep.digestOf(a1) == ConfigSweep.digestOf(a2))
+    val a3 = Seq((1L, Seq(3, 2, 1))).toDF("id", "arr")
+    assert(ConfigSweep.digestOf(a1) != ConfigSweep.digestOf(a3),
       "array element order is part of the value and must be visible to the digest")
+    // to_json renders map entries in INTERNAL order and omits null struct
+    // fields — logically-equal maps could digest apart and falsely RED
+    // the sweep (r12 ADVICE). No registered query outputs a map; digestOf
+    // refuses them LOUDLY (incl. nested) rather than hashing unstably.
+    val m = Seq((1L, Map("k" -> 1))).toDF("id", "m")
+    val e = intercept[IllegalArgumentException](ConfigSweep.digestOf(m))
+    assert(e.getMessage.contains("MapType"))
+    val nested = Seq((1L, Seq(Map("k" -> 1)))).toDF("id", "ms")
+    assert(intercept[IllegalArgumentException](
+      ConfigSweep.digestOf(nested)).getMessage.contains("MapType"))
   }
 }
