@@ -408,20 +408,97 @@ object Graph {
     */
   private def knnGraph(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    import Similarity.{dotD, lshBucket, normD}
+    import Similarity.lshBucket
+    import s.implicits._
     val emb = tbl(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding")).as("bucket"), normD(col("embedding")).as("nrm"))
-    val knn = emb
-      .join(emb.select(col("bucket"), col("vec_id").as("nbr_id"),
-        col("embedding").as("eb"), col("nrm").as("nb")), Seq("bucket"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
-        (dotD(col("embedding"), col("eb")) / (col("nrm") * col("nb"))).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
-    val pairs = knn.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+    // Per-bucket LOCAL top-3 (r13, the q66/q87 4th-decade fix): the former
+    // shape joined the bucket against itself — Θ(n²/B) pair ROWS, each
+    // carrying two 64-float arrays, shuffled into a corpus-wide window for
+    // row_number ≤ 3. With B fixed (256 LSH buckets) that pair exchange is
+    // the measured growth term (e_diff 1.4 over the 4th decade). Grouping
+    // the bucket instead moves only the linear posting set; each task
+    // evaluates the same candidate cosines in place (once per unordered
+    // pair — cosine is symmetric and the IEEE product/division order below
+    // is commutative-identical to the joined form's per-direction
+    // expression) and keeps a 3-slot insertion heap per member. Selection
+    // order replicates the window's sort EXACTLY: (cosine desc, nbr_id
+    // asc) with java.lang.Double.compare — Spark's DoubleType ordering
+    // (NaN greatest, -0.0 < 0.0) — so the emitted neighbor set is the
+    // row_number(≤3) set verbatim. Candidate COST stays Θ(Σ m_b²)·d — the
+    // declared LSH-bucket candidate bound, now CPU-only with no quadratic
+    // exchange; the oracle CTE keeps the window form and pins equality.
+    val knnTop = emb.select(col("bucket").cast("long"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray
+        val n = ms.length
+        val ids = new Array[Long](n)
+        val vs = new Array[Array[Double]](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = ms(i)._2
+          val f = ms(i)._3
+          val v = new Array[Double](f.length)
+          var k = 0
+          while (k < f.length) { v(k) = f(k).toDouble; k += 1 }
+          vs(i) = v
+          i += 1
+        }
+        val nrm = vs.map { v =>
+          var acc = 0.0; var k = 0
+          while (k < v.length) { acc += v(k) * v(k); k += 1 }
+          math.sqrt(acc)
+        }
+        val bc = Array.fill(n)(new Array[Double](3))
+        val bi = Array.fill(n)(new Array[Long](3))
+        val cnt = new Array[Int](n)
+        def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean = {
+          val cc = java.lang.Double.compare(c1, c2)
+          cc > 0 || (cc == 0 && i1 < i2)
+        }
+        def offer(m: Int, c: Double, id: Long): Unit = {
+          val k = cnt(m)
+          if (k < 3) {
+            var p = k
+            while (p > 0 && better(c, id, bc(m)(p - 1), bi(m)(p - 1))) {
+              bc(m)(p) = bc(m)(p - 1); bi(m)(p) = bi(m)(p - 1); p -= 1
+            }
+            bc(m)(p) = c; bi(m)(p) = id; cnt(m) = k + 1
+          } else if (better(c, id, bc(m)(2), bi(m)(2))) {
+            var p = 2
+            while (p > 0 && better(c, id, bc(m)(p - 1), bi(m)(p - 1))) {
+              bc(m)(p) = bc(m)(p - 1); bi(m)(p) = bi(m)(p - 1); p -= 1
+            }
+            bc(m)(p) = c; bi(m)(p) = id
+          }
+        }
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val (vi, vj) = (vs(i), vs(j))
+            var acc = 0.0; var k = 0
+            while (k < vi.length && k < vj.length) { acc += vi(k) * vj(k); k += 1 }
+            val c = acc / (nrm(i) * nrm(j))
+            offer(i, c, ids(j))
+            offer(j, c, ids(i))
+            j += 1
+          }
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        i = 0
+        while (i < n) {
+          var k = 0
+          while (k < cnt(i)) { out += ((ids(i), bi(i)(k))); k += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "nbr_id")
+    val pairs = knnTop
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .distinct().localCheckpoint()

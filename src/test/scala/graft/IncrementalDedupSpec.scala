@@ -116,8 +116,12 @@ class IncrementalDedupSpec extends SparkSpec {
     // On a real cluster localCheckpoint blocks die with a lost executor,
     // killing the iterative CC lineage; checkpointDir switches rounds to
     // reliable df.checkpoint() files. Results must be identical.
+    // The clique members are NEAR-dups, not byte-identical: since r13 the
+    // exact-dup collapse resolves identical token sets before any edge
+    // exists, and an edge-free graph would let this test green without
+    // ever exercising the reliable-checkpoint propagation rounds it pins.
     val docs = Seq(
-      (1L, "s", alpha), (2L, "s", alpha), (3L, "s", alpha), // one clique
+      (1L, "s", alpha), (2L, "s", alpha + " tonight"), (3L, "s", alpha + " again"),
       (4L, "s", beta), (5L, "s", "another entirely unrelated body of text here")
     ).toDF("doc_id", "source", "text")
     val local = Dedup.clusterDocs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

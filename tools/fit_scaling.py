@@ -87,10 +87,11 @@ JUSTIFIED = {
         "prefix-filtered inverted-index verify: candidate postings grow with "
         "shared-token density in the synthetic corpus — candidate-bound, "
         "never all-pairs",
-    "dedup_cluster_build":
-        "LIVE label-propagation clustering; rounds grow O(log diameter) and "
-        "edge volume with duplicate density — the declared iterative cost "
-        "(serving read dedup_cluster is the O(1)-ish path)",
+    # dedup_cluster_build left the justified list in r13: the in-bucket
+    # spanning-forest edge generation (Dedup.bucketSpanningEdges) made the
+    # propagation input linear in postings, and the four-decade min-of-3
+    # fit now reads e_bound < 1 (SCALING_RUN4D.json) — no declared bound
+    # needed.
     "q102_basket_lift":
         "basket self-join bounded by requireBoundedBaskets; pair volume grows "
         "with basket width in the synthetic data — guarded quadratic",
@@ -188,7 +189,7 @@ def main() -> int:
     n4 = sum(1 for r in rows if len(r[1]) > 3)
     with open(out_path, "w") as f:
         sf_cols = " | ".join(f"t@sf{sf:g}" for sf in all_sfs)
-        f.write(f"""# SCALING — measured per-query scaling exponents (r12)
+        f.write(f"""# SCALING — measured per-query scaling exponents (r13)
 
 Generated by `tools/fit_scaling.py {' '.join(src_names)}` from
 `graft.Scaling` runs (min-of-{d.get('runs', '?')} per query per sf, one
@@ -214,6 +215,19 @@ timed by `graft.Scaling --queries …` over all four dirs in one session.
 Those entries' exponents fit (sf0.01, sf0.1, sf1) — the decades where
 fixed overhead is proportionally smallest — which adjudicates the
 former near-flag band (e_bound 1.24–1.29 on three points).
+
+The r13 additions (SCALING_RUN4D/E): the seven r12 smoke suspects
+(dedup_cluster_build, dedup_simhash, dedup_containment_exact,
+q66_triangles, q87_clustering_coeff, sample_bootstrap, text_bigram_lm)
+now carry min-of-3 fourth-decade fits. dedup_cluster_build and
+q66/q87 were FIXED first (in-bucket spanning-forest edge generation;
+per-bucket local top-k kNN — see the r13 scaladocs) and re-measured:
+all three read e_bound < 1.1 after the fix. One caveat for the two
+embeddings-backed graph entries (q66/q87): the embeddings table scales
+4×/decade at the driver but 10× in the synthetic sf1 slice, so their
+top step is a true ROWS-decade while the lower steps are 4× — a
+perfectly linear query reads e_diff ≈ 1.08 under that mix, i.e. the
+1.3 flag is slightly STRICTER than a pure row exponent there.
 
 Caveats: three fit points, min-of-{d.get('runs', '?')}, a shared host —
 individual exponents carry real noise on sub-second entries; the value
