@@ -1559,7 +1559,10 @@ object Dedup {
     // shuffle; on a crawl corpus exact dups are the dominant dup class,
     // so this removes the largest cliques before they exist.
     val gw = org.apache.spark.sql.expressions.Window.partitionBy(col("source"), col("tk"))
-    val withRep = docs.withColumn("rep", min(col("doc_id")).over(gw))
+    // materialized once: both the rep table (feeds banding) and the final
+    // membership join read it — without the cut, the scan+tokenize+window
+    // lineage would execute twice, a second full corpus pass at scale
+    val withRep = mat(docs.withColumn("rep", min(col("doc_id")).over(gw)))
     val membership = withRep.select(col("doc_id"), col("rep"))
     val reps = withRep.filter(col("doc_id") === col("rep"))
       .select(col("source"), col("doc_id"), col("tk"))
