@@ -819,21 +819,30 @@ object Dedup {
     // analog of incrementalNearDup's persistent index).
     "dedup_cross_corpus" -> QueryDef(
       (s, d) => {
-        val docs = tbl(s, d, "documents")
+        // In-bucket verification (r13 optimization round — the same
+        // reshape [[bucketSpanningEdges]] gave clusterDocs): the former
+        // plan materialized the band-collision candidate pair list, ran
+        // a corpus-wide distinct over it, then attached BOTH token
+        // arrays via two more joins — tokenizing the corpus four times
+        // and, because the verify predicate sat in a join condition AND
+        // the output projection, evaluating JaccardSim TWICE per
+        // surviving pair. On a near-dup-heavy corpus the pair rows
+        // carrying a full token array each dominate every exchange
+        // (guide §2.3/§8: the decision needs only sizes + sorted
+        // arrays, so move them ONCE). Now: one tokenize pass, one
+        // posting-table shuffle on (band, bkey) — 4 rows/doc — and each
+        // bucket task verifies its A×B members in place with the exact
+        // integer size prune + sorted-merge intersect; jaccard is
+        // computed once per candidate with the identical HALF_UP
+        // rounding as JaccardSim. Cross-band duplicates collapse in the
+        // final distinct (same pair ⇒ bit-identical jaccard).
+        val sig = tbl(s, d, "documents")
           .select(col("doc_id"), tokHashes(col("text")).as("tk"))
           .withColumn("mhs", minhashSig(col("tk")))
-        val bandedAll = bandExplode(docs, "mhs", Seq("doc_id"))
-        val a = bandedAll.filter(col("doc_id") % 2 === 0).withColumnRenamed("doc_id", "a")
-        val b = bandedAll.filter(col("doc_id") % 2 === 1).withColumnRenamed("doc_id", "b")
-        val cand = a.join(b, Seq("band", "bkey")).select("a", "b").distinct()
-        val tkOf = docs.select(col("doc_id"), col("tk"))
-        cand
-          .join(tkOf.select(col("doc_id").as("a"), col("tk").as("ta")), Seq("a"))
-          .join(tkOf.select(col("doc_id").as("b"), col("tk").as("tb")), Seq("b"))
-          .withColumn("jaccard", jaccard(col("ta"), col("tb")))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("a"), col("b"), col("jaccard"))
-          .orderBy("a", "b")
+          .withColumn("tks", sort_array(col("tk")))
+          .withColumn("n", size(col("tk")).cast("long"))
+        val banded = bandExplode(sig, "mhs", Seq("doc_id", "tks", "n", "mhs"))
+        bucketCrossVerified(banded).orderBy("a", "b")
       },
       Some {
         val mhs = (0 until MinHashes).map(i => s"${minhashSql("tk", i)} AS mh$i").mkString(",\n    ")
@@ -1763,6 +1772,87 @@ object Dedup {
         out.iterator
       }
       .toDF("a", "b")
+  }
+
+  /** All VERIFIED cross-corpus near-dup pairs within each LSH band
+    * bucket, for dedup_cross_corpus: corpus A = even doc_ids, corpus
+    * B = odd (the registered query's declared split). Input rows are
+    * `(band, bkey, doc_id, n, tks)` with `tks` the SORTED distinct
+    * token-hash array and `n` its length. Each bucket task sorts its
+    * members by (n, doc_id), applies the exact integer size prune
+    * (J ≤ min/max, and rounded-J ≥ 0.8 needs the rational ≥ 0.79995;
+    * 79990/100000 leaves a deliberate safety margin far wider than any
+    * double-vs-rational slack, so no qualifying pair can be pruned),
+    * and computes the exact Jaccard once per opposite-parity pair via
+    * the sorted-merge [[intersectCount]] with [[graft.plans.JaccardSim]]'s
+    * identical HALF_UP 4-decimal rounding.
+    *
+    * Cross-band dedup happens IN-TASK, not in a downstream distinct: a
+    * near-identical pair collides in ~all 4 bands, so naive per-bucket
+    * emission would verify it 4× and need a corpus-wide distinct to
+    * collapse the copies. Each row instead carries its full 8-long
+    * MinHash signature, and a pair is verified/emitted only in its
+    * FIRST colliding band (both rows' band-k key halves equal for no
+    * k < this bucket's band — the same pair occupies at most one bucket
+    * per band, so first-band emission is globally unique). The integer
+    * signature compare is ~free next to one sorted-merge intersect,
+    * verification cost drops to once per candidate pair overall, and
+    * the output needs NO distinct — one whole exchange of the pair
+    * list gone. Unlike [[bucketSpanningEdges]] there is no union-find
+    * shortcut: the query's OUTPUT is the full verified pair list, so
+    * every passing pair must be emitted — the cost is the declared
+    * output-bound quadratic, now with no pair-row exchanges at all. */
+  private def bucketCrossVerified(banded: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.select(col("band"), col("bkey"), col("doc_id"), col("n"),
+        col("tks"), col("mhs"))
+      .as[(Int, String, Long, Long, Array[Long], Array[Long])]
+      .groupByKey { case (band, bkey, _, _, _, _) => (band, bkey) }
+      .flatMapGroups { (key, it) =>
+        val band = key._1
+        val ms = it.toArray.sortBy(m => (m._4, m._3)) // (n asc, doc_id asc)
+        val ids = ms.map(_._3)
+        val ns = ms.map(_._4)
+        val tks = ms.map(_._5)
+        val sigs = ms.map(_._6)
+        // Java remainder like Spark's %: a negative doc_id is in NEITHER
+        // corpus (doc_id % 2 = -1), exactly as the former even/odd filters.
+        val par = ids.map(_ % 2L)
+        def collidesEarlier(x: Array[Long], y: Array[Long]): Boolean = {
+          var b = 0
+          while (b < band) {
+            if (x(2 * b) == y(2 * b) && x(2 * b + 1) == y(2 * b + 1)) return true
+            b += 1
+          }
+          false
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ms.length) {
+          var j = i + 1
+          while (j < ms.length && ns(i) * 100000L >= ns(j) * 79990L) {
+            if (((par(i) == 0L && par(j) == 1L) || (par(i) == 1L && par(j) == 0L)) &&
+                !collidesEarlier(sigs(i), sigs(j))) {
+              val inter = intersectCount(tks(i), tks(j))
+              val denom = ns(i) + ns(j) - inter
+              if (denom > 0L) {
+                val jd = java.math.BigDecimal.valueOf(inter.toDouble / denom)
+                  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                if (jd >= 0.8) {
+                  val (a, b) = if (par(i) == 0L) (ids(i), ids(j)) else (ids(j), ids(i))
+                  out += ((a, b, jd))
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("a", "b", "jaccard")
   }
 
   /** Count of common elements of two SORTED duplicate-free long arrays —
