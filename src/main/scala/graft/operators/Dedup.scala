@@ -604,6 +604,11 @@ object Dedup {
         val base = tbl(s, d, "documents")
           .select(col("source"), col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
           .filter(size(col("sh")) > 0)
+          // materialized once (r13 optimization round): banding + both
+          // verification array fetches re-ran the tokenize-shingle chain
+          // per consumer - four corpus passes (plan-audited) for one
+          // reusable (source, doc_id, sh) projection
+          .localCheckpoint()
         val sig = base.withColumn("mhs", minhashSig(col("sh")))
         val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
         // candidate id-pairs first (distinct across bands), THEN fetch the
@@ -734,6 +739,11 @@ object Dedup {
         val base = tbl(s, d, "documents")
           .select(col("source"), col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
           .filter(size(col("sh")) > 0)
+          // materialized once (r13 optimization round): banding + both
+          // verification array fetches re-ran the tokenize-shingle chain
+          // per consumer - four corpus passes (plan-audited) for one
+          // reusable (source, doc_id, sh) projection
+          .localCheckpoint()
         val sig = base.withColumn("mhs", minhashSig(col("sh")))
         val banded = bandExplode(sig, "mhs", Seq("source", "doc_id"))
         val pairs = banded.select(col("source"), col("band"), col("bkey"), col("doc_id").as("a"))
@@ -1933,6 +1943,14 @@ object Dedup {
     val base = raw
       .select(col("source"), col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
+      // materialized once (r13 optimization round): the shingle
+      // projection feeds FIVE consumers (exploded→dfreq, the prefix
+      // join, the cand probe, and both verification array fetches) —
+      // without the cut the tokenize∘shingle chain re-ran per consumer,
+      // five full corpus passes (plan-audited: 5 parquet scans). The
+      // 100 TB shape is the same discipline as q98's rollup and q102's
+      // pres: project the corpus to (source, doc_id, sh) once, reuse.
+      .localCheckpoint()
     val exploded = base.select(col("source"), col("doc_id"),
       size(col("sh")).cast("long").as("n"), explode(col("sh")).as("shingle"))
     val dfreq = exploded.groupBy(col("source"), col("shingle"))

@@ -1234,6 +1234,20 @@ object Relational {
           .withColumn("day", col("o_orderdate").cast("date"))
         def pair(nm: String, render: Column) =
           struct(lit(nm).as("column_name"), render.as("v"))
+        // Two-level rollup (r13 optimization round): the single grouped
+        // aggregate spelled `min/max(v)` over the exploded set, and a
+        // STRING min/max buffer is not HashAggregate-eligible — the whole
+        // 5×|orders| pass ran as SortAggregate (sorted TWICE: partial +
+        // the distinct-merge level; plan-audited). Level 1 below is a
+        // count-only rollup per (column_name, v) — fixed-width buffer,
+        // pure whole-stage-codegen HashAggregate, still the partial/final
+        // two-phase shuffle of (name, value) — and every metric then
+        // derives from the DISTINCT-value table, which is bounded by the
+        // column domains, not the corpus: n = Σcnt, n_null = cnt where v
+        // null, n_distinct = count(v) (non-null distinct rows), min/max
+        // over distinct values ≡ min/max over all. The string sort
+        // aggregate still exists but now runs over the distinct values
+        // only. Result bit-identical (oracle unchanged).
         o.select(explode(array(
             pair("o_orderkey", col("o_orderkey").cast("string")),
             pair("o_custkey", col("o_custkey").cast("string")),
@@ -1241,10 +1255,12 @@ object Relational {
             pair("o_orderpriority", col("o_orderpriority")),
             pair("day", col("day").cast("string")))).as("c"))
           .select(col("c.column_name").as("column_name"), col("c.v").as("v"))
+          .groupBy("column_name", "v")
+          .agg(count(lit(1)).as("cnt"))
           .groupBy("column_name")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-            countDistinct(col("v")).as("n_distinct"),
+          .agg(sum(col("cnt")).as("n"),
+            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+            count(col("v")).as("n_distinct"),
             min(col("v")).as("min_s"), max(col("v")).as("max_s"))
           .orderBy("column_name")
       },
@@ -1612,7 +1628,11 @@ object Relational {
           .localCheckpoint() // sizes + both self-join sides + total
         Qh.requireBoundedBaskets(s, pres, "l_orderkey", "q102_basket_lift")
         val nOrders = pres.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        // sizes is re-read by BOTH grid sides (n_a / n_b): materialize the
+        // |brands|-row rollup once instead of re-aggregating pres per use
+        // (r13 optimization round)
         val sizes = pres.groupBy("p_brand").agg(count(lit(1)).as("sz"))
+          .localCheckpoint()
         val inter = pres
           .join(pres.select(col("p_brand").as("brand_b"), col("l_orderkey")),
             Seq("l_orderkey"))
@@ -1735,7 +1755,11 @@ object Relational {
           .select(col("l_orderkey"), col("l_partkey")).distinct()
           .localCheckpoint() // sizes + both self-join sides; one scan
         Qh.requireBoundedBaskets(s, pres, "l_orderkey", "q108_item2item")
+        // sizes joins back twice (n_a / n_b): materialize the per-part
+        // rollup once instead of re-aggregating pres per use (r13
+        // optimization round)
         val sizes = pres.groupBy("l_partkey").agg(count(lit(1)).as("sz"))
+          .localCheckpoint()
         val co = pres
           .join(pres.select(col("l_orderkey"), col("l_partkey").as("item_b")),
             Seq("l_orderkey"))

@@ -1481,16 +1481,28 @@ object Similarity {
         // explicit — q93 discipline)
         def sdiv(x: String, y: String) =
           s"CASE WHEN $x >= 0 THEN $x div ($y) ELSE -((-($x)) div ($y)) END"
-        val m = tbl(s, d, "embeddings")
-          .select(col("vec_id"), posexplode(transform(col("embedding"),
-            x => round(x.cast("double") * 1000).cast("long"))))
+        val q = tbl(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("q"))
+        val m = q.select(col("vec_id"), posexplode(col("q")))
           .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
             col("col").as("m"))
         val nRow = m.agg(expr("count(1) div 64").as("n"))
         val s1 = m.groupBy("j").agg(sum(col("m")).as("s1"))
-        val s2 = m.join(m.select(col("vec_id"), col("j").as("k"),
-            col("m").as("mk")), Seq("vec_id"))
-          .groupBy("j", "k").agg(sum(expr("m * mk")).as("s2"))
+        // Outer product IN-TASK (r13 optimization round): the former
+        // spelling self-joined the exploded element table on vec_id —
+        // an exchange of n·d rows on BOTH sides feeding the (j,k) agg —
+        // when every (m_j·m_k) term is a function of ONE embedding row.
+        // Two chained generators expand each row to its d² products in
+        // the scan stage and the partial hash agg collapses them to d²
+        // partials per task before the only exchange (d² = 4096 rows).
+        // Same product multiset per (j,k) ⇒ identical integer sums.
+        val s2 = q.select(posexplode(col("q")).as(Seq("pj", "mj")), col("q"))
+          .select(col("pj"), col("mj"), posexplode(col("q")).as(Seq("pk", "mk")))
+          .select((col("pj") + 1).cast("long").as("j"),
+            (col("pk") + 1).cast("long").as("k"),
+            (col("mj") * col("mk")).as("p"))
+          .groupBy("j", "k").agg(sum(col("p")).as("s2"))
         val cov = s2
           .join(s1, Seq("j"))
           .join(s1.select(col("j").as("k"), col("s1").as("s1k")), Seq("k"))
