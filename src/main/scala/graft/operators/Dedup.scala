@@ -1260,7 +1260,10 @@ object Dedup {
           .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("canonical"))
         val clusterSplit = splitFromClusters(clustersTable(s, d))
           .select(col("doc_id"), col("cluster"), col("split"))
+        // materialized once (r13 optimization round): bench + contam both
+        // re-ran the shingle chain - two corpus passes for one projection
         val sh = docs.select(col("doc_id"), shingles3(tokHashesSeq(col("text"))).as("sh"))
+          .localCheckpoint()
         val bench = sh.filter(col("doc_id") % 97 === 0)
           .select(explode(col("sh")).as("g")).distinct()
         val contamIds = sh.filter(col("doc_id") % 97 =!= 0)
@@ -1268,11 +1271,19 @@ object Dedup {
           .join(bench, Seq("g"), "left_semi")
           .select("doc_id").distinct()
           .withColumn("hit", lit(true))
+        // Gopher triple via the map-only TokenProfile codegen expression
+        // (r13 optimization round): the explode -> groupBy(doc, token) ->
+        // groupBy(doc) spelling shuffles the full (doc, token) pair
+        // stream twice; the native profile computes the identical
+        // (n_tok, n_dist, top_cnt) in one generated-code pass per row -
+        // the exact shape the streaming curate gate already uses
+        // (CurateIngestSpec pins gate == manifest verdict; TokenProfileSpec
+        // pins the triple against the aggregation form)
         val tokStats = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-          .groupBy("doc_id").agg(sum(col("cnt")).as("n_tok"),
-            count(lit(1)).as("n_dist"), max(col("cnt")).as("top_cnt"))
+          .select(col("doc_id"),
+            graft.plans.TokenProfile.column(split(col("text"), " ")).as("__tp"))
+          .select(col("doc_id"), col("__tp").getItem(0).as("n_tok"),
+            col("__tp").getItem(1).as("n_dist"), col("__tp").getItem(2).as("top_cnt"))
           .withColumn("quality_keep",
             expr(s"(n_tok - n_dist) * 1000 div n_tok <= $GopherDupMilli" +
               s" AND top_cnt * 1000 div n_tok <= $GopherTopMilli"))

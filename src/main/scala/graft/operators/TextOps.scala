@@ -357,12 +357,14 @@ object TextOps {
       (s, d) => {
         import Dedup.{shingles3Raw, tokHashesSeq}
         val docs = tbl(s, d, "documents")
+        // Gopher triple via the map-only TokenProfile codegen expression
+        // (r13 optimization round; see corpus_manifest) - replaces the
+        // double (doc, token) shuffle with one generated-code pass
         val tokStats = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-          .groupBy("doc_id").agg(
-            sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_dist"),
-            max(col("cnt")).as("top_cnt"))
+          .select(col("doc_id"),
+            graft.plans.TokenProfile.column(split(col("text"), " ")).as("__tp"))
+          .select(col("doc_id"), col("__tp").getItem(0).as("n_tok"),
+            col("__tp").getItem(1).as("n_dist"), col("__tp").getItem(2).as("top_cnt"))
         val shStats = docs.select(col("doc_id"),
           shingles3Raw(tokHashesSeq(col("text"))).as("sh"))
           .select(col("doc_id"), size(col("sh")).cast("long").as("n_3g"),
@@ -546,13 +548,15 @@ object TextOps {
     // sign test (the text_dsir_weight precedent).
     "text_clf_linear" -> QueryDef(
       (s, d) => {
+        // map-only per-doc scoring via the native ClfProfile expression
+        // (r13 optimization round; see text_clf_eval): the exploded
+        // groupBy(doc) exchange is gone - scan to verdict with no shuffle
         tbl(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .select(col("doc_id"), (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score_num"),
-            sum(when(col("w") > 0L, 1L).otherwise(0L)).as("n_pos"),
-            sum(when(col("w") < 0L, 1L).otherwise(0L)).as("n_neg"))
+          .select(col("doc_id"),
+            graft.plans.ClfProfile.column(split(col("text"), " ")).as("__cp"))
+          .select(col("doc_id"), col("__cp").getItem(0).as("n_tok"),
+            col("__cp").getItem(2).as("score_num"),
+            col("__cp").getItem(3).as("n_pos"), col("__cp").getItem(4).as("n_neg"))
           .withColumn("keep", col("score_num") > 0L)
           .orderBy("doc_id")
       },
@@ -640,17 +644,18 @@ object TextOps {
     // count passes don't re-run the classifier explode.
     "text_quality_ensemble" -> QueryDef(
       (s, d) => {
-        val t = split(col("text"), " ")
-        val perRow = tbl(s, d, "documents")
-          .select(col("doc_id"), size(t).cast("long").as("n_tok"),
-            size(array_distinct(t)).cast("long").as("n_dist"))
+        // all three signals from ONE map-only ClfProfile pass (r13
+        // optimization round): the former shape scanned documents twice
+        // and shuffled the exploded token stream for s_clf, then paid a
+        // doc_id join to stitch the halves - scan to scores, no exchange
+        val scored = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            graft.plans.ClfProfile.column(split(col("text"), " ")).as("__cp"))
+          .select(col("doc_id"), col("__cp").getItem(0).as("n_tok"),
+            col("__cp").getItem(1).as("n_dist"), col("__cp").getItem(2).as("s_clf"))
           .withColumn("s_ttr", expr("n_dist * 1000 div n_tok"))
           .withColumn("s_len", least(col("n_tok"), lit(100L)))
-        val clf = tbl(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .select(col("doc_id"), (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
-          .groupBy("doc_id").agg(sum(col("w")).as("s_clf"))
-        val scored = perRow.join(clf, Seq("doc_id")).localCheckpoint()
+          .localCheckpoint()
         def rk(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
           globalRowNumber(df, -col(c), col("doc_id"), out).df
         rk(rk(rk(scored, "s_ttr", "r_ttr"), "s_len", "r_len"), "s_clf", "r_clf")
@@ -699,13 +704,13 @@ object TextOps {
     // discipline). Same score/pseudo-label derivation as text_clf_eval.
     "text_clf_gains" -> QueryDef(
       (s, d) => {
+        // map-only per-doc scoring via the native ClfProfile expression
+        // (r13 optimization round; see text_clf_eval)
         val scored = tbl(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .select(col("doc_id"), col("tok"),
-            (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
-          .groupBy("doc_id")
-          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tok"),
-            countDistinct(col("tok")).as("n_dist"))
+          .select(col("doc_id"),
+            graft.plans.ClfProfile.column(split(col("text"), " ")).as("__cp"))
+          .select(col("doc_id"), col("__cp").getItem(2).as("score"),
+            col("__cp").getItem(0).as("n_tok"), col("__cp").getItem(1).as("n_dist"))
           .withColumn("label",
             expr("n_dist * 1000 div n_tok >= 500 AND n_tok >= 20"))
           .select(col("doc_id"), col("score"), col("label"))
@@ -838,16 +843,20 @@ object TextOps {
     // full PR curve without re-touching the corpus.
     "text_clf_eval" -> QueryDef(
       (s, d) => {
-        // score AND pseudo-label both derive from the one exploded token
-        // stream (sum of weights; distinct-token TTR + length) — no
-        // second text pass, no per-row array_distinct
+        // score AND pseudo-label derive from ONE map-only pass: the
+        // native [[graft.plans.ClfProfile]] expression folds n_tok,
+        // n_dist, and the hashed-lexicon score per row (r13 optimization
+        // round). The former countDistinct(tok) over the exploded stream
+        // paid Spark's two-level distinct rewrite - its first exchange
+        // carried the full (doc, token) grid, which at 100 TB dwarfs the
+        // corpus (the TokenProfile argument) - and per-doc scoring now
+        // needs NO exchange at all. ClfProfileSpec pins the triple
+        // against the exploded aggregation form.
         val scored = tbl(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .select(col("doc_id"), col("tok"),
-            (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
-          .groupBy("doc_id")
-          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tok"),
-            countDistinct(col("tok")).as("n_dist"))
+          .select(col("doc_id"),
+            graft.plans.ClfProfile.column(split(col("text"), " ")).as("__cp"))
+          .select(col("doc_id"), col("__cp").getItem(2).as("score"),
+            col("__cp").getItem(0).as("n_tok"), col("__cp").getItem(1).as("n_dist"))
           .withColumn("label",
             expr("n_dist * 1000 div n_tok >= 500 AND n_tok >= 20"))
           .select(col("doc_id"), col("score"), col("label"))
@@ -899,13 +908,13 @@ object TextOps {
     // ≤9-row hash agg — no window, no join.
     "text_clf_calibration" -> QueryDef(
       (s, d) => {
+        // map-only per-doc scoring via the native ClfProfile expression
+        // (r13 optimization round; see text_clf_eval)
         val scored = tbl(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .select(col("doc_id"), col("tok"),
-            (pmod(strHash(col("tok")), lit(2001L)) - 1000L).as("w"))
-          .groupBy("doc_id")
-          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tok"),
-            countDistinct(col("tok")).as("n_dist"))
+          .select(col("doc_id"),
+            graft.plans.ClfProfile.column(split(col("text"), " ")).as("__cp"))
+          .select(col("doc_id"), col("__cp").getItem(2).as("score"),
+            col("__cp").getItem(0).as("n_tok"), col("__cp").getItem(1).as("n_dist"))
           .withColumn("label",
             expr("n_dist * 1000 div n_tok >= 500 AND n_tok >= 20"))
         scored

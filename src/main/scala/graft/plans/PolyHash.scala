@@ -171,10 +171,11 @@ object GraftExtensions {
   val graftShingles: FnDef = fn("graft_shingles", classOf[Shingles3], c => Shingles3(c.head, distinct = true))
   val graftJsonRepair: FnDef = fn("graft_json_repair", classOf[JsonRepair], c => JsonRepair(c.head))
   val graftTokenProfile: FnDef = fn("graft_token_profile", classOf[TokenProfile], c => TokenProfile(c.head))
+  val graftClfProfile: FnDef = fn("graft_clf_profile", classOf[ClfProfile], c => ClfProfile(c.head))
 
   val all: Seq[FnDef] = Seq(graftHash, graftHash58, graftSimHash, graftMinHash,
     graftJaccard, graftDot, graftSumSq, graftLshBucket, graftLshBucket2, graftShingles,
-    graftJsonRepair, graftTokenProfile) ++
+    graftJsonRepair, graftTokenProfile, graftClfProfile) ++
     DuckCompat.all // DuckDB-dialect aliases so oracle texts run verbatim in spark.sql
 
   /** Imperative registration for sessions we did not build (e.g. the
