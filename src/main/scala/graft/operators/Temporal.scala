@@ -690,27 +690,49 @@ object Temporal {
     // percentile_approx). The outlier count then reuses the dev stream.
     "q59_robust_scale" -> QueryDef(
       (s, d) => {
-        val ev = tbl(s, d, "events")
-          .select(col("event_type"), col("event_id"), cents(col("value")).as("x"))
-          .localCheckpoint() // consumed 3x (median, deviations, outliers)
-        val st = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-        val w1 = Window.partitionBy("event_type").orderBy(col("x"), col("event_id"))
-        val med = ev.withColumn("rn", row_number().over(w1))
-          .join(st, Seq("event_type"))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("event_type"), col("x").as("med_c"))
-        val dev = ev.join(med, Seq("event_type"))
-          .select(col("event_type"), col("event_id"), abs(col("x") - col("med_c")).as("ad"))
-          .localCheckpoint() // consumed 2x (MAD rank, outlier count)
-        val w2 = Window.partitionBy("event_type").orderBy(col("ad"), col("event_id"))
-        val mad = dev.withColumn("rn", row_number().over(w2))
-          .join(st, Seq("event_type"))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("event_type"), col("ad").as("mad_c"))
-        val out = dev.join(mad, Seq("event_type"))
+        // Value-domain rollup form (r13 optimization round): the exact
+        // median and MAD depend only on the (type, cents) MULTISET, not
+        // on per-row order — the value at rank k of (x, event_id) is
+        // whatever grid value the cumulative count reaches k inside, for
+        // any tie-breaker. The former spelling sorted the whole corpus
+        // TWICE through per-type windows (rank the values, then rank the
+        // deviations); now ONE corpus pass builds the bounded
+        // (event_type, x) rollup (q98's cent-grid discipline) and the
+        // median scan, deviation grid, MAD scan, and outlier count are
+        // all grid-sized.
+        val r = tbl(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("x"))
+          .groupBy("event_type", "x").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // median scan + deviation grid
+        // ONE window stage per median: the same (type)-partitioned sort
+        // carries both the cumulative and the whole-partition total, so
+        // no separate sizes aggregate or join is needed
+        def medianOf(grid: org.apache.spark.sql.DataFrame, v: String,
+            out: String): org.apache.spark.sql.DataFrame = {
+          val wCum = Window.partitionBy("event_type").orderBy(v)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.partitionBy("event_type")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          grid.withColumn("cum", sum(col("cnt")).over(wCum))
+            .withColumn("n", sum(col("cnt")).over(wAll))
+            .filter(col("cum") >= expr("(n + 1) div 2") &&
+              col("cum") - col("cnt") < expr("(n + 1) div 2"))
+            .select(col("event_type"), col(v).as(out), col("n"))
+        }
+        val med = medianOf(r, "x", "med_c").localCheckpoint() // |types| rows; dev + final
+        val dev = r.join(broadcast(med.select(col("event_type"), col("med_c"))),
+            Seq("event_type"))
+          .groupBy(col("event_type"), abs(col("x") - col("med_c")).as("ad"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint() // MAD scan + outlier count
+        val mad = medianOf(dev, "ad", "mad_c")
+          .select(col("event_type"), col("mad_c")).localCheckpoint() // out + final
+        val out = dev.join(broadcast(mad), Seq("event_type"))
           .groupBy("event_type")
-          .agg(sum(when(col("ad") > lit(5L) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"))
-        st.join(med, Seq("event_type")).join(mad, Seq("event_type"))
+          .agg(sum(when(col("ad") > lit(5L) * col("mad_c"), col("cnt"))
+            .otherwise(0L)).as("n_outliers"))
+        med.select(col("event_type"), col("n"), col("med_c"))
+          .join(broadcast(mad), Seq("event_type"))
           .join(out, Seq("event_type"))
           .select(col("event_type"), col("n"), col("med_c"), col("mad_c"), col("n_outliers"))
           .orderBy("event_type")
