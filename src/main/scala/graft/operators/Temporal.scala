@@ -2067,18 +2067,23 @@ object Temporal {
             col("t").as("t_b"))))
           .filter(col("type_a") < col("type_b"))
         val pk = pairs.select("type_a", "type_b")
-        val pv = pk.join(r.select(col("event_type").as("type_a"), col("c")), Seq("type_a"))
-          .select("type_a", "type_b", "c")
-          .union(pk.join(r.select(col("event_type").as("type_b"), col("c")), Seq("type_b"))
-            .select("type_a", "type_b", "c"))
-          .distinct()
-        val g = pv
-          .join(r.select(col("event_type").as("type_a"), col("c"), col("n").as("n_a")),
-            Seq("type_a", "c"), "left")
-          .join(r.select(col("event_type").as("type_b"), col("c"), col("n").as("n_b")),
-            Seq("type_b", "c"), "left")
-          .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
-          .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+        // Aligned pair grid in ONE aggregate (r13 optimization round):
+        // the former spelling materialized the distinct (pair, c) key set
+        // and LEFT-joined each side's counts back - an extra distinct
+        // exchange plus two grid joins. Tagging each side's rows with a
+        // zero for the other side and summing per (pair, c) produces the
+        // identical aligned rows (absent side = 0) in a single partial-
+        // aggregated exchange.
+        val g = pk
+          .join(r.select(col("event_type").as("type_a"), col("c"), col("n")), Seq("type_a"))
+          .select(col("type_a"), col("type_b"), col("c"),
+            col("n").as("n_a"), lit(0L).as("n_b"))
+          .union(pk
+            .join(r.select(col("event_type").as("type_b"), col("c"), col("n")), Seq("type_b"))
+            .select(col("type_a"), col("type_b"), col("c"),
+              lit(0L).as("n_a"), col("n").as("n_b")))
+          .groupBy("type_a", "type_b", "c")
+          .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
         val w = Window.partitionBy("type_a", "type_b").orderBy("c")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         g.withColumn("ca", sum(col("n_a")).over(w))
@@ -2163,18 +2168,23 @@ object Temporal {
             col("t").as("t_b"))))
           .filter(col("type_a") < col("type_b"))
         val pk = pairs.select("type_a", "type_b")
-        val pv = pk.join(r.select(col("event_type").as("type_a"), col("c")), Seq("type_a"))
-          .select("type_a", "type_b", "c")
-          .union(pk.join(r.select(col("event_type").as("type_b"), col("c")), Seq("type_b"))
-            .select("type_a", "type_b", "c"))
-          .distinct()
-        val g = pv
-          .join(r.select(col("event_type").as("type_a"), col("c"), col("n").as("n_a")),
-            Seq("type_a", "c"), "left")
-          .join(r.select(col("event_type").as("type_b"), col("c"), col("n").as("n_b")),
-            Seq("type_b", "c"), "left")
-          .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
-          .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+        // Aligned pair grid in ONE aggregate (r13 optimization round):
+        // the former spelling materialized the distinct (pair, c) key set
+        // and LEFT-joined each side's counts back - an extra distinct
+        // exchange plus two grid joins. Tagging each side's rows with a
+        // zero for the other side and summing per (pair, c) produces the
+        // identical aligned rows (absent side = 0) in a single partial-
+        // aggregated exchange.
+        val g = pk
+          .join(r.select(col("event_type").as("type_a"), col("c"), col("n")), Seq("type_a"))
+          .select(col("type_a"), col("type_b"), col("c"),
+            col("n").as("n_a"), lit(0L).as("n_b"))
+          .union(pk
+            .join(r.select(col("event_type").as("type_b"), col("c"), col("n")), Seq("type_b"))
+            .select(col("type_a"), col("type_b"), col("c"),
+              lit(0L).as("n_a"), col("n").as("n_b")))
+          .groupBy("type_a", "type_b", "c")
+          .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
         val w = Window.partitionBy("type_a", "type_b").orderBy("c")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         g.withColumn("ca", sum(col("n_a")).over(w))
