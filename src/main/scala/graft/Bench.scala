@@ -132,7 +132,22 @@ object Bench {
       else ""
       anchorField.map(_._2).getOrElse("") + medianField.map(_._2).getOrElse("") + warn
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed$loadedField,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed$loadedField,"sf":"$sfDir"}"""
+    println(fullJson)
+    // r14 (VERDICT item 2): the verbose line above (~20 KB with the runs
+    // arrays) has exceeded the driver's tail capture in EVERY round to
+    // date — BENCH_r*.json always stored a truncated line and
+    // `parsed: null`, so PERF never had a per-query table. Contract fix,
+    // additions-only: the full JSON also lands in bench_out.json, and a
+    // compact machine line (per-query mins only, 3 decimals, no runs
+    // array — ~5 KB) prints LAST so the tail capture can hold it.
+    util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), fullJson + "\n"))
+    def fmt3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qsCompact = results.map { case (k, runs, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt3(runs.min) else "-1")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"failed":$failed$loadedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
