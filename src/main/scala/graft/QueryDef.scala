@@ -299,17 +299,41 @@ object Qh {
     * cost — and mirrors the `spark.graft.q28a.maxDocs` guard discipline:
     * fail loudly, name the config, let a deliberate wide-basket run
     * raise it consciously rather than silently quadrupling a shuffle. */
+  /** r14: returns the BASKET COUNT (distinct `key` values) read from the
+    * same rollup the guard already aggregates — callers that also need
+    * n_orders (q102's support/lift denominators) fold what was a second
+    * full countDistinct pass into this one. */
   def requireBoundedBaskets(s: SparkSession, pres: DataFrame, key: String,
-      query: String): Unit = {
+      query: String): Long = {
     val cap = s.conf.get("spark.graft.basket.maxItems", "1024").toLong
     val m = boundedHead(pres.groupBy(col(key)).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))), s"$query basket-width bound (global aggregate)")
+      .agg(max(col("c")), count(lit(1))),
+      s"$query basket-width bound (global aggregate)")
     if (!m.isNullAt(0) && m.getLong(0) > cap)
       throw new IllegalArgumentException(
         s"$query: widest basket carries ${m.getLong(0)} items, past " +
           s"spark.graft.basket.maxItems=$cap — the basket self-join would " +
           "explode quadratically on it. Raise the cap only for a " +
           "deliberate wide-basket run.")
+    m.getLong(1)
+  }
+
+  /** Broadcast `df` when its row count is provably small (r14, guide
+    * §3.1): checkpointed intermediates are LogicalRDDs with NO stats, so
+    * Catalyst sort-merge-joins them even when one side is a bounded
+    * rollup (a part-catalog size table, a node-sized rank table) and the
+    * other a corpus-scale stream — re-shuffling and sorting the big side
+    * for nothing. Callers pass a row bound that is a FREE read off an
+    * already-materialized frame (its own count, or a conservative proxy
+    * like the edge-list count); under `spark.graft.join.broadcastRows`
+    * (default 8M rows ≈ 200 MB built relation, well inside the 8 GB /
+    * 512M-row broadcast cap) the side is broadcast and the big side is
+    * never exchanged; above it the former shuffle-join shape stands —
+    * the decision self-disables at 100 TB scale. */
+  def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.join.broadcastRows", "8000000").toLong
+    if (rows <= cap) broadcast(df) else df
   }
 
   /** A frame carrying a freshly computed global row number plus the total
@@ -345,49 +369,77 @@ object Qh {
     * (all graft inputs are); callers with expensive lineage should
     * `localCheckpoint()` first. */
   def globalRowNumber(df: DataFrame, value: Column, tie: Column,
-      out: String): Ranked = {
+      out: String): Ranked =
+    globalRowNumbers(df, Seq(value -> out), tie)
+
+  /** Fused multi-metric [[globalRowNumber]] (r14 optimization round): N
+    * independent global row numbers over the SAME frame and tie key in
+    * exactly TWO control-plane jobs instead of 2·N — one bounds aggregate
+    * covering every metric, and one bucket-count aggregate over the
+    * union of all metrics' bucket ids (an explode of N 16-byte structs
+    * per row, partially aggregated map-side). The per-bucket offset is
+    * attached as a literal-map lookup (≤ `spark.graft.rank.buckets`
+    * entries, codegen `element_at`) rather than the former broadcast
+    * join — one less join per metric in the plan. Per-metric bucketing,
+    * window and rn arithmetic are verbatim the single-metric formulas, so
+    * each output column is bit-identical to a standalone call. */
+  def globalRowNumbers(df: DataFrame, metrics: Seq[(Column, String)],
+      tie: Column): Ranked = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    import spark.implicits._
+    val m = metrics.length
     val nBuckets = spark.conf.get("spark.graft.rank.buckets", "256").toLong
-    val tagged = df.withColumn("__grk_v", value.cast("long"))
-      .withColumn("__grk_t", tie.cast("long"))
-    val b = boundedHead(tagged.agg(min(col("__grk_v")), max(col("__grk_v")),
-      min(col("__grk_t")), max(col("__grk_t")), count(lit(1))),
+    var tagged = df.withColumn("__grk_t", tie.cast("long"))
+    metrics.zipWithIndex.foreach { case ((v, _), i) =>
+      tagged = tagged.withColumn(s"__grk_v$i", v.cast("long")) }
+    val boundAggs = metrics.indices.flatMap(i =>
+      Seq(min(col(s"__grk_v$i")), max(col(s"__grk_v$i")))) ++
+      Seq(min(col("__grk_t")), max(col("__grk_t")), count(lit(1)))
+    val b = boundedHead(tagged.agg(boundAggs.head, boundAggs.tail: _*),
       "globalRowNumber bounds (global aggregate)")
-    val n = b.getLong(4)
-    if (n == 0L)
-      return Ranked(tagged.withColumn(out, lit(0L))
-        .drop("__grk_v", "__grk_t"), 0L)
-    val (loV, hiV) = (b.getLong(0), b.getLong(1))
-    val (loT, hiT) = (b.getLong(2), b.getLong(3))
+    val n = b.getLong(2 * m + 2)
+    if (n == 0L) {
+      var empty = tagged.drop("__grk_t")
+      metrics.zipWithIndex.foreach { case ((_, out), i) =>
+        empty = empty.drop(s"__grk_v$i").withColumn(out, lit(0L)) }
+      return Ranked(empty, 0L)
+    }
+    val (loT, hiT) = (b.getLong(2 * m), b.getLong(2 * m + 1))
     val tieSpan = BigInt(hiT) - BigInt(loT) + 1
-    val composite = (BigInt(hiV) - BigInt(loV) + 1) * tieSpan
-    val (keyed, span) =
-      if (composite < BigInt(1L << 62))
-        (tagged.withColumn("__grk_k",
-          (col("__grk_v") - loV) * tieSpan.toLong + (col("__grk_t") - loT)),
-          composite)
-      else
-        (tagged.withColumn("__grk_k", col("__grk_v") - loV),
-          BigInt(hiV) - BigInt(loV) + 1)
-    val width = math.max(1L, ((span - 1) / nBuckets + 1).toLong)
-    val bucketed = keyed
-      .withColumn("__grk_b", expr(s"__grk_k div ${width}L"))
-    val offs = {
+    metrics.indices.foreach { i =>
+      val (loV, hiV) = (b.getLong(2 * i), b.getLong(2 * i + 1))
+      val composite = (BigInt(hiV) - BigInt(loV) + 1) * tieSpan
+      val (key, span) =
+        if (composite < BigInt(1L << 62))
+          ((col(s"__grk_v$i") - loV) * tieSpan.toLong + (col("__grk_t") - loT),
+            composite)
+        else (col(s"__grk_v$i") - loV, BigInt(hiV) - BigInt(loV) + 1)
       // width = ceil(span/nBuckets) so bucket ids stay < nBuckets
-      val totals = boundedCollect(bucketed.groupBy("__grk_b").count(),
-        nBuckets.toInt, "globalRowNumber bucket offsets")
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      totals.map { case (bkt, cnt) => val o = (bkt, acc); acc += cnt; o }
-    }.toSeq.toDF("__grk_b", "__grk_off")
-    val wLocal = Window.partitionBy("__grk_b")
-      .orderBy(col("__grk_k"), col("__grk_t"))
-    Ranked(bucketed
-      .join(broadcast(offs), Seq("__grk_b"))
-      .withColumn(out, row_number().over(wLocal).cast("long") + col("__grk_off"))
-      .drop("__grk_v", "__grk_t", "__grk_k", "__grk_b", "__grk_off"), n)
+      val width = math.max(1L, ((span - 1) / nBuckets + 1).toLong)
+      tagged = tagged.withColumn(s"__grk_k$i", key)
+        .withColumn(s"__grk_b$i", expr(s"__grk_k$i div ${width}L"))
+    }
+    val counts = boundedCollect(
+      tagged.select(explode(array(metrics.indices.map(i =>
+          struct(lit(i).as("m"), col(s"__grk_b$i").as("b"))): _*)).as("mb"))
+        .groupBy(col("mb.m").as("m"), col("mb.b").as("b")).count(),
+      (nBuckets * m).toInt, "globalRowNumber bucket offsets")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    metrics.zipWithIndex.foreach { case ((_, out), i) =>
+      val offMap = {
+        val totals = counts.collect { case (`i`, bkt, cnt) => (bkt, cnt) }
+          .sortBy(_._1)
+        var acc = 0L
+        totals.map { case (bkt, cnt) => val o = (bkt, acc); acc += cnt; o }
+      }.toMap
+      val wLocal = Window.partitionBy(s"__grk_b$i")
+        .orderBy(col(s"__grk_k$i"), col("__grk_t"))
+      tagged = tagged
+        .withColumn(out, row_number().over(wLocal).cast("long") +
+          element_at(typedLit(offMap), col(s"__grk_b$i")))
+        .drop(s"__grk_v$i", s"__grk_k$i", s"__grk_b$i")
+    }
+    Ranked(tagged.drop("__grk_t"), n)
   }
 
   /** Exact SQL `ntile(k)` from a 1-based global row number over `n` rows:
@@ -402,5 +454,75 @@ object Qh {
     else expr(s"CASE WHEN $rn <= ${(q + 1) * r}L " +
       s"THEN ($rn - 1) div ${q + 1}L + 1 " +
       s"ELSE ${r}L + ($rn - ${(q + 1) * r}L - 1) div ${q}L + 1 END")
+  }
+
+  /** Exact `percentile(v, p)` battery from a counted value-domain rollup
+    * (the q59_robust_scale playbook, r14 optimization round).
+    *
+    * Spark's `percentile` is an ObjectHashAggregate: every row feeds an
+    * interpreted per-group OpenHashMap[value, count], the partial maps are
+    * serialized across the exchange, and the final merge + sort of a
+    * group's ENTIRE value map runs in the single reducer task that owns
+    * the group — a per-group memory bomb and straggler at corpus scale,
+    * outside whole-stage codegen. This helper computes the identical
+    * doubles from a bounded grid instead:
+    *
+    *  1. grid: groupBy(keys :+ v) count — codegen HashAggregate with
+    *     map-side partials; the only corpus-sized pass.
+    *  2. one keys-partitioned window over the GRID (value-domain-bounded,
+    *     never corpus-sized) carries the running count and the per-key
+    *     total.
+    *  3. Spark's own interpolation, reproduced op-for-op on the covering
+    *     grid rows: position = p·(n−1); lower/higher = floor/ceil; the row
+    *     covering 0-indexed rank r is the one with cum−cnt ≤ r < cum; if
+    *     both ranks land on one value return it, else
+    *     (higher−position)·v_lo + (position−lower)·v_hi — the same IEEE
+    *     ops in the same order as Percentile.getPercentile, so the output
+    *     doubles are bit-identical.
+    *
+    * Returns one row per key: the key columns, `__n` (row count), `__min`,
+    * `__max`, `__sum` (exact long stats over v), and one double column per
+    * requested (name, p). `value` must be long-valued and NON-NULL (all
+    * call sites derive it from non-null testdata columns — the ClfProfile
+    * non-null-text invariant class): a null v would be counted by `__n`
+    * here but ignored by the aggregate battery this replaces. Keys may be
+    * empty (global battery) — the grid window then runs single-task, but
+    * over the bounded value domain, never the corpus. */
+  def gridPercentiles(df: DataFrame, keys: Seq[String], value: Column,
+      ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val grid = df.groupBy(kc :+ value.cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(kc: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(kc: _*)
+    val cum = grid
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val pickCols = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("__n") - 1L).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      def covering(r: Column) =
+        max(when(col("__cum") - col("__c") <= r && r < col("__cum"), col("__v")))
+      Seq(covering(lower).as(s"__lo_$name"), covering(higher).as(s"__hi_$name"))
+    }
+    val aggs = Seq(
+      max(col("__n")).as("__n"),
+      min(col("__v")).as("__min"), max(col("__v")).as("__max"),
+      sum(col("__v") * col("__c")).as("__sum")) ++ pickCols
+    val agged = cum.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(agged) { case (acc, (name, p)) =>
+      val pos = lit(p) * (col("__n") - 1L).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      val vlo = col(s"__lo_$name").cast("double")
+      val vhi = col(s"__hi_$name").cast("double")
+      acc.withColumn(name,
+          when(vlo === vhi, vlo)
+            .otherwise((higher.cast("double") - pos) * vlo +
+              (pos - lower.cast("double")) * vhi))
+        .drop(s"__lo_$name", s"__hi_$name")
+    }
   }
 }

@@ -1121,7 +1121,15 @@ object Dedup {
     // HashP this replaced was collision-DOMINATED at that scale.
     "dedup_substring" -> QueryDef(
       (s, d) =>
-        substringWindows(tbl(s, d, "documents")).groupBy("win_hash")
+        // r14: repartition by win_hash FIRST — the countDistinct battery
+        // then runs both aggregation levels colocated in one stage (the
+        // former plan exchanged the window stream twice: once as the
+        // (hash, doc) partial grid, once as the per-hash re-aggregation).
+        // One exchange of N raw 16-byte rows replaces two of ~N each.
+        substringWindows(tbl(s, d, "documents"))
+          .select(col("doc_id"), col("win_hash"))
+          .repartition(col("win_hash"))
+          .groupBy("win_hash")
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -1492,9 +1500,13 @@ object Dedup {
     // storage is distributed (executor-local), O(windows) rows of 8-byte
     // hashes + positions, never text.
     val wins = substringWindows(docs).localCheckpoint()
+    // r14: the cut list only needs "appears in ≥ 2 DISTINCT docs", and
+    // min(doc) ≠ max(doc) decides that in a SINGLE-level codegen
+    // aggregate — the former countDistinct planned a two-level distinct
+    // rewrite (an extra full exchange of the (hash, doc) grid).
     val repeated = wins.groupBy("win_hash")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2).select("win_hash")
+      .agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
+      .filter(col("__d0") =!= col("__d1")).select("win_hash")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     wins.join(repeated, Seq("win_hash"), "left_semi")
       .withColumn("brk",

@@ -35,15 +35,32 @@ object Graph {
     * variable-length keys on every superstep). */
   private val R0 = 1000000000000L
 
+  /** r14 (guide §2.4/§3.1): the iteration-state side of every graph
+    * superstep join (rank / frontier / tentative-distance / authority
+    * tables) is NODE-sized while the other side is the EDGE list — and
+    * because the edge list is a checkpointed LogicalRDD, Catalyst has no
+    * stats and plans a sort-merge join that re-shuffles the edges EVERY
+    * superstep. When the node-sized side is provably small (its count is
+    * a free read off a just-checkpointed frame), [[Qh.bcastIfSmall]]
+    * broadcasts it instead: the edge list is then never re-exchanged
+    * after its one materialization, and each superstep's only shuffle
+    * carries node-sized partial aggregates. Above the
+    * `spark.graft.join.broadcastRows` cap (a 100 TB graph with ~1e9
+    * nodes) the hint is skipped and the former shuffle-join shape
+    * stands. */
+
   /** One PageRank superstep on the undirected edge list (already keyed
-    * src→dst both directions): contrib = pr div deg, damped sum. */
-  private def step(und: DataFrame, deg: DataFrame, rank: DataFrame): DataFrame = {
+    * src→dst both directions): contrib = pr div deg, damped sum.
+    * `nNodes` bounds both node-sized join sides (rank and the grouped
+    * contribution table) for [[bcastIfSmall]]. */
+  private def step(und: DataFrame, deg: DataFrame, rank: DataFrame,
+      nNodes: Long): DataFrame = {
     val contrib = und
-      .join(rank, und("src") === rank("node"))
+      .join(bcastIfSmall(rank, nNodes), und("src") === rank("node"))
       .select(col("dst").as("node"), expr("pr div deg").as("c"))
       .groupBy("node").agg(sum(col("c")).as("in_c"))
     deg.select(col("src").as("node"), col("deg"))
-      .join(contrib, Seq("node"), "left")
+      .join(bcastIfSmall(contrib, nNodes), Seq("node"), "left")
       .select(col("node"), col("deg"),
         (lit(R0 * 15L / 100L) + expr("(85 * coalesce(in_c, 0)) div 100")).as("pr"))
   }
@@ -68,9 +85,12 @@ object Graph {
           .union(edges.select(col("dst").as("src"), col("src").as("dst")))
           .localCheckpoint()
         val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+        // Free read off the just-checkpointed frame: |nodes| drives the
+        // superstep broadcast decision (see bcastIfSmall).
+        val nNodes = deg.count()
         var rank = deg.select(col("src").as("node"), col("deg"), lit(R0).as("pr"))
         for (_ <- 1 to 3)
-          rank = step(und, deg, rank).localCheckpoint()
+          rank = step(und, deg, rank, nNodes).localCheckpoint()
         rank
           .select(col("node"), col("deg"), col("pr"),
             (col("pr").cast("double") / 1.0e12).as("score"))
@@ -228,10 +248,18 @@ object Graph {
         // set every hop would write O(reached) rows k times.
         var settled = seeds.withColumn("dist", lit(0L)).localCheckpoint()
         var frontier = settled.select("node")
+        // One free read off the checkpointed edge list bounds every
+        // node-sized side (frontier/settled ≤ distinct endpoints ≤
+        // edge rows) — drives the per-hop broadcast (bcastIfSmall, r14):
+        // under the cap neither the edge list nor the settled set is
+        // ever re-shuffled, and no per-hop count jobs are added.
+        val edgeRows = und.count()
         for (k <- 1 to 3) {
-          val next = und.join(frontier, und("src") === frontier("node"))
+          val next = und.join(bcastIfSmall(frontier, edgeRows),
+              und("src") === frontier("node"))
             .select(col("dst").as("node")).distinct()
-            .join(settled.select("node"), Seq("node"), "left_anti")
+            .join(bcastIfSmall(settled.select("node"), edgeRows),
+              Seq("node"), "left_anti")
             .withColumn("dist", lit(k.toLong))
             .localCheckpoint()
           settled = settled.union(next)
@@ -304,12 +332,17 @@ object Graph {
           .distinct()
           .localCheckpoint() // both supersteps re-join the edge list
           // (no pre-repartition: forgotten under AQE — q55 note)
+        // r14: node-sized authority/hub tables (≤ |edges| rows each)
+        // broadcast into the superstep joins when small (bcastIfSmall) —
+        // the edge list is then never re-shuffled after materialization.
+        val nEdges = edges.count() // free read off the checkpointed frame
         val a1 = edges.groupBy("supp").agg(count(lit(1)).as("a1"))
-        val h1 = edges.join(a1, Seq("supp"))
+          .localCheckpoint() // feeds both the h1 superstep and the final stitch
+        val h1 = edges.join(bcastIfSmall(a1, nEdges), Seq("supp"))
           .groupBy("cust").agg(sum(col("a1")).as("h1"))
-        val a2 = edges.join(h1, Seq("cust"))
+        val a2 = edges.join(bcastIfSmall(h1, nEdges), Seq("cust"))
           .groupBy("supp").agg(sum(col("h1")).as("a2"))
-        a2.join(a1, Seq("supp"))
+        a2.join(bcastIfSmall(a1, nEdges), Seq("supp"))
           .select(col("supp"), col("a1"), col("a2"))
           .orderBy(col("a2").desc, col("supp"))
           .limit(15)
@@ -360,8 +393,15 @@ object Graph {
           .orderBy(col("dg").desc, col("src")).limit(1)
           .select(col("src").as("node"))
         var dist = seed.withColumn("d", lit(0L)).localCheckpoint()
+        // One free read off the checkpointed edge list bounds the
+        // node-sized tentative-distance table (≤ distinct endpoints ≤
+        // edge rows) and drives the per-round broadcast (bcastIfSmall,
+        // r14) — under the cap the edge list is never re-shuffled
+        // across relaxation rounds, with no per-round count jobs.
+        val edgeRows = und.count()
         for (_ <- 1 to 3) {
-          val relax = und.join(dist, und("src") === dist("node"))
+          val relax = und.join(bcastIfSmall(dist, edgeRows),
+              und("src") === dist("node"))
             .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
           dist = dist.select("node", "d").union(relax)
             .groupBy("node").agg(min(col("d")).as("d"))

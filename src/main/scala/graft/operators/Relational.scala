@@ -553,16 +553,22 @@ object Relational {
     // Q31 — percentile battery on exact integer cents: exact median +
     // p90 via interpolated percentile (both engines interpolate with the
     // same (1-f)*a + f*b rule on identical longs), plus min/max bounds.
+    // r14: computed via [[Qh.gridPercentiles]] (counted value-domain
+    // rollup + covering-row interpolation) instead of the percentile()
+    // ObjectHashAggregate — bit-identical doubles, all-codegen, and the
+    // per-group value map never lands in one reducer task.
     "q31_percentiles" -> QueryDef(
-      (s, d) => tbl(s, d, "orders")
-        .select(col("o_orderpriority").as("prio"), cents(col("o_totalprice")).as("price_c"))
-        .groupBy("prio")
-        .agg(
-          (expr("percentile(price_c, 0.5)") / 100.0).as("median"),
-          (expr("percentile(price_c, 0.9)") / 100.0).as("p90"),
-          (min(col("price_c")).cast("double") / 100.0).as("lo"),
-          (max(col("price_c")).cast("double") / 100.0).as("hi"),
-          count(lit(1)).as("n"))
+      (s, d) => gridPercentiles(
+          tbl(s, d, "orders")
+            .select(col("o_orderpriority").as("prio"),
+              cents(col("o_totalprice")).as("price_c")),
+          Seq("prio"), col("price_c"), Seq("__p50" -> 0.5, "__p90" -> 0.9))
+        .select(col("prio"),
+          (col("__p50") / 100.0).as("median"),
+          (col("__p90") / 100.0).as("p90"),
+          (col("__min").cast("double") / 100.0).as("lo"),
+          (col("__max").cast("double") / 100.0).as("hi"),
+          col("__n").as("n"))
         .orderBy("prio"),
       Some("""SELECT o_orderpriority AS prio,
              |  quantile_cont(CAST(round(o_totalprice*100, 0) AS BIGINT), 0.5) / 100.0 AS median,
@@ -1328,15 +1334,19 @@ object Relational {
           .agg(min(datediff(col("max_day"), col("day"))).cast("long").as("recency_d"),
             count(lit(1)).as("frequency"), sum(col("price_c")).as("monetary_c"))
           .localCheckpoint()
-        def quint(df: org.apache.spark.sql.DataFrame, metric: Column,
-            out: String) = {
-          val r = globalRowNumber(df, metric, col("o_custkey"), "__rn")
-          r.df.withColumn(out, ntileFromRn("__rn", r.n, 5L)).drop("__rn")
-        }
-        quint(quint(quint(rfm,
-            col("recency_d"), "r_score"),
-            -col("frequency"), "f_score"),
-            -col("monetary_c"), "m_score")
+        // r14: the three quintile rankings run FUSED — one bounds job and
+        // one bucket-count job for all three metrics instead of 2 per
+        // metric (6 serial control-plane jobs → 2), identical rn values.
+        val ranked = globalRowNumbers(rfm, Seq(
+            col("recency_d") -> "__rn_r",
+            (-col("frequency")) -> "__rn_f",
+            (-col("monetary_c")) -> "__rn_m"),
+          col("o_custkey"))
+        ranked.df
+          .withColumn("r_score", ntileFromRn("__rn_r", ranked.n, 5L))
+          .withColumn("f_score", ntileFromRn("__rn_f", ranked.n, 5L))
+          .withColumn("m_score", ntileFromRn("__rn_m", ranked.n, 5L))
+          .drop("__rn_r", "__rn_f", "__rn_m")
           .withColumn("segment",
             col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
           .groupBy("segment")
@@ -1626,8 +1636,10 @@ object Relational {
             col("p_brand")), Seq("l_partkey"))
           .select(col("l_orderkey"), col("p_brand")).distinct()
           .localCheckpoint() // sizes + both self-join sides + total
-        Qh.requireBoundedBaskets(s, pres, "l_orderkey", "q102_basket_lift")
-        val nOrders = pres.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        // r14: n_orders is the basket count the bound guard already
+        // aggregates — one rollup pass serves both (was a second full
+        // countDistinct job over pres).
+        val nOrders = Qh.requireBoundedBaskets(s, pres, "l_orderkey", "q102_basket_lift")
         // sizes is re-read by BOTH grid sides (n_a / n_b): materialize the
         // |brands|-row rollup once instead of re-aggregating pres per use
         // (r13 optimization round)
@@ -1643,9 +1655,12 @@ object Relational {
           .crossJoin(broadcast(sizes.select(col("p_brand").as("brand_b"),
             col("sz").as("n_b"))))
           .filter(col("brand_a") < col("brand_b"))
-          .join(inter, Seq("brand_a", "brand_b"), "left")
+          // inter is ≤ |brands|² rows by construction — broadcast it so
+          // the grid join never shuffles (r14; the LogicalRDD lineage
+          // hides that bound from Catalyst)
+          .join(broadcast(inter), Seq("brand_a", "brand_b"), "left")
           .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
-          .crossJoin(broadcast(nOrders))
+          .withColumn("n_orders", lit(nOrders))
           .withColumn("support_ppm", expr("n_both * 1000000 div n_orders"))
           .withColumn("conf_a_b_ppm", expr("n_both * 1000000 div n_a"))
           .withColumn("conf_b_a_ppm", expr("n_both * 1000000 div n_b"))
@@ -1760,6 +1775,13 @@ object Relational {
         // optimization round)
         val sizes = pres.groupBy("l_partkey").agg(count(lit(1)).as("sz"))
           .localCheckpoint()
+        // r14: sizes is catalog-sized but its LogicalRDD hides that from
+        // Catalyst — both n_a/n_b attach joins were re-shuffling AND
+        // sorting the O(orders·basket²) co table against it. Broadcast
+        // under the spark.graft.join.broadcastRows cap (count is a free
+        // read off the just-checkpointed rollup); at planet-scale
+        // catalogs the former shuffle join stands.
+        val nParts = sizes.count()
         val co = pres
           .join(pres.select(col("l_orderkey"), col("l_partkey").as("item_b")),
             Seq("l_orderkey"))
@@ -1768,9 +1790,11 @@ object Relational {
           .agg(count(lit(1)).as("n_both"))
         val w = Window.partitionBy("item_a")
           .orderBy(col("cos2_ppm").desc, col("n_both").desc, col("item_b"))
-        co.join(sizes.select(col("l_partkey").as("item_a"), col("sz").as("n_a")),
+        co.join(bcastIfSmall(
+            sizes.select(col("l_partkey").as("item_a"), col("sz").as("n_a")), nParts),
             Seq("item_a"))
-          .join(sizes.select(col("l_partkey").as("item_b"), col("sz").as("n_b")),
+          .join(bcastIfSmall(
+            sizes.select(col("l_partkey").as("item_b"), col("sz").as("n_b")), nParts),
             Seq("item_b"))
           .withColumn("cos2_ppm",
             expr("n_both * n_both * 1000000 div (n_a * n_b)"))
@@ -1991,9 +2015,13 @@ object Relational {
     // integers, mean in exact milli-days. One orderkey equi-join + a
     // bounded per-priority rollup; the join carries only three pruned
     // columns at any corpus scale.
+    // r14: percentile() ObjectHashAggregate → [[Qh.gridPercentiles]]
+    // counted (priority, lag_days) rollup — the lag domain is bounded
+    // (~125 day values), so everything past the one corpus-sized grid
+    // aggregation is grid-sized and whole-stage codegen.
     "q117_ship_latency" -> QueryDef(
       (s, d) => {
-        tbl(s, d, "lineitem")
+        val j = tbl(s, d, "lineitem")
           .select(col("l_orderkey").as("o_orderkey"),
             col("l_shipdate").cast("date").as("ship_day"))
           .join(tbl(s, d, "orders").select(col("o_orderkey"),
@@ -2001,13 +2029,12 @@ object Relational {
             col("o_orderdate").cast("date").as("order_day")), Seq("o_orderkey"))
           .withColumn("lag_days", datediff(col("ship_day"), col("order_day"))
             .cast("long"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"),
-            min(col("lag_days")).as("min_d"),
-            expr("percentile(lag_days, 0.5)").as("p50_d"),
-            expr("percentile(lag_days, 0.9)").as("p90_d"),
-            max(col("lag_days")).as("max_d"),
-            expr("sum(lag_days) * 1000 div count(1)").as("mean_milli"))
+        gridPercentiles(j, Seq("o_orderpriority"), col("lag_days"),
+            Seq("p50_d" -> 0.5, "p90_d" -> 0.9))
+          .select(col("o_orderpriority"), col("__n").as("n"),
+            col("__min").as("min_d"), col("p50_d"), col("p90_d"),
+            col("__max").as("max_d"),
+            expr("__sum * 1000 div __n").as("mean_milli"))
           .orderBy("o_orderpriority")
       },
       Some("""WITH j AS (SELECT o_orderpriority,

@@ -1637,12 +1637,13 @@ object Temporal {
             first(col("signup_ts")).as("signup_ts"))
           .select(expr("(unix_micros(first_purchase_ts) - unix_micros(signup_ts))" +
             " div 1000000").as("delay_s"))
-        delays.agg(count(lit(1)).as("n_converted"),
-          min(col("delay_s")).as("min_s"),
-          expr("percentile(delay_s, 0.5)").as("p50_s"),
-          expr("percentile(delay_s, 0.9)").as("p90_s"),
-          max(col("delay_s")).as("max_s"),
-          expr("sum(delay_s) * 1000 div count(1)").as("mean_milli_s"))
+        // r14: percentile() ObjectHashAggregate → [[Qh.gridPercentiles]]
+        // (keyless: one global battery over the bounded delay-second grid).
+        gridPercentiles(delays, Seq.empty, col("delay_s"),
+            Seq("p50_s" -> 0.5, "p90_s" -> 0.9))
+          .select(col("__n").as("n_converted"), col("__min").as("min_s"),
+            col("p50_s"), col("p90_s"), col("__max").as("max_s"),
+            expr("__sum * 1000 div __n").as("mean_milli_s"))
       },
       Some("""WITH su AS (SELECT user_id, min(ts) AS signup_ts
              |  FROM events WHERE event_type = 'signup' GROUP BY 1),
@@ -1821,15 +1822,18 @@ object Temporal {
           .localCheckpoint() // both sides of the bounded pair join
         val b = daily.select(col("event_type"), col("day").as("day2"),
           col("n").as("n2"))
-        daily.join(b, Seq("event_type")).filter(col("day") < col("day2"))
+        val slopes = daily.join(b, Seq("event_type")).filter(col("day") < col("day2"))
           .withColumn("slope_milli",
             expr("case when n2 >= n then (n2 - n) * 1000 div datediff(day2, day)" +
               " else -((n - n2) * 1000 div datediff(day2, day)) end"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_pairs"),
-            expr("percentile(slope_milli, 0.5)").as("median_slope_milli"),
-            min(col("slope_milli")).as("min_slope_milli"),
-            max(col("slope_milli")).as("max_slope_milli"))
+        // r14: percentile() ObjectHashAggregate → [[Qh.gridPercentiles]]
+        // counted (type, slope) rollup — identical median double.
+        gridPercentiles(slopes, Seq("event_type"), col("slope_milli"),
+            Seq("median_slope_milli" -> 0.5))
+          .select(col("event_type"), col("__n").as("n_pairs"),
+            col("median_slope_milli"),
+            col("__min").as("min_slope_milli"),
+            col("__max").as("max_slope_milli"))
           .orderBy("event_type")
       },
       Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -2273,7 +2277,7 @@ object Temporal {
       (s, d) => {
         val w = Window.partitionBy("user_id", "event_type")
           .orderBy(col("ts"), col("event_id"))
-        tbl(s, d, "events")
+        val gaps = tbl(s, d, "events")
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
             unix_micros(col("ts")).as("es_us"))
           .withColumn("next_us", lead(col("es_us"), 1).over(w))
@@ -2281,13 +2285,15 @@ object Temporal {
           // diff in micros FIRST, then one truncating div — identical
           // to the oracle even on sub-second timestamps
           .withColumn("gap_s", expr("(next_us - es_us) div 1000000"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_gaps"),
-            expr("percentile(gap_s, 0.5)").as("p50_s"),
-            expr("percentile(gap_s, 0.9)").as("p90_s"),
-            expr("percentile(gap_s, 0.99)").as("p99_s"),
-            max(col("gap_s")).as("max_s"),
-            expr("sum(gap_s) * 1000 div count(1)").as("mean_ms"))
+        // r14: percentile() ObjectHashAggregate → [[Qh.gridPercentiles]]
+        // counted (type, gap_s) rollup — identical doubles, all-codegen,
+        // grid bounded by the gap-second domain.
+        gridPercentiles(gaps, Seq("event_type"), col("gap_s"),
+            Seq("p50_s" -> 0.5, "p90_s" -> 0.9, "p99_s" -> 0.99))
+          .select(col("event_type"), col("__n").as("n_gaps"),
+            col("p50_s"), col("p90_s"), col("p99_s"),
+            col("__max").as("max_s"),
+            expr("__sum * 1000 div __n").as("mean_ms"))
           .orderBy("event_type")
       },
       Some("""WITH g AS (SELECT event_type,
