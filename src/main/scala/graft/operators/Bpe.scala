@@ -59,6 +59,21 @@ object Bpe {
           array_append(slice(acc, lit(1), size(acc) - 1), lit(l + r)))
         .otherwise(array_append(acc, x)))
 
+  /** Does `sym` contain the adjacent pair (l, r)? A single pass with no
+    * array building — the guard that keeps [[applyMerge]]'s O(len²)
+    * accumulator fold (array_append copies the accumulator per element)
+    * off the words a merge cannot touch, which is almost all of them:
+    * each merge typically affects a small slice of the type table.
+    * Equivalence: the fold applied to a word WITHOUT the pair rebuilds
+    * the identical array, so guarding it changes nothing (r14). */
+  private def containsPair(sym: Column, l: String, r: String): Column =
+    size(sym) >= 2 && exists(
+      zip_with(
+        slice(sym, lit(1), size(sym) - 1),
+        slice(sym, lit(2), size(sym) - 1),
+        (a, b) => a === lit(l) && b === lit(r)),
+      p => p)
+
   /** Train `nMerges` BPE merges on the whitespace words of
     * `docs(textCol)`. Returns the ranked merge table
     * `(rank, left, right, pair_freq)` — the tokenizer artifact
@@ -78,6 +93,18 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     var rank = 0L
+    // r14: `spark.graft.bpe.checkpointEvery` trades per-merge
+    // materialization jobs against re-applying up to K-1 chained merge
+    // folds inside each argmax job. MEASURED (guide §1.1 — the "ideal"
+    // fewer-jobs plan lost): K=4 ran 3.82 s vs 2.43 s at K=1 on sf0.1 —
+    // the chained HOF folds cost more in codegen+recompute than the
+    // checkpoint jobs they remove — so the default stays 1 (the knob is
+    // kept for wide-type-table experiments, where a vocab-scale
+    // materialization per merge could dominate instead).
+    val ckptEvery = math.max(1,
+      spark.conf.get("spark.graft.bpe.checkpointEvery", "1").toInt)
+    var lastCkpt = words
+    var sinceCkpt = 0
     while (rank < nMerges && !done) {
       val top0 = words
         .where(size(col("sym")) >= 2)
@@ -95,11 +122,18 @@ object Bpe {
       else {
         val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, pf))
-        val prev = words
-        words = prev
-          .select(applyMerge(col("sym"), l, r).as("sym"), col("freq"))
-          .localCheckpoint()
-        prev.unpersist(blocking = false)
+        words = words.select(
+          when(containsPair(col("sym"), l, r), applyMerge(col("sym"), l, r))
+            .otherwise(col("sym")).as("sym"),
+          col("freq"))
+        sinceCkpt += 1
+        if (sinceCkpt >= ckptEvery) {
+          val prev = lastCkpt
+          words = words.localCheckpoint()
+          lastCkpt = words
+          sinceCkpt = 0
+          prev.unpersist(blocking = false)
+        }
         rank += 1
       }
     }

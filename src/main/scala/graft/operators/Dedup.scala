@@ -1767,12 +1767,14 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
+    val maxBucket = spark.conf.get("spark.graft.dedup.maxBucket", "262144").toInt
     banded.select(col("source"), col("band"), col("bkey"),
         col("doc_id"), col("n"), col("tks"))
       .as[(String, Int, String, Long, Long, Array[Long])]
       .groupByKey { case (source, band, bkey, _, _, _) => (source, band, bkey) }
-      .flatMapGroups { (_, it) =>
-        val ms = it.toArray.sortBy(m => (m._5, m._4)) // (n asc, doc_id asc): deterministic
+      .flatMapGroups { (key, it) =>
+        val ms = boundedBucket(key, it, maxBucket, "bucketSpanningEdges")
+          .sortBy(m => (m._5, m._4)) // (n asc, doc_id asc): deterministic
         val ids = ms.map(_._4)
         val ns = ms.map(_._5)
         val tks = ms.map(_._6)
@@ -1839,13 +1841,15 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
+    val maxBucket = spark.conf.get("spark.graft.dedup.maxBucket", "262144").toInt
     banded.select(col("band"), col("bkey"), col("doc_id"), col("n"),
         col("tks"), col("mhs"))
       .as[(Int, String, Long, Long, Array[Long], Array[Long])]
       .groupByKey { case (band, bkey, _, _, _, _) => (band, bkey) }
       .flatMapGroups { (key, it) =>
         val band = key._1
-        val ms = it.toArray.sortBy(m => (m._4, m._3)) // (n asc, doc_id asc)
+        val ms = boundedBucket(key, it, maxBucket, "bucketCrossVerified")
+          .sortBy(m => (m._4, m._3)) // (n asc, doc_id asc)
         val ids = ms.map(_._3)
         val ns = ms.map(_._4)
         val tks = ms.map(_._5)
@@ -1886,6 +1890,32 @@ object Dedup {
         out.iterator
       }
       .toDF("a", "b", "jaccard")
+  }
+
+  /** Collect one LSH bucket's members into task memory under a declared
+    * cap (r14, VERDICT item 6 / guide §5): the in-bucket verifiers buffer
+    * every member's full sorted token array in ONE task, so a degenerate
+    * bucket (boilerplate-heavy sources sharing a band key) would OOM an
+    * executor where the former join-based plans spilled. The cap makes
+    * that degradation PREDICTABLE: a bucket past
+    * `spark.graft.dedup.maxBucket` members (default 262144 ≈ 200 MB of
+    * 100-token sets) fails loudly naming the bucket and the knob, the
+    * requireBoundedBaskets discipline. Observed bucket maxima are tiny
+    * next to the cap (sf0.1: ≤ 84 members — see OPTIMIZATION_r14.md), so
+    * only a truly degenerate corpus can trip it — and raising the cap is
+    * then a deliberate memory-budget decision, not a silent OOM. */
+  private def boundedBucket[T: scala.reflect.ClassTag](key: Any,
+      it: Iterator[T], cap: Int, who: String): Array[T] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    while (it.hasNext) {
+      buf += it.next()
+      if (buf.length > cap) throw new IllegalStateException(
+        s"$who: LSH bucket $key exceeds spark.graft.dedup.maxBucket=$cap " +
+          "members - a degenerate (boilerplate-heavy) bucket would buffer " +
+          "unbounded token arrays in one task. Raise the cap only as a " +
+          "deliberate executor-memory decision.")
+    }
+    buf.toArray
   }
 
   /** Count of common elements of two SORTED duplicate-free long arrays —

@@ -35,6 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * excluded from n_dist and carries no weight, like `strHash(null)`'s
   * null weight under sum/when), and score/n_pos/n_neg fold the exact
   * integer weights.
+  *
+  * NON-NULL-text invariant (r13 ADVICE, documented r14): a null input
+  * ARRAY yields a null profile ROW-PRESERVINGLY, whereas the exploded
+  * groupBy form this replaced dropped null-text docs entirely (no
+  * exploded rows → no group). The graft corpus guarantees `text` is
+  * non-null (generator + TablesSchemaDriftSpec surface), so the two
+  * conventions are unobservable today; a caller feeding nullable text
+  * must `filter(col("text").isNotNull)` first to keep the old contract.
   */
 case class ClfProfile(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -69,7 +69,11 @@ class CrossCorpusSpec extends SparkSpec {
     addEven("w1 w2 w3 w4 w5 w6 w7")
     addOdd("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
 
-    // empty documents (both parities): J undefined → never emitted
+    // empty documents (both parities): "" tokenizes to the single empty
+    // token (TokHashes("") = [hash("")]), so the two empties are
+    // IDENTICAL 1-element sets and must be emitted as a J = 1.0 pair by
+    // both formulations (r14: comment corrected per r13 ADVICE — the
+    // old note claimed "J undefined → never emitted"; asserted below)
     addEven(""); addOdd("")
 
     // ambient-similar block: 100 docs over a 14-token vocabulary,
@@ -100,6 +104,29 @@ class CrossCorpusSpec extends SparkSpec {
     assert(expect.exists(p => p._1 == 100L && p._2 == 101L), "all-band twin pair present")
     assert(expect.exists(p => p._3 == 0.8), "threshold pair present at exactly 0.8")
     assert(!expect.exists(p => p._1 == 110L && p._2 == 111L), "J = 0.7 containment pair dropped")
+    assert(expect.contains((112L, 113L, 1.0)),
+      "empty docs tokenize to the single empty token and pair at J = 1.0")
     assert(expect.size > 100, s"ambient block produced a dense pair set (got ${expect.size})")
+  }
+
+  // r14 (VERDICT item 6): the in-bucket verifier buffers one bucket's
+  // token arrays in task memory; a degenerate bucket must degrade
+  // PREDICTABLY — a loud failure naming spark.graft.dedup.maxBucket —
+  // never an executor OOM. The ambient block's buckets exceed a cap of 2.
+  test("degenerate LSH bucket trips the declared cap loudly") {
+    val docs = plantedCorpus.localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("ccspec_cap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.dedup.maxBucket", "2")
+    try {
+      val ex = intercept[Exception] {
+        SparkEntry.queries("dedup_cross_corpus")(spark, dir).collect()
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10).toSeq
+      assert(chain.exists(c => c.getMessage != null &&
+          c.getMessage.contains("spark.graft.dedup.maxBucket")),
+        s"expected the loud bucket-cap failure, got: $ex")
+    } finally spark.conf.unset("spark.graft.dedup.maxBucket")
   }
 }

@@ -214,8 +214,16 @@ class GraphLayoutSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"),
       s"hashed classifier must not join a vocabulary\n${plan.take(1500)}")
-    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
-      "doc rollup should be a (partial-combinable) hash aggregate")
+    // r14: the r13 ClfProfile rewrite made per-doc scoring MAP-ONLY —
+    // the former explode→HashAggregate rollup this assert expected no
+    // longer exists (that was the point). The invariant now: the native
+    // profile expression is in the plan, and nothing exchanges before
+    // the output sort. (This stale expectation was the one genuinely
+    // failing test hidden behind the r13 driver run's truncated capture.)
+    assert(plan.contains("clfprofile"),
+      s"per-doc scoring should be the native ClfProfile pass\n${plan.take(1500)}")
+    assert(!plan.contains("hashpartitioning"),
+      s"map-only scoring must not exchange before the output sort\n${plan.take(1500)}")
     // sanity: weights are signed and roughly balanced corpus-wide
     val agg = df.agg(sum("n_pos").as("p"), sum("n_neg").as("n")).head
     val (p, n) = (agg.getAs[Long]("p"), agg.getAs[Long]("n"))

@@ -245,9 +245,13 @@ class OperatorSpec extends SparkSpec {
       "q118_lorenz_revenue", // 10-row cumulative over the decile AGGREGATE
                           // (the corpus ranking is the distributed
                           // prefix-rank, text_clf_gains discipline)
-      "q119_contribution_tree") // sum() OVER () runs on the bounded
+      "q119_contribution_tree", // sum() OVER () runs on the bounded
                           // (region×nation×segment) dimension grain,
                           // never the fact table
+      "q89_funnel_latency") // r14 gridPercentiles: the keyless cumsum
+                          // runs over the COUNTED delay-second grid
+                          // (value-domain-bounded rollup, q59 class),
+                          // never the event table
     // Expand feeding SortAggregate (the multi-distinct rewrite) — see
     // the msda flag below. Empty by design: no registered query may
     // ship the trap; add a name here ONLY with a one-line justification

@@ -14,7 +14,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // r14 (VERDICT item 1 — the suite must fit the driver's wall
+      // budget): the shared fixture ran local[4] on a 32-core host, so
+      // the whole 50-suite matrix executed on 4 cores. local[12] keeps
+      // the task-level behavior (shuffle.partitions stays 4 — every
+      // partition-count-sensitive assertion is unchanged) while tripling
+      // the concurrent-task budget; with the SqlSurfaceSpec pool raised
+      // to match, the full matrix drops from ~20 min to well inside the
+      // budget that killed the r13 run mid-suite.
+      .master("local[12]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -76,7 +76,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // (the BasketGuardSpec/DedupEvalSpec test pattern, which is fine in
     // those single-threaded specs) would race every concurrent builder
     // silently. All registered builders only READ conf; keep it that way.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16) // r14: was 8 on a local[4] session; session is local[12] now
     val failures =
       try {
         names.map { name =>
