@@ -1837,59 +1837,135 @@ object Dedup {
     * shortcut: the query's OUTPUT is the full verified pair list, so
     * every passing pair must be emitted — the cost is the declared
     * output-bound quadratic, now with no pair-row exchanges at all. */
+  /** The per-bucket (or per-sub-bucket) verification loop shared by the
+    * cold and hot paths below: members sorted by (n asc, doc_id asc),
+    * exact integer size-window prune, first-colliding-band dedup,
+    * opposite-parity check, sorted-merge intersect, HALF_UP 4-decimal
+    * jaccard. `crossSliceOnly` restricts emission to pairs whose slice
+    * tags differ — the hot-bucket triangle split's (u, v) sub-task with
+    * u ≠ v, where same-slice pairs belong to the (u, u)/(v, v) tasks. */
+  private def verifyCrossMembers(band: Int,
+      ms: Array[(Long, Long, Array[Long], Array[Long], Int)],
+      crossSliceOnly: Boolean): Iterator[(Long, Long, Double)] = {
+    val ids = ms.map(_._1)
+    val ns = ms.map(_._2)
+    val tks = ms.map(_._3)
+    val sigs = ms.map(_._4)
+    val sl = ms.map(_._5)
+    // Java remainder like Spark's %: a negative doc_id is in NEITHER
+    // corpus (doc_id % 2 = -1), exactly as the former even/odd filters.
+    val par = ids.map(_ % 2L)
+    def collidesEarlier(x: Array[Long], y: Array[Long]): Boolean = {
+      var b = 0
+      while (b < band) {
+        if (x(2 * b) == y(2 * b) && x(2 * b + 1) == y(2 * b + 1)) return true
+        b += 1
+      }
+      false
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < ms.length) {
+      var j = i + 1
+      while (j < ms.length && ns(i) * 100000L >= ns(j) * 79990L) {
+        if ((!crossSliceOnly || sl(i) != sl(j)) &&
+            ((par(i) == 0L && par(j) == 1L) || (par(i) == 1L && par(j) == 0L)) &&
+            !collidesEarlier(sigs(i), sigs(j))) {
+          val inter = intersectCount(tks(i), tks(j))
+          val denom = ns(i) + ns(j) - inter
+          if (denom > 0L) {
+            // r14: exact integer HALF_UP of inter·10⁴/denom — replaces a
+            // per-candidate BigDecimal.valueOf(...).setScale(4) (one
+            // allocation + decimal rendering per candidate pair; ~3·10⁸
+            // of them on the sf1 decade). Equivalence: valueOf renders
+            // the shortest decimal identifying the IEEE quotient, which
+            // HALF_UP-rounds at 4 decimals identically to the exact
+            // rational for any denom ≪ 10¹¹ (the JaccardSim boundary
+            // argument above, including exact .00005 ties — those have
+            // lowest-terms denominator dividing 20000, and the shortest
+            // decimal of their nearest double is the tie value itself);
+            // r4/10000.0 is the correctly-rounded double of r4·10⁻⁴,
+            // which is exactly what setScale(4).doubleValue() returned.
+            val r4 = (20000L * inter + denom) / (2L * denom)
+            if (r4 >= 8000L) {
+              val jd = r4 / 10000.0
+              val (a, b) = if (par(i) == 0L) (ids(i), ids(j)) else (ids(j), ids(i))
+              out += ((a, b, jd))
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   private def bucketCrossVerified(banded: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     val maxBucket = spark.conf.get("spark.graft.dedup.maxBucket", "262144").toInt
-    banded.select(col("band"), col("bkey"), col("doc_id"), col("n"),
-        col("tks"), col("mhs"))
+    // Hot-bucket triangle split (r14, guide §2.5 "split the hot key"):
+    // one degenerate band bucket runs its whole quadratic verify in ONE
+    // task — measured at the synthetic sf1 decade: a 36,787-member
+    // bucket made dedup_cross_corpus a 261 s single-core straggler while
+    // 31 cores idled. Buckets past `spark.graft.dedup.sliceThreshold`
+    // members (a bounded driver-side key list — the hot-key special-case
+    // pattern) are split S ways by pmod(doc_id, S): each member is
+    // replicated to the S sub-tasks (min(s,w), max(s,w)), so every
+    // unordered pair lands in EXACTLY one sub-task — (u, u) tasks verify
+    // within-slice pairs, (u, v≠u) tasks only cross-slice pairs — and
+    // the quadratic spreads over S(S+1)/2 tasks at the cost of an S×
+    // replication of the hot bucket's postings only. Cold buckets keep
+    // the single-task path and, below the threshold, an UNCHANGED plan
+    // (sf0.1's largest bucket is 3,699 < the 4,096 default). If the
+    // hot-key list itself exceeds its control-plane bound, the split is
+    // skipped (old behavior; the maxBucket cap still guards memory).
+    val sliceThreshold = spark.conf
+      .get("spark.graft.dedup.sliceThreshold", "4096").toLong
+    val nSlices = spark.conf.get("spark.graft.dedup.bucketSlices", "8").toInt
+    val hotKeys: Set[(Int, String)] = Qh.collectIfBounded(
+        banded.groupBy("band", "bkey").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > sliceThreshold).select("band", "bkey"),
+        64, "dedup hot-bucket key list (skew split, guide §2.5)")
+      .map(_.map(r => (r.getInt(0), r.getString(1))).toSet)
+      .getOrElse(Set.empty)
+    val rows = banded.select(col("band"), col("bkey"), col("doc_id"),
+        col("n"), col("tks"), col("mhs"))
       .as[(Int, String, Long, Long, Array[Long], Array[Long])]
+    val isHot = (band: Int, bkey: String) => hotKeys.contains((band, bkey))
+    val cold = rows.filter(r => !isHot(r._1, r._2))
       .groupByKey { case (band, bkey, _, _, _, _) => (band, bkey) }
       .flatMapGroups { (key, it) =>
-        val band = key._1
         val ms = boundedBucket(key, it, maxBucket, "bucketCrossVerified")
           .sortBy(m => (m._4, m._3)) // (n asc, doc_id asc)
-        val ids = ms.map(_._3)
-        val ns = ms.map(_._4)
-        val tks = ms.map(_._5)
-        val sigs = ms.map(_._6)
-        // Java remainder like Spark's %: a negative doc_id is in NEITHER
-        // corpus (doc_id % 2 = -1), exactly as the former even/odd filters.
-        val par = ids.map(_ % 2L)
-        def collidesEarlier(x: Array[Long], y: Array[Long]): Boolean = {
-          var b = 0
-          while (b < band) {
-            if (x(2 * b) == y(2 * b) && x(2 * b + 1) == y(2 * b + 1)) return true
-            b += 1
-          }
-          false
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < ms.length) {
-          var j = i + 1
-          while (j < ms.length && ns(i) * 100000L >= ns(j) * 79990L) {
-            if (((par(i) == 0L && par(j) == 1L) || (par(i) == 1L && par(j) == 0L)) &&
-                !collidesEarlier(sigs(i), sigs(j))) {
-              val inter = intersectCount(tks(i), tks(j))
-              val denom = ns(i) + ns(j) - inter
-              if (denom > 0L) {
-                val jd = java.math.BigDecimal.valueOf(inter.toDouble / denom)
-                  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-                if (jd >= 0.8) {
-                  val (a, b) = if (par(i) == 0L) (ids(i), ids(j)) else (ids(j), ids(i))
-                  out += ((a, b, jd))
-                }
-              }
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
+          .map(m => (m._3, m._4, m._5, m._6, 0))
+        verifyCrossMembers(key._1, ms, crossSliceOnly = false)
       }
-      .toDF("a", "b", "jaccard")
+    val verified =
+      if (hotKeys.isEmpty) cold
+      else {
+        val s = nSlices
+        val hot = rows.filter(r => isHot(r._1, r._2))
+          .flatMap { case (band, bkey, id, n, tks, mhs) =>
+            val sid = ((id % s) + s).toInt % s
+            (0 until s).iterator.map { w =>
+              val (u, v) = (math.min(sid, w), math.max(sid, w))
+              (band, bkey, u * s + v, id, n, tks, mhs, sid)
+            }
+          }
+          .groupByKey { case (band, bkey, uv, _, _, _, _, _) => (band, bkey, uv) }
+          .flatMapGroups { (key, it) =>
+            val (band, _, uv) = key
+            val ms = boundedBucket(key, it, maxBucket, "bucketCrossVerified(hot)")
+              .sortBy(m => (m._5, m._4)) // (n asc, doc_id asc)
+              .map(m => (m._4, m._5, m._6, m._7, m._8))
+            verifyCrossMembers(band, ms, crossSliceOnly = uv / s != uv % s)
+          }
+        cold.union(hot)
+      }
+    verified.toDF("a", "b", "jaccard")
   }
 
   /** Collect one LSH bucket's members into task memory under a declared

@@ -109,6 +109,35 @@ class CrossCorpusSpec extends SparkSpec {
     assert(expect.size > 100, s"ambient block produced a dense pair set (got ${expect.size})")
   }
 
+  // r14 (guide §2.5): a degenerate band bucket ran its whole quadratic
+  // verify in one task (261 s straggler at the synthetic sf1 decade).
+  // Buckets past spark.graft.dedup.sliceThreshold split into S(S+1)/2
+  // slice-pair sub-tasks; every unordered pair must land in EXACTLY one.
+  // Forcing the threshold to 4 routes the planted corpus's dense
+  // ambient block through the hot path — the emitted pair set must be
+  // identical to the single-task path's, with no duplicates.
+  test("hot-bucket triangle split emits the identical pair set exactly once") {
+    val docs = plantedCorpus.localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("ccspec_hot").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val coldSet = SparkEntry.queries("dedup_cross_corpus")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.conf.set("spark.graft.dedup.sliceThreshold", "4")
+    spark.conf.set("spark.graft.dedup.bucketSlices", "3")
+    try {
+      val hot = SparkEntry.queries("dedup_cross_corpus")(spark, dir)
+        .as[(Long, Long, Double)].collect()
+      assert(hot.length == hot.toSet.size,
+        s"split emitted duplicates: ${hot.groupBy(identity).filter(_._2.length > 1).keys.take(3)}")
+      assert(hot.toSet == coldSet,
+        s"split pair-set mismatch: missing=${(coldSet -- hot.toSet).take(5)} " +
+          s"extra=${(hot.toSet -- coldSet).take(5)}")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.sliceThreshold")
+      spark.conf.unset("spark.graft.dedup.bucketSlices")
+    }
+  }
+
   // r14 (VERDICT item 6): the in-bucket verifier buffers one bucket's
   // token arrays in task memory; a degenerate bucket must degrade
   // PREDICTABLY — a loud failure naming spark.graft.dedup.maxBucket —
